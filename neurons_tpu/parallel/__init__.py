@@ -1,0 +1,7 @@
+from neurons_tpu.parallel.mesh import (
+    create_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+    local_mesh_size,
+)

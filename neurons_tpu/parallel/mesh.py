@@ -1,0 +1,82 @@
+"""Device-mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's distributed substrate (HF
+Accelerate over torch.distributed/NCCL; reference train_neurons.py:668,
+scripts/neuroclips_video.py:39-40). Instead of DDP process groups we build a
+named `jax.sharding.Mesh` and let GSPMD insert the collectives (all-reduce
+for gradients over the `data` axis, all-gathers for any tensor-parallel
+axes) over ICI.
+
+Axes (see config.MeshConfig):
+  data  — batch (DP): gradients psum over this axis automatically.
+  model — tensor parallel for wide linears / attention heads.
+  frame — temporal axis of video tensors (motion-module attention layout).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from neurons_tpu.config import MeshConfig
+
+
+def create_mesh(cfg: MeshConfig = MeshConfig(),
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a Mesh from the config; `data=-1` absorbs remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    sizes = {"data": cfg.data, "model": cfg.model, "frame": cfg.frame}
+    fixed = math.prod(v for v in sizes.values() if v > 0)
+    n_free = sum(1 for v in sizes.values() if v <= 0)
+    if n_free > 1:
+        raise ValueError("at most one mesh axis may be -1")
+    if n_free == 1:
+        if n % fixed:
+            raise ValueError(f"{n} devices not divisible by fixed axes {fixed}")
+        free = n // fixed
+        sizes = {k: (free if v <= 0 else v) for k, v in sizes.items()}
+    if math.prod(sizes.values()) != n:
+        raise ValueError(f"mesh {sizes} != {n} devices")
+    dev_array = np.asarray(devices).reshape(sizes["data"], sizes["model"], sizes["frame"])
+    return Mesh(dev_array, axis_names=("data", "model", "frame"))
+
+
+def local_mesh_size(mesh: Mesh, axis: str = "data") -> int:
+    return mesh.shape[axis]
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard leading (batch) axis over `data`, replicate the rest."""
+    spec = P("data", *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a pytree of host arrays with batch-axis sharding over `data`.
+
+    Replaces the reference's DDP DataLoader sharding: every leaf's axis 0 is
+    split across the `data` mesh axis (per-device batch = B / data). Leaves
+    whose batch axis is not divisible raise, mirroring drop_last semantics.
+    """
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(_put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (e.g. params) over the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

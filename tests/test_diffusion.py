@@ -1,0 +1,146 @@
+"""Schedule + prior-sampling tests (vs reference BrainDiffusionPrior and sgm
+LegacyDDPMDiscretization semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurons_tpu.diffusion import schedule as S
+from neurons_tpu.diffusion import prior as P
+
+
+class TestSchedules:
+    def test_cosine_betas_shape_and_bounds(self):
+        b = S.cosine_betas(100)
+        assert b.shape == (100,)
+        assert (b > 0).all() and (b <= 0.999).all()
+        # monotone alphas_cumprod decreasing to near zero
+        ac = np.cumprod(1 - b)
+        assert ac[0] > 0.99 and ac[-1] < 0.01
+
+    def test_qsample_endpoints(self):
+        sched = S.make_ddpm_schedule(S.cosine_betas(10))
+        x0 = jnp.ones((2, 4))
+        noise = jnp.full((2, 4), 2.0)
+        t0 = jnp.zeros((2,), jnp.int32)
+        xt = S.q_sample(sched, x0, t0, noise)
+        # at t=0 mostly signal
+        assert float(jnp.abs(xt - x0).max()) < 0.5
+        tT = jnp.full((2,), 9, jnp.int32)
+        xT = S.q_sample(sched, x0, tT, noise)
+        # at t=T mostly noise
+        assert float(jnp.abs(xT - noise).max()) < 0.5
+
+    def test_q_posterior_consistency(self):
+        """Posterior mean with x_start == x_t at t=0 returns ~x_t."""
+        sched = S.make_ddpm_schedule(S.cosine_betas(10))
+        x = jnp.ones((2, 4)) * 0.5
+        t = jnp.zeros((2,), jnp.int32)
+        mean, var, _ = S.q_posterior(sched, x, x, t)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(x), atol=1e-4)
+
+    def test_sd_sigmas_ladder(self):
+        sig = np.asarray(S.sd_sigmas(38))
+        assert sig.shape == (39,)
+        assert sig[-1] == 0.0
+        assert (np.diff(sig) < 0).all()  # strictly descending
+        # sigma_max of the 1000-step SD-1.5 schedule ~ 14.6146
+        assert 14.0 < sig[0] < 15.0
+
+    def test_sd_sigmas_full_table(self):
+        sig = np.asarray(S.sd_sigmas(1000))
+        assert sig.shape == (1001,)
+        # first sigma (t=999): sqrt((1-abar)/abar)
+        betas = S.linear_betas(1000)
+        ac = np.cumprod(1 - betas)
+        np.testing.assert_allclose(sig[0], np.sqrt((1 - ac[-1]) / ac[-1]),
+                                   rtol=1e-5)
+
+    def test_spaced_timesteps_match_reference_formula(self):
+        got = S.spaced_timesteps(38, 1000)
+        expected = np.linspace(999, 0, 38, endpoint=False).astype(int)[::-1]
+        np.testing.assert_array_equal(got, expected)
+
+
+class TestPriorSampling:
+    def test_p_sample_loop_denoises_to_net_prediction(self):
+        """With a net that always predicts a constant x0, the DDPM loop must
+        converge to that constant."""
+        target = jnp.full((2, 4, 8), 1.5)
+        diff = P.PriorDiffusion.create(timesteps=20)
+
+        def net_apply(params, x, times, brain, **kw):
+            return target
+
+        out = jax.jit(lambda k: P.p_sample_loop(
+            diff, net_apply, {}, k, (2, 4, 8), brain_embed=None))(
+                jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                                   atol=0.05)
+
+    def test_p_losses_zero_for_perfect_net(self):
+        diff = P.PriorDiffusion.create(timesteps=10)
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 8))
+
+        def net_apply(params, noisy, times, brain, **kw):
+            return x  # oracle
+
+        loss, pred = P.p_losses(diff, net_apply, {}, jax.random.PRNGKey(2),
+                                x, brain_embed=None)
+        assert float(loss) < 1e-10
+
+    def test_cfg_scale_changes_samples(self):
+        diff = P.PriorDiffusion.create(timesteps=5)
+
+        def net_apply(params, x, times, brain, brain_cond_drop_prob=0.0,
+                      image_cond_drop_prob=0.0, rng=None):
+            base = jnp.tanh(x)
+            return base if brain_cond_drop_prob == 0.0 else base * 0.5
+
+        k = jax.random.PRNGKey(3)
+        s1 = P.p_sample_loop(diff, net_apply, {}, k, (1, 2, 4), None,
+                             cond_scale=1.0)
+        s2 = P.p_sample_loop(diff, net_apply, {}, k, (1, 2, 4), None,
+                             cond_scale=2.0)
+        assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+class TestPriorNetwork:
+    def test_forward_shapes_and_cfg_nulling(self):
+        from neurons_tpu.config import PriorConfig
+        from neurons_tpu.models.prior import PriorNetwork
+
+        cfg = PriorConfig(dim=32, depth=2, dim_head=8, heads=4, num_tokens=6,
+                          timesteps=10)
+        net = PriorNetwork(cfg)
+        key = jax.random.PRNGKey(0)
+        img = jax.random.normal(key, (2, 6, 32))
+        brain = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 32))
+        times = jnp.array([3, 7])
+        params = net.init(key, img, times, brain)
+        out = net.apply(params, img, times, brain)
+        assert out.shape == (2, 6, 32)
+
+        # fully dropping conditioning must change the output and be
+        # brain-independent
+        out_null = net.apply(params, img, times, brain,
+                             brain_cond_drop_prob=1.0)
+        out_null2 = net.apply(params, img, times, brain * 3.0,
+                              brain_cond_drop_prob=1.0)
+        assert not np.allclose(np.asarray(out), np.asarray(out_null))
+        np.testing.assert_allclose(np.asarray(out_null), np.asarray(out_null2),
+                                   rtol=1e-5)
+
+    def test_time_conditioning_matters(self):
+        from neurons_tpu.config import PriorConfig
+        from neurons_tpu.models.prior import PriorNetwork
+
+        cfg = PriorConfig(dim=32, depth=1, dim_head=8, heads=4, num_tokens=6)
+        net = PriorNetwork(cfg)
+        key = jax.random.PRNGKey(0)
+        img = jax.random.normal(key, (1, 6, 32))
+        brain = jax.random.normal(jax.random.fold_in(key, 1), (1, 6, 32))
+        params = net.init(key, img, jnp.array([0]), brain)
+        o1 = net.apply(params, img, jnp.array([0]), brain)
+        o2 = net.apply(params, img, jnp.array([9]), brain)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from neurons_tpu.config import (BrainModelConfig, DecouplerConfig, PriorConfig)
 from neurons_tpu.models.brain import (BrainBackbone, CLIPProj, MotionProj,
                                       MultiLabelClassifier, RidgeRegression)
+from neurons_tpu.models.decoder_video import TextDrivenDecoder
+from neurons_tpu.models.gpt2 import GPT2Config, TextDecoder
 from neurons_tpu.models.prior import PriorNetwork
 
 
@@ -64,6 +66,7 @@ class NeuronsDecoupler(nn.Module):
     brain_cfg: BrainModelConfig
     prior_cfg: PriorConfig
     dec_cfg: DecouplerConfig
+    gpt2_cfg: GPT2Config = GPT2Config()
 
     def setup(self):
         self.core = NeuronsCore(self.brain_cfg)
@@ -73,16 +76,45 @@ class NeuronsDecoupler(nn.Module):
         self.classifier = MultiLabelClassifier(
             in_channel_text=self.dec_cfg.clip_txt_emb_dim,
             class_num=self.dec_cfg.num_classes)
+        self.text_seg_dec = TextDrivenDecoder(
+            clip_vision_emb_dim=self.dec_cfg.clip_emb_dim,
+            clip_txt_emb_dim=self.dec_cfg.clip_txt_emb_dim,
+            decoder_block_out_channels=self.dec_cfg.decoder_block_out_channels,
+            decoder_layers_per_block=self.dec_cfg.decoder_layers_per_block)
+        self.text_dec = TextDecoder(self.gpt2_cfg,
+                                    prefix_size=self.dec_cfg.clip_txt_emb_dim)
 
-    def __call__(self, voxel: jax.Array, subj_idx: int = 0):
+    def __call__(self, voxel: jax.Array, tokens: jax.Array,
+                 subj_idx: int = 0):
         """Init-shape pass touching every submodule."""
         voxels_embed, clip_vision, clip_text = self.core(voxel, subj_idx)
         b, n, d = clip_vision.shape
         times = jnp.zeros((b,), jnp.int32)
         pred = self.prior_net(clip_vision, times, clip_vision)
         motion = self.motion_proj(pred)
-        cls = self.classifier(motion.mean(axis=1).mean(axis=1))
-        return voxels_embed, clip_vision, clip_text, pred, motion, cls
+        pooled = motion.mean(axis=1).mean(axis=1)
+        cls = self.classifier(pooled)
+        f = self.dec_cfg.n_frames
+        flat = motion.reshape(b * f, n, d)
+        seg = self.text_seg_dec(flat, clip_text, time=b * f)
+        logits = self.text_dec(clip_text, tokens)
+        return voxels_embed, clip_vision, clip_text, pred, motion, cls, seg, logits
+
+    # --- stage-2 sub-paths, exposed for nn.apply(method=...) ---
+
+    def seg_decode(self, vision_tokens, text_embed, time: int,
+                   is_seg: bool = True, return_all: bool = False,
+                   deterministic: bool = True):
+        return self.text_seg_dec(vision_tokens, text_embed, time=time,
+                                 is_seg=is_seg, return_all=return_all,
+                                 deterministic=deterministic)
+
+    def caption_logits(self, clip_features, tokens):
+        return self.text_dec(clip_features, tokens)
+
+    def caption_greedy(self, clip_features, max_len: int = 60,
+                       eot_token: int = 49407):
+        return self.text_dec.greedy_decode(clip_features, max_len, eot_token)
 
     # --- stage-2 sub-paths, exposed for nn.apply(method=...) ---
 

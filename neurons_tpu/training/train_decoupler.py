@@ -1,0 +1,181 @@
+"""Stage-2 trainer: diffusion prior + decoupler heads.
+
+TPU-native re-design of the reference stage-2 loop (reference
+train_neurons.py:287-651, `--neurons_decoupler` branch): one jitted step
+computes all seven losses — prior DDPM MSE, temporal SoftCLIP, text NCE,
+key-object Dice, multi-label BCE, caption CE, blurry-video L1 — under the
+progressive sinusoidal curriculum (training/curriculum.py), and applies a
+masked AdamW update that leaves the stage-1 core frozen
+(reference :244-257 requires_grad flags -> optax mask).
+
+TPU-first input contract (see data/cc2017.py): frozen-encoder products are
+precomputed tables, not per-step frozen forward passes —
+  clip_vision_target [B, 256, 1664]   frame-2 CLIP tokens (reference :400)
+  clip_video_target  [B, F, 256,1664] per-frame CLIP tokens (reference :427)
+  key_obj_text_embed [B, 1280]        class-name CLIP text embed (:457)
+  vae_latents        [B, F, 4, h, w]  0.18215-scaled VAE mode (:498-499)
+The epoch-dependent SoftCLIP temperature and curriculum weights enter as
+traced scalars so the jit cache stays at one entry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neurons_tpu.config import (BrainModelConfig, DecouplerConfig,
+                                PriorConfig, TrainConfig)
+from neurons_tpu.diffusion.prior import PriorDiffusion
+from neurons_tpu.models.gpt2 import GPT2Config
+from neurons_tpu.models.neurons import NeuronsDecoupler
+from neurons_tpu.training import losses
+from neurons_tpu.training.curriculum import get_loss_weights
+from neurons_tpu.training.optimizers import freeze_by_prefix, make_optimizer
+from neurons_tpu.training.train_brain import TrainState
+
+
+class Stage2Bundle(NamedTuple):
+    model: NeuronsDecoupler
+    diffusion: PriorDiffusion
+    tx: Any
+
+
+def init_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
+                dcfg: DecouplerConfig, tcfg: TrainConfig,
+                gpt2_cfg: GPT2Config, steps_per_epoch: int, key: jax.Array,
+                core_params: Any = None) -> Tuple[Stage2Bundle, TrainState]:
+    model = NeuronsDecoupler(bcfg, pcfg, dcfg, gpt2_cfg)
+    voxel = jnp.zeros((2, bcfg.seq_len, bcfg.voxel_counts[0]))
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    params = model.init(key, voxel, tokens)["params"]
+    if core_params is not None:
+        # layer the stage-1 checkpoint under the ensemble (the reference's
+        # strict=False load, train_neurons.py:219-221)
+        params = dict(params)
+        params["core"] = core_params
+    tx, _ = make_optimizer(tcfg, steps_per_epoch,
+                           frozen_fn=freeze_by_prefix(("core",)))
+    diffusion = PriorDiffusion.create(pcfg.timesteps, pcfg.cond_drop_prob)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    return Stage2Bundle(model, diffusion, tx), state
+
+
+def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
+                batch: Dict[str, jax.Array], soft_temp: jax.Array,
+                weights: jax.Array, tcfg: TrainConfig,
+                dcfg: DecouplerConfig
+                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    model = bundle.model
+    k_drop, k_prior, k_dropout = jax.random.split(key, 3)
+    rngs = {"dropout": k_dropout}
+
+    def apply(method, *args, **kw):
+        return model.apply({"params": params}, *args, method=method,
+                           rngs=rngs, **kw)
+
+    voxel = batch["voxel"]
+    b = voxel.shape[0]
+    f = dcfg.n_frames
+
+    # frozen core forward (params frozen via optax mask; reference :393-395)
+    _, clip_vision_embeds, _ = apply(NeuronsDecoupler.encode, voxel)
+
+    # ---- prior DDPM loss (reference :430) ----
+    def net_apply(p, image_embed, times, brain_embed, **kw):
+        return model.apply({"params": p}, image_embed, times, brain_embed,
+                           method=NeuronsDecoupler.prior_apply, rngs=rngs, **kw)
+
+    from neurons_tpu.diffusion.prior import p_losses
+    loss_prior, prior_out = p_losses(bundle.diffusion, net_apply, params,
+                                     k_prior, batch["clip_vision_target"],
+                                     clip_vision_embeds)
+
+    # ---- motion embeddings (reference :434) ----
+    motion = apply(NeuronsDecoupler.motion, prior_out)   # [B, F, N, C]
+
+    # ---- temporal SoftCLIP (reference :438-446) ----
+    video_t = batch["clip_video_target"]                 # [B, F, N, C]
+    vt = losses.l2norm(video_t.reshape(b, f, -1)).reshape(b * f, -1)
+    mt = losses.l2norm(motion.reshape(b, f, -1)).reshape(b * f, -1)
+    loss_clip_vision = losses.soft_clip_loss(mt, vt, temp=soft_temp)
+
+    # ---- text alignment (reference :450-453) ----
+    pred_text = apply(NeuronsDecoupler.project_text, motion.mean(axis=1))
+    pred_text_norm = losses.l2norm(pred_text)
+    target_text_norm = losses.l2norm(
+        batch["text_emb"].reshape(b, -1))
+    loss_clip_txt = losses.mixco_nce(pred_text_norm, target_text_norm)
+
+    # ---- key-object segmentation (reference :456-463) ----
+    flat_motion = motion.reshape(b * f, motion.shape[2], motion.shape[3])
+    seg_logits = apply(NeuronsDecoupler.seg_decode, flat_motion,
+                       batch["key_obj_text_embed"], b * f,
+                       deterministic=False)               # [(B F), 1, h, w]
+    hw = seg_logits.shape[-2:]
+    masks = batch["key_obj_masks"]                        # [B, F, H, W]
+    masks = jax.image.resize(masks, masks.shape[:2] + hw, "nearest")
+    masks = masks.reshape(b * f, 1, *hw)
+    loss_seg = losses.dice_loss(seg_logits.astype(jnp.float32),
+                                masks.astype(jnp.float32))
+
+    # ---- multi-label classification (reference :481-482) ----
+    cls_pred = apply(NeuronsDecoupler.classify,
+                     motion.mean(axis=1).mean(axis=1))
+    loss_cls = losses.bce_with_logits(cls_pred.astype(jnp.float32),
+                                      batch["cls_label"])
+
+    # ---- caption CE (reference :486-494) ----
+    tokens = batch["clip_tokens"]
+    logits = apply(NeuronsDecoupler.caption_logits,
+                   pred_text_norm.astype(jnp.float32), tokens)
+    logits = logits[:, :-1]                               # drop last position
+    loss_text = losses.cross_entropy_ignore(logits, tokens)
+    valid = tokens > 0
+    acc_text = ((jnp.argmax(logits, -1).reshape(-1) == tokens.reshape(-1))
+                & valid.reshape(-1)).sum() / jnp.maximum(valid.sum(), 1)
+
+    # ---- blurry video recon (reference :497-504) ----
+    vae_lat = batch["vae_latents"]                        # [B, F, 4, h, w]
+    vae_lat = vae_lat.reshape(b * f, *vae_lat.shape[2:])
+    rec = apply(NeuronsDecoupler.seg_decode, flat_motion, pred_text,
+                b * f, is_seg=False, deterministic=False)  # [(B F), 4, h', w']
+    rec = jax.image.resize(rec, rec.shape[:2] + vae_lat.shape[-2:], "nearest")
+    loss_recon = losses.l1_loss(rec, vae_lat)
+
+    # ---- progressive weights (reference :507-513) ----
+    loss = (loss_prior * tcfg.prior_scale + loss_clip_vision + loss_clip_txt
+            + loss_seg * weights[0] + loss_cls * weights[1]
+            + loss_text * weights[2] + loss_recon * weights[3])
+    metrics = {"loss": loss, "loss_prior": loss_prior,
+               "loss_clip_vision": loss_clip_vision,
+               "loss_clip_txt": loss_clip_txt,
+               "loss_key_obj_seg": loss_seg, "loss_multi_cls": loss_cls,
+               "loss_text_gen": loss_text, "loss_recon_video": loss_recon,
+               "train_acc_text_gen": acc_text}
+    return loss, metrics
+
+
+def make_stage2_train_step(bundle: Stage2Bundle, tcfg: TrainConfig,
+                           dcfg: DecouplerConfig, steps_per_epoch: int):
+    @jax.jit
+    def train_step(state: TrainState, key: jax.Array,
+                   batch: Dict[str, jax.Array], epoch: jax.Array,
+                   iteration: jax.Array, soft_temp: jax.Array):
+        weights = get_loss_weights(tcfg.num_epochs, epoch, iteration,
+                                   steps_per_epoch)
+
+        def loss_fn(params):
+            return stage2_loss(bundle, params, key, batch, soft_temp,
+                               weights, tcfg, dcfg)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = bundle.tx.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step

@@ -156,20 +156,24 @@ class VAEConfig:
 
 @dataclass(frozen=True)
 class UNet2DConfig:
-    """SD-unCLIP denoising UNet (reference generative_models/configs/unclip6.yaml:47-63,
-    sgm/modules/diffusionmodules/openaimodel.py:472-853)."""
+    """SD-unCLIP denoising UNet (reference generative_models/configs/
+    unclip6.yaml:47-63, sgm/modules/diffusionmodules/openaimodel.py:472-853).
+    Attention only at downsample factors 4 and 2 (the yaml notes
+    transformer_depth[0] is unused); adm vector = 2x ConcatTimestepEmbedderND
+    (256-d per scalar, 2 scalars each) = 1024."""
 
     in_channels: int = 4
     out_channels: int = 4
     model_channels: int = 320
     channel_mult: Tuple[int, ...] = (1, 2, 4)
     num_res_blocks: int = 2
-    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    attention_resolutions: Tuple[int, ...] = (4, 2)
     transformer_depth: Tuple[int, ...] = (1, 2, 10)
     num_head_channels: int = 64
     context_dim: int = CLIP_EMB_DIM  # CLIP-bigG image tokens
-    adm_in_channels: int = 1536  # vector conditioning (2x ConcatTimestepEmbedderND)
+    adm_in_channels: int = 1024
     use_linear_in_transformer: bool = True
+    scale_factor: float = 0.13025  # unclip6 first-stage scale
 
 
 @dataclass(frozen=True)
@@ -259,7 +263,7 @@ def tiny_pipeline_config() -> PipelineConfig:
         unet2d=UNet2DConfig(model_channels=8, channel_mult=(1, 2),
                             num_res_blocks=1, transformer_depth=(1, 1),
                             num_head_channels=4, context_dim=32,
-                            adm_in_channels=16, attention_resolutions=(1, 2)),
+                            adm_in_channels=16, attention_resolutions=(2,)),
         unet3d=UNet3DConfig(block_out_channels=(8, 16, 16, 16),
                             layers_per_block=1, cross_attention_dim=16,
                             attention_head_dim=4, norm_num_groups=4,

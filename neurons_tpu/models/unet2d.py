@@ -1,0 +1,257 @@
+"""SD-unCLIP denoising UNet (OpenAI-style UNetModel), flax/NHWC.
+
+Re-design of the reference's sgm UNet (reference generative_models/sgm/
+modules/diffusionmodules/openaimodel.py:472-853, configured by
+unclip6.yaml:47-63): model_channels 320, channel_mult (1,2,4),
+2 res blocks/level, spatial transformers of depth (–,2,10) at downsample
+factors 2 and 4, CLIP-bigG 1664-d cross-attention context, and a
+1024-d "adm" vector conditioning added to the timestep embedding
+(num_classes='sequential').
+
+TPU notes: NHWC convs; attention sites route through
+ops.attention.dot_product_attention (Pallas flash kernel on TPU — this
+UNet replaces the reference's xformers/softmax-xformers attention,
+sgm/modules/attention.py:417-439). The timestep embedding uses the OpenAI
+ordering cat(cos, sin) — distinct from the prior's sin-first embedding.
+All blocks are rematerialization-friendly: wrap the call in
+`jax.checkpoint` at the sampler level to trade FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neurons_tpu.config import UNet2DConfig
+from neurons_tpu.ops.attention import dot_product_attention
+
+
+def timestep_embedding(t: jax.Array, dim: int,
+                       max_period: float = 10000.0) -> jax.Array:
+    """OpenAI UNet convention: cat(cos, sin) (openaimodel timestep_embedding).
+    t: [B] (float timesteps or sigma indices)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) *
+                    jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def zero_init():
+    return nn.initializers.zeros
+
+
+class ResBlock(nn.Module):
+    """GN32 -> SiLU -> conv; + time-emb; GN32 -> SiLU -> zero-conv; skip."""
+
+    out_channels: int
+    groups: int = 32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, name="in_norm")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="in_conv")(h)
+        e = nn.Dense(self.out_channels, name="emb_proj")(nn.silu(emb))
+        h = h + e[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                    kernel_init=zero_init(), name="out_conv")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1),
+                               name="skip_conv")(residual)
+        return residual + h
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention, optionally cross (context != None)."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+
+        def split(y, t):
+            return y.reshape(b, t, self.heads, self.dim_head
+                             ).transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(split(q, tq), split(k, tk), split(v, tk))
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
+        return nn.Dense(self.query_dim, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, name="proj_in")(x)
+        val, gate = jnp.split(h, 2, axis=-1)
+        return nn.Dense(self.dim, name="proj_out")(val * nn.gelu(gate))
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn(context) -> FF, each pre-norm residual
+    (reference sgm/modules/attention.py:456-618 BasicTransformerBlock)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: int
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = CrossAttention(self.dim, self.heads, self.dim_head,
+                           name="attn1")(nn.LayerNorm(name="norm1")(x)) + x
+        x = CrossAttention(self.dim, self.heads, self.dim_head,
+                           context_dim=self.context_dim, name="attn2")(
+                               nn.LayerNorm(name="norm2")(x), context) + x
+        x = GEGLUFeedForward(self.dim, name="ff")(
+            nn.LayerNorm(name="norm3")(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN32 -> (linear) proj_in -> depth x BasicTransformerBlock ->
+    zero proj_out -> residual (reference sgm/modules/attention.py:619-759)."""
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int
+    context_dim: int
+    use_linear: bool = True
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        t = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         name="norm")(x).reshape(b, h * w, c)
+        t = nn.Dense(c, name="proj_in")(t)
+        for i in range(self.depth):
+            t = BasicTransformerBlock(c, self.heads, self.dim_head,
+                                      self.context_dim,
+                                      name=f"block_{i}")(t, context)
+        t = nn.Dense(c, kernel_init=zero_init(), name="proj_out")(t)
+        return t.reshape(b, h, w, c) + residual
+
+
+class Downsample2D(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=2, padding=1,
+                       name="op")(x)
+
+
+class UpsampleConv(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
+
+
+class UNetModel(nn.Module):
+    """Inputs (NCHW boundary): x [B, 4, H, W], timesteps [B],
+    context [B, T, context_dim], y [B, adm_in_channels]."""
+
+    cfg: UNet2DConfig
+
+    @nn.compact
+    def __call__(self, x, timesteps, context, y=None,
+                 deterministic: bool = True):
+        c = self.cfg
+        time_embed_dim = c.model_channels * 4
+
+        emb = timestep_embedding(timesteps, c.model_channels)
+        emb = nn.Dense(time_embed_dim, name="time_embed_0")(emb)
+        emb = nn.Dense(time_embed_dim, name="time_embed_2")(nn.silu(emb))
+        if y is not None:
+            lab = nn.Dense(time_embed_dim, name="label_emb_0")(y)
+            lab = nn.Dense(time_embed_dim, name="label_emb_2")(nn.silu(lab))
+            emb = emb + lab
+
+        h = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+        heads_of = lambda ch: ch // c.num_head_channels
+        groups = 32 if c.model_channels % 32 == 0 else c.model_channels
+
+        h = nn.Conv(c.model_channels, (3, 3), padding=1, name="conv_in")(h)
+        skips = [h]
+        ds = 1
+        # --- input blocks ---
+        for level, mult in enumerate(c.channel_mult):
+            ch = c.model_channels * mult
+            for i in range(c.num_res_blocks):
+                h = ResBlock(ch, groups=groups, name=f"down_{level}_res_{i}")(
+                    h, emb, deterministic)
+                if ds in c.attention_resolutions:
+                    h = SpatialTransformer(
+                        ch, heads_of(ch), c.num_head_channels,
+                        c.transformer_depth[level], c.context_dim,
+                        groups=groups,
+                        name=f"down_{level}_attn_{i}")(h, context)
+                skips.append(h)
+            if level != len(c.channel_mult) - 1:
+                h = Downsample2D(ch, name=f"down_{level}_downsample")(h)
+                skips.append(h)
+                ds *= 2
+
+        # --- middle ---
+        ch = c.model_channels * c.channel_mult[-1]
+        h = ResBlock(ch, groups=groups, name="mid_res_0")(h, emb, deterministic)
+        h = SpatialTransformer(ch, heads_of(ch), c.num_head_channels,
+                               c.transformer_depth[-1], c.context_dim,
+                               groups=groups, name="mid_attn")(h, context)
+        h = ResBlock(ch, groups=groups, name="mid_res_1")(h, emb, deterministic)
+
+        # --- output blocks ---
+        for level, mult in reversed(list(enumerate(c.channel_mult))):
+            ch = c.model_channels * mult
+            for i in range(c.num_res_blocks + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = ResBlock(ch, groups=groups,
+                             name=f"up_{level}_res_{i}")(h, emb, deterministic)
+                if ds in c.attention_resolutions:
+                    h = SpatialTransformer(
+                        ch, heads_of(ch), c.num_head_channels,
+                        c.transformer_depth[level], c.context_dim,
+                        groups=groups,
+                        name=f"up_{level}_attn_{i}")(h, context)
+                if level and i == c.num_res_blocks:
+                    h = UpsampleConv(ch, name=f"up_{level}_upsample")(h)
+                    ds //= 2
+
+        h = nn.GroupNorm(num_groups=groups, name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Conv(c.out_channels, (3, 3), padding=1,
+                    kernel_init=zero_init(), name="out_conv")(h)
+        return h.transpose(0, 3, 1, 2)  # -> NCHW

@@ -1,0 +1,197 @@
+"""Stage-3 keyframe reconstruction (base + enhance modes).
+
+TPU-native re-design of the reference stage-3 scripts
+(reference recon_keyframe_neurons.py and recon_keyframe_neurons_enhance.py):
+
+  voxel -> ridge/backbone -> 100-step prior `lax.scan` -> CLIP image tokens
+       -> [enhance: classifier top-1 concept -> class-name text embed ->
+           seg masks; masks gate VAE latents and modulate prior tokens]
+       -> blurry video (recon head -> VAE decode)
+       -> caption (GPT-2 greedy scan)
+       -> keyframe (EulerEDM 38-step CFG unCLIP sampling -> VAE decode)
+
+Everything after data loading is jitted; the unCLIP sampler and prior loop
+are single `lax.scan` graphs. The reference loops per-sample in Python for
+unclip_recon (recon_keyframe_neurons.py:429-494, batch 1 through a 38-step
+sampler); here sampling is batched — the TPU-first win that amortizes the
+UNet over the MXU.
+
+Artifact contract (same filenames, so reference stage-4/5 interoperate):
+  EXP/exp_{exp}/subj_{subj}/frames_generated{_enhance}/
+    {subj}_all_recons.pt-equivalent .npz, recon_videos, captions
+(reference recon_keyframe_neurons.py:448-451) — written by pipelines/io.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neurons_tpu.config import SamplerConfig, UNet2DConfig
+from neurons_tpu.diffusion import prior as prior_lib
+from neurons_tpu.diffusion.denoiser import DiscreteDenoiser
+from neurons_tpu.diffusion.samplers import make_cfg_denoiser, sample_euler
+from neurons_tpu.diffusion.schedule import sd_sigmas
+from neurons_tpu.models.conditioner import unclip_vector_suffix
+
+
+def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
+                  key: jax.Array, clip_tokens: jax.Array,
+                  vector: Optional[jax.Array] = None,
+                  num_steps: int = 38, cfg_scale: float = 5.0,
+                  offset_noise_level: float = 0.04,
+                  latent_hw: int = 96, scale_factor: float = 0.13025
+                  ) -> jax.Array:
+    """The reference's `unclip_recon` (reference utils.py:302-350), batched.
+
+    clip_tokens: [B, 256, 1664] CLIP image tokens (from the prior).
+    Returns images in [0, 1], NCHW.
+
+    Init math: z,noise ~ N(0,1); offset noise adds a per-sample scalar
+    (reference utils.py:328-331); x0 = z + noise * sigma_0 (the divide by
+    sqrt(1+sigma_0^2) at utils.py:333 cancels against the sampler's
+    multiply at sampling.py:52, so we skip both: prepare=False).
+    """
+    b = clip_tokens.shape[0]
+    k_z, k_noise, k_offset, k_uc = jax.random.split(key, 4)
+    z = jax.random.normal(k_z, (b, 4, latent_hw, latent_hw))
+    noise = jax.random.normal(k_noise, z.shape)
+    if offset_noise_level > 0:
+        noise = noise + offset_noise_level * jax.random.normal(
+            k_offset, (b,))[:, None, None, None]
+
+    sigmas = sd_sigmas(num_steps)
+    x = z + noise * sigmas[0]
+
+    if vector is None:
+        vector = unclip_vector_suffix(b)
+    uc_tokens = jax.random.normal(k_uc, clip_tokens.shape, clip_tokens.dtype)
+
+    denoiser = DiscreteDenoiser.create_sd()
+
+    def network(x, t_cond, crossattn, vector):
+        return unet_apply(unet_params, x, t_cond, crossattn, vector)
+
+    denoise = make_cfg_denoiser(
+        denoiser, network,
+        cond={"crossattn": clip_tokens, "vector": vector},
+        uc={"crossattn": uc_tokens, "vector": vector},
+        scale=cfg_scale)
+
+    samples_z = sample_euler(denoise, x, sigmas, prepare=False)
+    samples_x = vae_decode(samples_z / scale_factor)
+    return jnp.clip(samples_x * 0.8 + 0.2, 0.0, 1.0)
+
+
+class KeyframeOutputs(NamedTuple):
+    prior_tokens: jax.Array        # [B, 256, 1664]
+    motion_embeds: jax.Array       # [B, F, 256, 1664]
+    keyframes: jax.Array           # [B, 3, 768, 768] in [0,1]
+    blurry_latents: jax.Array      # [(B F), 4, h, w]
+    captions: jax.Array            # [B, max_len] token ids
+    cls_logits: Optional[jax.Array] = None   # enhance: [B, 51]
+    seg_masks: Optional[jax.Array] = None    # enhance: [(B F), 1, h, w]
+
+
+def reconstruct_keyframes(
+    *, decoupler_apply: Callable, decoupler_params,
+    unet_apply: Callable, unet_params, vae_decode: Callable,
+    key: jax.Array, voxel: jax.Array,
+    class_text_embeds: Optional[jax.Array] = None,
+    sampler_cfg: SamplerConfig = SamplerConfig(),
+    n_frames: int = 6, latent_hw: int = 96,
+    scale_factor: float = 0.13025, enhance: bool = False,
+    caption_len: int = 60, vae_latent_scale: float = 0.18215,
+    mask_latent_hw: Optional[int] = None,
+) -> KeyframeOutputs:
+    """Full stage-3 forward for one batch. `decoupler_apply(params, method,
+    *args, **kw)` dispatches NeuronsDecoupler methods; `class_text_embeds`
+    is the precomputed [51, 1280] class-name CLIP table (enhance mode,
+    reference recon_keyframe_neurons_enhance.py:377-402)."""
+    from neurons_tpu.models.neurons import NeuronsDecoupler as ND
+
+    k_prior, k_unclip = jax.random.split(key)
+    b = voxel.shape[0]
+
+    # ridge -> backbone (reference :359-360)
+    _, clip_vision, _ = decoupler_apply(decoupler_params, ND.encode, voxel)
+
+    # 100-step DDPM prior (reference :364-366)
+    diffusion = prior_lib.PriorDiffusion.create(sampler_cfg.prior_steps)
+
+    def net_apply(p, image_embed, times, brain_embed, **kw):
+        return decoupler_apply(p, ND.prior_apply, image_embed, times,
+                               brain_embed, **kw)
+
+    prior_out = prior_lib.p_sample_loop(
+        diffusion, net_apply, decoupler_params, k_prior,
+        clip_vision.shape, clip_vision)
+
+    # motion embeddings + text projection (reference :370-374)
+    motion = decoupler_apply(decoupler_params, ND.motion, prior_out)
+    pooled_text = decoupler_apply(decoupler_params, ND.project_text,
+                                  motion.mean(axis=1))
+
+    cls_logits = None
+    seg_masks = None
+    flat_motion = motion.reshape(b * n_frames, motion.shape[2],
+                                 motion.shape[3])
+    if enhance:
+        # classifier top-1 concept -> class text embed -> seg masks
+        # (reference recon_keyframe_neurons_enhance.py:377-402)
+        cls_logits = decoupler_apply(decoupler_params, ND.classify,
+                                     motion.mean(axis=1).mean(axis=1))
+        best = jnp.argmax(cls_logits, axis=-1)
+        best_text = class_text_embeds[best]          # [B, 1280]
+        seg_masks = decoupler_apply(decoupler_params, ND.seg_decode,
+                                    flat_motion, best_text, b * n_frames)
+
+    # blurry-video latents (reference :404-422)
+    blurry = decoupler_apply(decoupler_params, ND.seg_decode, flat_motion,
+                             pooled_text, b * n_frames, is_seg=False)
+    if mask_latent_hw is not None:
+        blurry = jax.image.resize(
+            blurry, blurry.shape[:2] + (mask_latent_hw, mask_latent_hw),
+            "nearest")
+    gate = None
+    if enhance and seg_masks is not None:
+        # reference :411-413: sigmoid -> binarize > 0.5 -> map to {0.5, 1.0}
+        gate = ((jax.nn.sigmoid(seg_masks) > 0.5).astype(blurry.dtype)
+                + 1.0) / 2.0
+        gate = jax.image.resize(gate, gate.shape[:2] + blurry.shape[-2:],
+                                "nearest")
+        blurry = blurry * gate                       # latent gating (:419)
+
+    # caption (reference :429-442: prefix is the normalized clipproj vector)
+    from neurons_tpu.training.losses import l2norm
+    captions = decoupler_apply(decoupler_params, ND.caption_greedy,
+                               l2norm(pooled_text), caption_len)
+
+    # enhance: per-token modulation of the prior tokens before unCLIP
+    # (reference :448-458): frame-mean mask -> 16x16 grid -> [B, N, 1] gate
+    tokens = prior_out
+    if enhance and gate is not None:
+        n = prior_out.shape[1]
+        grid = int(n ** 0.5)
+        mask_video = gate.reshape(b, n_frames, *gate.shape[1:])
+        image_mask = mask_video.mean(axis=1)         # [B, 1, h, w]
+        image_mask = jax.image.resize(
+            image_mask, (b, 1, grid, grid), "nearest")
+        mask_emb = image_mask.reshape(b, n, 1)       # 'b c h w -> b (h w) c'
+        tokens = tokens * mask_emb
+
+    keyframes = unclip_sample(
+        unet_apply, unet_params, vae_decode, k_unclip, tokens,
+        num_steps=sampler_cfg.unclip_steps,
+        cfg_scale=sampler_cfg.unclip_cfg_scale,
+        offset_noise_level=sampler_cfg.offset_noise_level,
+        latent_hw=latent_hw, scale_factor=scale_factor)
+
+    return KeyframeOutputs(prior_tokens=prior_out, motion_embeds=motion,
+                           keyframes=keyframes,
+                           blurry_latents=blurry / vae_latent_scale,
+                           captions=captions, cls_logits=cls_logits,
+                           seg_masks=seg_masks)

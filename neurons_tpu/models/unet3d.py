@@ -1,0 +1,311 @@
+"""AnimateDiff video UNet (UNet3D + temporal motion modules), flax.
+
+Re-design of the reference's vendored AnimateDiff stack (reference
+animatediff/models/unet.py:38-572, unet_blocks.py, attention.py,
+motion_module.py, resnet.py; configured by configs/inference/
+inference-v3.yaml): an SD-1.5 UNet "inflated" to video with a temporal
+motion module after every spatial transformer.
+
+TPU-first layout decision: the reference carries 5-D NCFHW tensors and
+rearranges at every block (InflatedConv3d = fold/unfold per conv,
+reference resnet.py:10-29). Here activations live as [(B*F), H, W, C]
+NHWC *throughout* — inflated convs/norms become ordinary convs/GroupNorms
+(v3's use_inflated_groupnorm IS per-frame GroupNorm), and only the two
+attention layouts reshape:
+  * spatial:  tokens [(B F), H*W, C], text context repeated per frame
+    (reference attention.py:98-100)
+  * temporal: tokens [(B H W), F, C] with interleaved-sinusoid positional
+    encoding (reference motion_module.py:225-243,275)
+The temporal token batch (B*H*W rows of F frames) is where the `frame`
+mesh axis shards for long clips (SURVEY.md section 5).
+
+Motion modules: GroupNorm -> proj_in -> N x [LayerNorm -> temporal
+self-attention -> residual, FF] -> zero-init proj_out -> residual
+(reference motion_module.py:47-120; v3: 1 block of 2 Temporal_Self).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neurons_tpu.config import UNet3DConfig
+from neurons_tpu.models.unet2d import timestep_embedding, zero_init
+from neurons_tpu.ops.attention import dot_product_attention
+
+
+def temporal_pos_encoding(max_len: int, dim: int) -> jnp.ndarray:
+    """Interleaved sin/cos (reference motion_module.py:225-243):
+    pe[:, 0::2] = sin, pe[:, 1::2] = cos."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
+                  * (-math.log(10000.0) / dim))
+    pe = jnp.zeros((max_len, dim))
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div[: (dim + 1) // 2]))
+    return pe
+
+
+class MHAttention(nn.Module):
+    """diffusers CrossAttention-factored MHA (to_q/k/v no-bias, to_out)."""
+
+    dim: int
+    heads: int
+    context_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ctx = x if context is None else context
+        q = nn.Dense(self.dim, use_bias=False, name="to_q")(x)
+        k = nn.Dense(self.dim, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(self.dim, use_bias=False, name="to_v")(ctx)
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+        hd = self.dim // self.heads
+
+        def split(y, t):
+            return y.reshape(b, t, self.heads, hd).transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(split(q, tq), split(k, tk), split(v, tk))
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.dim)
+        return nn.Dense(self.dim, name="to_out")(out)
+
+
+class GEGLU_FF(nn.Module):
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * self.mult * 2, name="proj_in")(x)
+        val, gate = jnp.split(h, 2, axis=-1)
+        return nn.Dense(self.dim, name="proj_out")(val * nn.gelu(gate))
+
+
+class MotionModule(nn.Module):
+    """VanillaTemporalModule (reference motion_module.py:47-170).
+    Input [(B F), H, W, C]; attends across F per pixel."""
+
+    channels: int
+    n_frames: int
+    heads: int = 8
+    num_blocks: int = 1
+    attention_block_types: Tuple[str, ...] = ("Temporal_Self", "Temporal_Self")
+    max_seq_len: int = 32
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        bf, hh, ww, c = x.shape
+        f = self.n_frames
+        b = bf // f
+        residual = x
+        h = nn.GroupNorm(num_groups=min(self.groups, c), epsilon=1e-6,
+                         name="norm")(x)
+        tokens = h.reshape(bf, hh * ww, c)
+        tokens = nn.Dense(c, name="proj_in")(tokens)
+        # (b f) d c -> (b d) f c
+        d = hh * ww
+
+        def to_temporal(t):
+            t = t.reshape(b, f, d, c).transpose(0, 2, 1, 3)
+            return t.reshape(b * d, f, c)
+
+        def from_temporal(t):
+            t = t.reshape(b, d, f, c).transpose(0, 2, 1, 3)
+            return t.reshape(bf, d, c)
+
+        pe = temporal_pos_encoding(self.max_seq_len, c)[:f]
+        for blk in range(self.num_blocks):
+            for ai, att_type in enumerate(self.attention_block_types):
+                name = f"block_{blk}_attn_{ai}"
+                t = nn.LayerNorm(name=f"{name}_norm")(tokens)
+                t = to_temporal(t) + pe[None]
+                is_cross = att_type.endswith("Cross") and context is not None
+                ctx = None
+                if is_cross:
+                    ctx = jnp.repeat(context, d, axis=0)
+                t = MHAttention(c, self.heads, name=name)(t, ctx)
+                tokens = from_temporal(t) + tokens
+            t = nn.LayerNorm(name=f"block_{blk}_ff_norm")(tokens)
+            tokens = GEGLU_FF(c, name=f"block_{blk}_ff")(t) + tokens
+        out = nn.Dense(c, kernel_init=zero_init(), name="proj_out")(tokens)
+        return out.reshape(bf, hh, ww, c) + residual
+
+
+class ResnetBlock3D(nn.Module):
+    """Per-frame resnet (reference resnet.py ResnetBlock3D with
+    InflatedConv3d == plain 2D conv in folded layout)."""
+
+    out_channels: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        residual = x
+        h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]),
+                         epsilon=1e-5, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        e = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(emb))
+        h = h + e[:, None, None, :]
+        h = nn.GroupNorm(num_groups=min(self.groups, self.out_channels),
+                         epsilon=1e-5, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1),
+                               name="conv_shortcut")(residual)
+        return residual + h
+
+
+class Transformer3D(nn.Module):
+    """Spatial transformer per frame (reference attention.py:31-142):
+    GN -> conv/linear proj_in -> blocks(self + text cross + ff) -> proj_out.
+    Context arrives per-batch [B, 77, Ctx] and is repeated per frame."""
+
+    channels: int
+    heads: int
+    context_dim: int
+    n_frames: int
+    depth: int = 1
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, context):
+        bf, hh, ww, c = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=min(self.groups, c), epsilon=1e-6,
+                         name="norm")(x)
+        tokens = h.reshape(bf, hh * ww, c)
+        tokens = nn.Dense(c, name="proj_in")(tokens)
+        ctx = jnp.repeat(context, self.n_frames, axis=0)  # [B*F, 77, Ctx]
+        for i in range(self.depth):
+            name = f"block_{i}"
+            t = nn.LayerNorm(name=f"{name}_norm1")(tokens)
+            tokens = MHAttention(c, self.heads, name=f"{name}_attn1")(t) + tokens
+            t = nn.LayerNorm(name=f"{name}_norm2")(tokens)
+            tokens = MHAttention(c, self.heads, context_dim=self.context_dim,
+                                 name=f"{name}_attn2")(t, ctx) + tokens
+            t = nn.LayerNorm(name=f"{name}_norm3")(tokens)
+            tokens = GEGLU_FF(c, name=f"{name}_ff")(t) + tokens
+        tokens = nn.Dense(c, name="proj_out")(tokens)
+        return tokens.reshape(bf, hh, ww, c) + residual
+
+
+class UNet3DModel(nn.Module):
+    """Inputs (reference contract): sample [B, 4, F, H, W], timesteps [B],
+    encoder_hidden_states [B, 77, ctx]; optional controlnet residuals
+    (reference unet.py:422-439). Returns eps prediction [B, 4, F, H, W]."""
+
+    cfg: UNet3DConfig
+    n_frames: int = 16
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 down_block_residuals=None, mid_block_residual=None):
+        c = self.cfg
+        f = self.n_frames
+        b = sample.shape[0]
+        g = c.norm_num_groups
+
+        temb = timestep_embedding(timesteps, c.block_out_channels[0])
+        temb = nn.Dense(c.block_out_channels[0] * 4, name="time_emb_1")(temb)
+        temb = nn.Dense(c.block_out_channels[0] * 4,
+                        name="time_emb_2")(nn.silu(temb))
+        temb_f = jnp.repeat(temb, f, axis=0)  # per (b f) row
+
+        # [B, C, F, H, W] -> [(B F), H, W, C]
+        h = sample.transpose(0, 2, 3, 4, 1).reshape(
+            b * f, sample.shape[3], sample.shape[4], sample.shape[1])
+        h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
+                    name="conv_in")(h)
+
+        def motion(ch, res, name):
+            if not (c.use_motion_module and res in c.motion_module_resolutions):
+                return None
+            return MotionModule(ch, f, heads=c.motion_num_attention_heads,
+                                num_blocks=c.motion_num_transformer_block,
+                                attention_block_types=c.motion_attention_block_types,
+                                max_seq_len=c.motion_max_seq_length,
+                                groups=g, name=name)
+
+        skips = [h]
+        res = 1
+        # --- down blocks ---
+        for i, btype in enumerate(c.down_block_types):
+            ch = c.block_out_channels[i]
+            is_cross = btype.startswith("CrossAttn")
+            for j in range(c.layers_per_block):
+                h = ResnetBlock3D(ch, groups=g,
+                                  name=f"down_{i}_res_{j}")(h, temb_f)
+                if is_cross:
+                    h = Transformer3D(ch, ch // c.attention_head_dim
+                                      if c.attention_head_dim > 8 else
+                                      c.attention_head_dim,
+                                      c.cross_attention_dim, f, groups=g,
+                                      name=f"down_{i}_attn_{j}")(
+                                          h, encoder_hidden_states)
+                mm = motion(ch, res, f"down_{i}_motion_{j}")
+                if mm is not None:
+                    h = mm(h)
+                skips.append(h)
+            if i != len(c.down_block_types) - 1:
+                h = nn.Conv(ch, (3, 3), strides=2, padding=1,
+                            name=f"down_{i}_downsample")(h)
+                skips.append(h)
+                res *= 2
+
+        # --- mid ---
+        ch = c.block_out_channels[-1]
+        h = ResnetBlock3D(ch, groups=g, name="mid_res_0")(h, temb_f)
+        h = Transformer3D(ch, ch // c.attention_head_dim
+                          if c.attention_head_dim > 8 else c.attention_head_dim,
+                          c.cross_attention_dim, f, groups=g,
+                          name="mid_attn")(h, encoder_hidden_states)
+        # v3: motion_module_mid_block false — no mid motion module
+        h = ResnetBlock3D(ch, groups=g, name="mid_res_1")(h, temb_f)
+
+        if mid_block_residual is not None:
+            h = h + mid_block_residual
+
+        # --- up blocks ---
+        rev_channels = list(reversed(c.block_out_channels))
+        if down_block_residuals is not None:
+            skips = [s + r for s, r in zip(skips, down_block_residuals)]
+        for i, btype in enumerate(c.up_block_types):
+            ch = rev_channels[i]
+            is_cross = btype.startswith("CrossAttn")
+            for j in range(c.layers_per_block + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = ResnetBlock3D(ch, groups=g,
+                                  name=f"up_{i}_res_{j}")(h, temb_f)
+                if is_cross:
+                    h = Transformer3D(ch, ch // c.attention_head_dim
+                                      if c.attention_head_dim > 8 else
+                                      c.attention_head_dim,
+                                      c.cross_attention_dim, f, groups=g,
+                                      name=f"up_{i}_attn_{j}")(
+                                          h, encoder_hidden_states)
+                mm = motion(ch, res, f"up_{i}_motion_{j}")
+                if mm is not None:
+                    h = mm(h)
+            if i != len(c.up_block_types) - 1:
+                bf, hh, ww, cc = h.shape
+                h = jax.image.resize(h, (bf, hh * 2, ww * 2, cc), "nearest")
+                h = nn.Conv(ch, (3, 3), padding=1,
+                            name=f"up_{i}_upsample")(h)
+                res //= 2
+
+        h = nn.GroupNorm(num_groups=min(g, h.shape[-1]),
+                         name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(c.in_channels, (3, 3), padding=1, kernel_init=zero_init(),
+                    name="conv_out")(h)
+        # [(B F), H, W, C] -> [B, C, F, H, W]
+        h = h.reshape(b, f, h.shape[1], h.shape[2], h.shape[3])
+        return h.transpose(0, 4, 1, 2, 3)

@@ -1,0 +1,140 @@
+"""Stage-5 video reconstruction pipeline (NeuroClips sampler).
+
+TPU-native re-design of the reference stage-5 path (reference
+scripts/neuroclips_video{_enhance}.py + animatediff/pipelines/
+pipeline_neuroclips.py:321-501):
+
+  blurry 6-frame video --cccat--> 16 frames --VAE encode--> init latents
+  keyframe --VAE encode--> sparse controlnet condition (frame 0)
+  caption  --CLIP text--> prompt embeddings (CFG doubled with "")
+  DDIM(25) loop: SparseCtrl residuals -> UNet3D eps -> CFG -> DDIM step
+  frame-wise VAE decode -> video [B, F, 3, H, W] in [0, 1]
+
+The whole 25-step loop is one `lax.scan`; CFG runs as a doubled batch.
+Where the reference round-robins clips over DDP ranks
+(scripts/neuroclips_video.py:39-40), here the batch axis shards over the
+`data` mesh axis and frames can shard over `frame` (GSPMD, no rank logic).
+
+Partial-noise init reproduced exactly (reference pipeline_neuroclips.py:
+408-423): blurry latents are noised at timesteps[0] (t=961 for 25 steps)
+and the loop runs all 25 steps — the blurry structure survives as the
+low-frequency seed of the trajectory.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neurons_tpu.diffusion.ddim import DDIMScheduler
+
+
+def cccat_interpolate(blurry: jax.Array, target_frames: int = 16
+                      ) -> jax.Array:
+    """6 -> 16 frame interpolation (reference scripts/neuroclips_video.py:
+    49-58 `cccat`): insert two 2/3-1/3 blends between consecutive frames.
+    blurry: [B, F0, C, H, W] -> [B, 3*(F0-1)+1, C, H, W]; the reference's
+    16 comes from F0=6 -> 16."""
+    b, f0 = blurry.shape[:2]
+    outs = []
+    for i in range(f0 - 1):
+        a, bnext = blurry[:, i], blurry[:, i + 1]
+        outs.append(a)
+        outs.append(a * (2 / 3) + bnext * (1 / 3))
+        outs.append(a * (1 / 3) + bnext * (2 / 3))
+    outs.append(blurry[:, -1])
+    out = jnp.stack(outs, axis=1)
+    assert out.shape[1] == 3 * (f0 - 1) + 1
+    if out.shape[1] != target_frames:
+        idx = jnp.linspace(0, out.shape[1] - 1, target_frames).round(
+        ).astype(jnp.int32)
+        out = out[:, idx]
+    return out
+
+
+class VideoPipelineOutputs(NamedTuple):
+    latents: jax.Array   # [B, 4, F, h, w]
+    video: jax.Array     # [B, F, 3, H, W] in [0, 1]
+
+
+def reconstruct_video(
+    *, unet3d_apply: Callable, unet3d_params,
+    controlnet_apply: Optional[Callable], controlnet_params,
+    vae_encode_mode: Callable, vae_decode: Callable,
+    key: jax.Array,
+    blurry_video: jax.Array,        # [B, 6, 3, H, W] in [0, 1]
+    keyframe: jax.Array,            # [B, 3, H, W] in [0, 1]
+    text_embeddings: jax.Array,     # [B, 77, ctx] (conditional)
+    uncond_embeddings: jax.Array,   # [B, 77, ctx] ("")
+    num_steps: int = 25, guidance_scale: float = 8.5,
+    low_strength: float = 0.3, n_frames: int = 16,
+    controlnet_scale: float = 1.0, latent_scale: float = 0.18215,
+    use_simplified_cond: bool = True,
+) -> VideoPipelineOutputs:
+    """One batched stage-5 reconstruction (reference
+    scripts/neuroclips_video.py:243-330 per-clip loop, batched)."""
+    b = blurry_video.shape[0]
+    sched = DDIMScheduler.create(num_steps)
+
+    # --- init latents from interpolated blurry video (reference :265-270) ---
+    motion = cccat_interpolate(blurry_video, n_frames)   # [B, F, 3, H, W]
+    flat = motion.reshape(b * n_frames, *motion.shape[2:])
+    lat = vae_encode_mode(2.0 * flat - 1.0) * latent_scale
+    lat = lat.reshape(b, n_frames, *lat.shape[1:])
+    latents = lat.transpose(0, 2, 1, 3, 4)               # [B, 4, F, h, w]
+
+    # partial-noise init (reference pipeline_neuroclips.py:408-423)
+    init_timestep = min(int(num_steps * low_strength), num_steps)
+    t_start = max(num_steps - init_timestep, 0)
+    latent_timestep = sched.timesteps[:t_start][:1]
+    noise = jax.random.normal(key, latents.shape, latents.dtype)
+    latents = sched.add_noise(latents, noise,
+                              jnp.broadcast_to(latent_timestep, (b,)))
+
+    # --- controlnet condition: keyframe latent at frame 0 (reference
+    # scripts/neuroclips_video.py:276-284, latent "simplified" mode) ---
+    cond = None
+    cond_mask = None
+    if controlnet_apply is not None:
+        if use_simplified_cond:
+            key_lat = vae_encode_mode(2.0 * keyframe - 1.0) * latent_scale
+            cond_frames = key_lat[:, :, None]             # [B, 4, 1, h, w]
+        else:
+            cond_frames = keyframe[:, :, None]
+        ch, hh, ww = cond_frames.shape[1], cond_frames.shape[3], \
+            cond_frames.shape[4]
+        cond = jnp.zeros((b, ch, n_frames, hh, ww), latents.dtype)
+        cond = cond.at[:, :, 0].set(cond_frames[:, :, 0])
+        cond_mask = jnp.zeros((b, 1, n_frames, hh, ww), latents.dtype)
+        cond_mask = cond_mask.at[:, :, 0].set(1.0)
+
+    # --- CFG-doubled inputs ---
+    text2 = jnp.concatenate([uncond_embeddings, text_embeddings], axis=0)
+    if cond is not None:
+        cond2 = jnp.concatenate([cond, cond], axis=0)
+        mask2 = jnp.concatenate([cond_mask, cond_mask], axis=0)
+
+    def step(latents, t):
+        x2 = jnp.concatenate([latents, latents], axis=0)
+        t2 = jnp.full((2 * b,), t, jnp.float32)
+        down_res = mid_res = None
+        if controlnet_apply is not None:
+            down_res, mid_res = controlnet_apply(
+                controlnet_params, x2, t2, text2, cond2, mask2,
+                controlnet_scale)
+        eps = unet3d_apply(unet3d_params, x2, t2, text2, down_res, mid_res)
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        eps = eps_u + guidance_scale * (eps_c - eps_u)
+        return sched.step(eps, t, latents), None
+
+    latents, _ = jax.lax.scan(step, latents, sched.timesteps)
+
+    # --- decode (reference pipeline_neuroclips.py:242-255) ---
+    lat_f = latents.transpose(0, 2, 1, 3, 4).reshape(
+        b * n_frames, *latents.shape[1:2] + latents.shape[3:])
+    frames = vae_decode(lat_f / latent_scale)
+    frames = jnp.clip(frames / 2 + 0.5, 0.0, 1.0)
+    video = frames.reshape(b, n_frames, *frames.shape[1:])
+    return VideoPipelineOutputs(latents=latents, video=video)

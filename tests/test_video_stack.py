@@ -1,0 +1,186 @@
+"""AnimateDiff video stack tests: UNet3D, motion module, SparseCtrl,
+DDIM, cccat, and the full stage-5 pipeline at tiny dims."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurons_tpu.config import UNet3DConfig, VAEConfig
+from neurons_tpu.models.unet3d import (MotionModule, UNet3DModel,
+                                       temporal_pos_encoding)
+
+
+U3 = UNet3DConfig(block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+                  cross_attention_dim=12, attention_head_dim=4,
+                  norm_num_groups=4, motion_num_attention_heads=2,
+                  motion_max_seq_length=8)
+F = 4
+
+
+class TestMotionModule:
+    def test_shapes_and_zero_init_identity(self, rng):
+        m = MotionModule(channels=8, n_frames=F, heads=2, groups=4,
+                         max_seq_len=8)
+        x = jax.random.normal(rng, (2 * F, 4, 4, 8))
+        params = m.init(rng, x)
+        y = m.apply(params, x)
+        assert y.shape == x.shape
+        # zero-init proj_out -> module is identity at init
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_temporal_mixing_after_perturbation(self, rng):
+        m = MotionModule(channels=8, n_frames=F, heads=2, groups=4,
+                         max_seq_len=8)
+        x = jax.random.normal(rng, (1 * F, 4, 4, 8))
+        params = m.init(rng, x)
+        params = jax.tree_util.tree_map(lambda p: p + 0.05, params)
+        y1 = np.asarray(m.apply(params, x))
+        # changing frame 3 must change frame 0's output (temporal attention).
+        # NB: the perturbation must not be constant — the module's GroupNorm
+        # removes constant shifts.
+        x2 = x.at[3].multiply(-2.0)
+        y2 = np.asarray(m.apply(params, x2))
+        assert not np.allclose(y1[0], y2[0], atol=1e-5)
+
+    def test_pos_encoding_interleaved(self):
+        pe = np.asarray(temporal_pos_encoding(4, 6))
+        # position 0: sin terms 0, cos terms 1
+        np.testing.assert_allclose(pe[0, 0::2], 0.0, atol=1e-6)
+        np.testing.assert_allclose(pe[0, 1::2], 1.0, atol=1e-6)
+
+
+class TestUNet3D:
+    @pytest.fixture(scope="class")
+    def built(self):
+        unet = UNet3DModel(U3, n_frames=F)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (1, 4, F, 16, 16))
+        t = jnp.array([3.0])
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (1, 5, 12))
+        params = unet.init(rng, x, t, ctx)
+        return unet, params, x, t, ctx
+
+    def test_forward_shape(self, built):
+        unet, params, x, t, ctx = built
+        out = unet.apply(params, x, t, ctx)
+        assert out.shape == x.shape
+
+    def test_zero_init_out(self, built):
+        unet, params, x, t, ctx = built
+        out = unet.apply(params, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_controlnet_residual_injection(self, built):
+        unet, params, x, t, ctx = built
+        # build residual shapes by reading the skip structure from a dry run
+        from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
+        cn = SparseControlNetModel(U3, n_frames=F)
+        cond = jnp.zeros((1, 4, F, 16, 16))
+        mask = jnp.zeros((1, 1, F, 16, 16))
+        cparams = cn.init(jax.random.PRNGKey(2), x, t, ctx, cond, mask)
+        down_res, mid_res = cn.apply(cparams, x, t, ctx, cond, mask)
+        # zero-init controlnet -> residuals are all zero
+        for r in down_res:
+            np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
+        out = unet.apply(params, x, t, ctx, down_res, mid_res)
+        assert out.shape == x.shape
+        # non-zero residuals change the output — perturb the UNet's
+        # zero-init conv_out so effects are visible at the output
+        params2 = jax.tree_util.tree_map(lambda p: p + 0.02, params)
+        out_a = unet.apply(params2, x, t, ctx, down_res, mid_res)
+        down2 = tuple(r + 0.1 for r in down_res)
+        out_b = unet.apply(params2, x, t, ctx, down2, mid_res + 0.1)
+        assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+class TestDDIM:
+    def test_timesteps_match_diffusers(self):
+        from neurons_tpu.diffusion.ddim import DDIMScheduler
+        s = DDIMScheduler.create(25)
+        ts = np.asarray(s.timesteps)
+        assert ts[0] == 961 and ts[-1] == 1 and len(ts) == 25
+        assert (np.diff(ts) == -40).all()
+
+    def test_add_noise_endpoints(self):
+        from neurons_tpu.diffusion.ddim import DDIMScheduler
+        s = DDIMScheduler.create(25)
+        x = jnp.ones((2, 3))
+        n = jnp.zeros((2, 3))
+        out = s.add_noise(x, n, jnp.array([0, 0]))
+        np.testing.assert_allclose(np.asarray(out), np.sqrt(
+            np.asarray(s.alphas_cumprod[0])), rtol=1e-5)
+
+    def test_ddim_loop_recovers_oracle_x0(self):
+        """If eps_pred is the true eps for a fixed x0, the DDIM chain
+        reproduces x0 at t -> 0."""
+        from neurons_tpu.diffusion.ddim import DDIMScheduler
+        s = DDIMScheduler.create(25)
+        x0 = jnp.full((1, 4), 0.8)
+        lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4))
+
+        def body(lat, t):
+            abar = s.alphas_cumprod[t]
+            eps = (lat - jnp.sqrt(abar) * x0) / jnp.sqrt(1 - abar)
+            return s.step(eps, t, lat), None
+
+        lat, _ = jax.lax.scan(body, lat, s.timesteps)
+        np.testing.assert_allclose(np.asarray(lat), np.asarray(x0), atol=1e-3)
+
+
+class TestCccat:
+    def test_six_to_sixteen(self):
+        from neurons_tpu.pipelines.video import cccat_interpolate
+        x = jnp.arange(6, dtype=jnp.float32)[None, :, None, None, None]
+        x = jnp.broadcast_to(x, (2, 6, 3, 4, 4))
+        out = cccat_interpolate(x, 16)
+        assert out.shape == (2, 16, 3, 4, 4)
+        vals = np.asarray(out[0, :, 0, 0, 0])
+        # first three: 0, 1/3, 2/3; originals preserved in order
+        np.testing.assert_allclose(vals[:4], [0, 1 / 3, 2 / 3, 1], atol=1e-5)
+        np.testing.assert_allclose(vals[-1], 5, atol=1e-5)
+
+
+class TestStage5Pipeline:
+    def test_end_to_end_tiny(self, rng):
+        from neurons_tpu.models.vae import AutoencoderKL
+        from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
+        from neurons_tpu.pipelines.video import reconstruct_video
+
+        vcfg = VAEConfig(block_out_channels=(8, 8), layers_per_block=1,
+                         norm_num_groups=4)
+        vae = AutoencoderKL(vcfg)
+        vparams = vae.init(rng, jnp.zeros((1, 3, 16, 16)))
+
+        unet = UNet3DModel(U3, n_frames=F)
+        x0 = jnp.zeros((2, 4, F, 8, 8))
+        ctx0 = jnp.zeros((1, 5, 12))
+        uparams = unet.init(rng, x0[:1], jnp.zeros((1,)), ctx0)
+
+        cn = SparseControlNetModel(U3, n_frames=F)
+        cparams = cn.init(jax.random.PRNGKey(3), x0[:1], jnp.zeros((1,)),
+                          ctx0, jnp.zeros((1, 4, F, 8, 8)),
+                          jnp.zeros((1, 1, F, 8, 8)))
+
+        def unet_apply(p, x, t, ctx, down, mid):
+            return unet.apply(p, x, t, ctx, down, mid)
+
+        def cn_apply(p, x, t, ctx, cond, mask, scale):
+            return cn.apply(p, x, t, ctx, cond, mask, scale)
+
+        out = reconstruct_video(
+            unet3d_apply=unet_apply, unet3d_params=uparams,
+            controlnet_apply=cn_apply, controlnet_params=cparams,
+            vae_encode_mode=lambda x: vae.apply(
+                vparams, x, method=AutoencoderKL.encode).mode(),
+            vae_decode=lambda z: vae.apply(
+                vparams, z, method=AutoencoderKL.decode),
+            key=jax.random.PRNGKey(4),
+            blurry_video=jnp.zeros((1, 6, 3, 16, 16)) + 0.5,
+            keyframe=jnp.zeros((1, 3, 16, 16)) + 0.5,
+            text_embeddings=jax.random.normal(rng, (1, 5, 12)),
+            uncond_embeddings=jnp.zeros((1, 5, 12)),
+            num_steps=3, n_frames=F)
+        assert out.video.shape == (1, F, 3, 16, 16)
+        v = np.asarray(out.video)
+        assert np.isfinite(v).all() and v.min() >= 0 and v.max() <= 1

@@ -1,0 +1,100 @@
+"""Stage-6 metric runner (reference run_metrics.py).
+
+Reads the GT||pred GIFs from `gen_videos_{mode}`, splits along width, and
+computes the full report: video 2/50-way (VideoMAE protocol), CLIP-pcc,
+then per-frame SSIM / PSNR / 2/50-way (ViT protocol). Classifier/embedder
+networks are injected callables (our flax ViT/CLIP with imported weights);
+with `classifiers=None` only the pixel metrics run — useful before foreign
+weights are downloaded.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from neurons_tpu.evaluation import metrics as M
+from neurons_tpu.pipelines.io import load_gif, split_gt_pred
+
+
+@dataclass
+class MetricClassifiers:
+    """Injected foreign networks for the semantic metrics."""
+
+    img_probs_fn: Optional[Callable] = None    # frame -> [1000] softmax
+    img_logits_fn: Optional[Callable] = None   # frame -> [1000] logits
+    video_probs_fn: Optional[Callable] = None  # video -> [400] softmax
+    video_logits_fn: Optional[Callable] = None
+    clip_embed_fn: Optional[Callable] = None   # frames -> [F, D]
+
+
+def load_gif_dir(data_path: str):
+    gts, preds = [], []
+    for filename in sorted(os.listdir(data_path)):
+        if not filename.endswith(".gif"):
+            continue
+        gif = load_gif(os.path.join(data_path, filename))
+        gt, pred = split_gt_pred(gif)
+        gts.append(gt)
+        preds.append(pred)
+    return np.stack(gts), np.stack(preds)
+
+
+def run_metrics(data_path: str,
+                classifiers: Optional[MetricClassifiers] = None,
+                num_trials: int = 100, top_k: int = 1,
+                verbose: bool = True) -> Dict[str, float]:
+    """reference run_metrics.py:20-146. Returns the metric dict."""
+    gt_list, pred_list = load_gif_dir(data_path)
+    report: Dict[str, float] = {}
+    c = classifiers or MetricClassifiers()
+
+    if c.clip_embed_fn is not None:
+        m, s = M.clip_pcc(c.clip_embed_fn, list(pred_list))
+        report["clip_pcc"] = m
+        report["clip_pcc_std"] = s
+
+    if c.video_probs_fn is not None:
+        for n_way in (2, 50):
+            accs = M.classify_nway_metric(
+                c.video_probs_fn, c.video_logits_fn or c.video_probs_fn,
+                list(pred_list), list(gt_list), n_way=n_way,
+                num_trials=num_trials, top_k=top_k)
+            report[f"video_{n_way}way"] = float(np.mean(accs))
+
+    n_frames = pred_list.shape[1]
+    ssim_l, psnr_l = [], []
+    frame_2way, frame_50way = [], []
+    for i in range(n_frames):
+        sm, _ = M.ssim_score(pred_list[:, i], gt_list[:, i])
+        pm, _ = M.psnr_score(pred_list[:, i].astype(np.float32),
+                             gt_list[:, i].astype(np.float32))
+        ssim_l.append(sm)
+        psnr_l.append(pm)
+        if c.img_probs_fn is not None:
+            for n_way, acc_list in ((2, frame_2way), (50, frame_50way)):
+                accs = M.classify_nway_metric(
+                    c.img_probs_fn, c.img_logits_fn or c.img_probs_fn,
+                    list(pred_list[:, i]), list(gt_list[:, i]),
+                    n_way=n_way, num_trials=num_trials, top_k=top_k)
+                acc_list.append(float(np.mean(accs)))
+
+    report["ssim"] = float(np.mean(ssim_l))
+    report["psnr"] = float(np.mean(psnr_l))
+    if frame_2way:
+        report["frame_2way"] = float(np.mean(frame_2way))
+        report["frame_50way"] = float(np.mean(frame_50way))
+
+    if verbose:
+        print("======== Video-based ========")
+        for k in ("video_2way", "video_50way", "clip_pcc"):
+            if k in report:
+                print(f"  {k}: {report[k]:.4f}")
+        print("======== Frame-based ========")
+        for k in ("frame_2way", "frame_50way", "ssim", "psnr"):
+            if k in report:
+                print(f"  {k}: {report[k]:.4f}")
+    return report

@@ -1,0 +1,294 @@
+"""`neurons` — the staged CLI.
+
+Mirrors the reference's public surface (`bash train_neurons.sh <gpu> <exp>
+<stages:123456e> <mode> <subj>`, reference train_neurons.sh:1-17 +
+README.md:100-124) as subcommands with the same hyperparameter names:
+
+  neurons train-brain      stage 1  (train_neurons.py, no decoupler)
+  neurons train-decoupler  stage 2  (train_neurons.py --neurons_decoupler)
+  neurons recon [--enhance]stage 3  (recon_keyframe_neurons{_enhance}.py)
+  neurons caption          stage 4  (caption_keyframe*.py)
+  neurons video            stage 5  (scripts/neuroclips_video*.py)
+  neurons eval             stage 6  (run_metrics.py)
+  neurons decoupled-eval   stage e  (gen_decoupled_outputs.py)
+  neurons pipeline 123456  run stages in sequence
+
+`--synthetic --tiny` runs any stage on random data at miniature dims — the
+stage-gated smoke path (SURVEY.md section 4 test strategy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--subj", type=int, default=1, choices=[1, 2, 3])
+    p.add_argument("--exp", type=str, default="exp1")
+    p.add_argument("--root_dir", type=str, default="./cc2017_dataset")
+    p.add_argument("--exp_dir", type=str, default="./EXP")
+    p.add_argument("--weights_dir", type=str, default="./pretrained_weights")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on random data (no dataset needed)")
+    p.add_argument("--tiny", action="store_true",
+                   help="miniature model dims (smoke mode)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (cpu/tpu)")
+
+
+def _add_train_args(p):
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--num_epochs", type=int, default=150)
+    p.add_argument("--max_lr", type=float, default=3e-4)
+    p.add_argument("--mixup_pct", type=float, default=0.33)
+    p.add_argument("--prior_scale", type=float, default=30.0)
+    p.add_argument("--n_blocks", type=int, default=4)
+    p.add_argument("--n_frames", type=int, default=6)
+    p.add_argument("--hidden_dim", type=int, default=4096)
+    p.add_argument("--lr_scheduler_type", type=str, default="cycle",
+                   choices=["cycle", "linear", "cosine"])
+    p.add_argument("--ckpt_saving", action=argparse.BooleanOptionalAction,
+                   default=True)
+
+
+def _setup(args):
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def _configs(args, stage2: bool = False):
+    from neurons_tpu import config as C
+
+    if args.tiny:
+        bcfg = C.BrainModelConfig(hidden_dim=32, n_blocks=1, clip_seq_dim=16,
+                                  clip_emb_dim=32, clip_txt_emb_dim=24,
+                                  subjects=(args.subj,))
+        pcfg = C.PriorConfig(dim=32, depth=1, dim_head=8, heads=4,
+                             num_tokens=16, timesteps=5)
+        dcfg = C.DecouplerConfig(n_frames=2, num_classes=51, clip_emb_dim=32,
+                                 clip_txt_emb_dim=24,
+                                 decoder_block_out_channels=(8, 8, 8))
+    else:
+        bcfg = C.BrainModelConfig(hidden_dim=args.hidden_dim,
+                                  n_blocks=args.n_blocks,
+                                  subjects=(args.subj,))
+        pcfg = C.PriorConfig()
+        dcfg = C.DecouplerConfig(n_frames=args.n_frames)
+    tcfg = C.TrainConfig(
+        subj=args.subj, batch_size=args.batch_size,
+        num_epochs=args.num_epochs, max_lr=args.max_lr,
+        mixup_pct=args.mixup_pct, prior_scale=args.prior_scale,
+        lr_scheduler_type=args.lr_scheduler_type,
+        neurons_decoupler=stage2, n_frames=args.n_frames, seed=args.seed,
+        ckpt_saving=args.ckpt_saving,
+        num_train_samples=32 if args.synthetic else 4320,
+        num_test_samples=16 if args.synthetic else 1200)
+    return bcfg, pcfg, dcfg, tcfg
+
+
+def _load_data(args, bcfg, tcfg, train=True):
+    from neurons_tpu.data import cc2017
+
+    if args.synthetic:
+        n = tcfg.num_train_samples if train else tcfg.num_test_samples
+        return cc2017.synthetic_split(
+            n=n, n_voxels=bcfg.voxel_counts[0], n_frames=6,
+            img=32 if args.tiny else 224,
+            txt_dim=bcfg.clip_txt_emb_dim, n_classes=51,
+            seed=args.seed, train=train)
+    return cc2017.load_split(args.root_dir, args.subj, train)
+
+
+def cmd_train_brain(args):
+    _setup(args)
+    import numpy as np
+    from neurons_tpu.config import MeshConfig
+    from neurons_tpu.parallel import create_mesh
+    from neurons_tpu.training.loop import run_stage1
+
+    bcfg, _, _, tcfg = _configs(args)
+    mesh = create_mesh(MeshConfig(data=-1))
+    train_split = _load_data(args, bcfg, tcfg, train=True)
+    test_split = _load_data(args, bcfg, tcfg, train=False)
+
+    if args.synthetic:
+        g = np.random.default_rng(args.seed)
+        ct_train = g.normal(size=(len(train_split), 6, bcfg.clip_seq_dim,
+                                  bcfg.clip_emb_dim)).astype(np.float32)
+        ct_test = g.normal(size=(len(test_split), 6, bcfg.clip_seq_dim,
+                                 bcfg.clip_emb_dim)).astype(np.float32)
+    else:
+        ct_train = np.load(os.path.join(
+            args.root_dir, "clip_targets_train.npy"), mmap_mode="r")
+        ct_test = np.load(os.path.join(
+            args.root_dir, "clip_targets_test.npy"), mmap_mode="r")
+
+    ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    run_stage1(bcfg, tcfg, mesh, train_split, test_split, ct_train, ct_test,
+               ckpt_dir=ckpt_dir)
+    print("=== stage 1 finished ===")
+
+
+def cmd_train_decoupler(args):
+    _setup(args)
+    from neurons_tpu.config import MeshConfig
+    from neurons_tpu.models.gpt2 import GPT2Config, tiny_gpt2_config
+    from neurons_tpu.parallel import create_mesh
+    from neurons_tpu.training.loop import (run_stage2,
+                                           synthetic_stage2_batch_builder)
+    from neurons_tpu.utils import checkpoint as ckpt_lib
+
+    bcfg, pcfg, dcfg, tcfg = _configs(args, stage2=True)
+    gcfg = tiny_gpt2_config() if args.tiny else GPT2Config()
+    mesh = create_mesh(MeshConfig(data=-1))
+    train_split = _load_data(args, bcfg, tcfg, train=True)
+
+    ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
+    core_params = None
+    if ckpt_lib.exists(ckpt_dir, "brain_model_last"):
+        core_params = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_last")["params"]
+        print("--- resuming core from brain_model_last ---")
+
+    builder = synthetic_stage2_batch_builder(bcfg, dcfg, gcfg.vocab_size,
+                                             args.seed)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    run_stage2(bcfg, pcfg, dcfg, tcfg, gcfg, mesh, train_split, builder,
+               core_params=core_params, ckpt_dir=ckpt_dir)
+    print("=== stage 2 finished ===")
+
+
+def cmd_recon(args):
+    _setup(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neurons_tpu.config import SamplerConfig, UNet2DConfig, VAEConfig
+    from neurons_tpu.models.gpt2 import tiny_gpt2_config, GPT2Config
+    from neurons_tpu.models.neurons import NeuronsDecoupler
+    from neurons_tpu.models.unet2d import UNetModel
+    from neurons_tpu.models.vae import AutoencoderKL
+    from neurons_tpu.pipelines import io
+    from neurons_tpu.pipelines.keyframe import reconstruct_keyframes
+
+    bcfg, pcfg, dcfg, tcfg = _configs(args, stage2=True)
+    gcfg = tiny_gpt2_config() if args.tiny else GPT2Config()
+    test_split = _load_data(args, bcfg, tcfg, train=False)
+
+    if args.tiny:
+        ucfg = UNet2DConfig(model_channels=8, channel_mult=(1, 2),
+                            num_res_blocks=1, transformer_depth=(1, 1),
+                            num_head_channels=4, context_dim=bcfg.clip_emb_dim,
+                            adm_in_channels=1024, attention_resolutions=(2,))
+        vcfg = VAEConfig(block_out_channels=(8, 8), layers_per_block=1,
+                         norm_num_groups=4)
+        scfg = SamplerConfig(unclip_steps=3, prior_steps=4)
+        latent_hw = 8
+    else:
+        ucfg, vcfg, scfg, latent_hw = (UNet2DConfig(), VAEConfig(),
+                                       SamplerConfig(), 96)
+
+    key = jax.random.PRNGKey(args.seed)
+    model = NeuronsDecoupler(bcfg, pcfg, dcfg, gcfg)
+    voxel0 = jnp.zeros((1, 1, bcfg.voxel_counts[0]))
+    dec_params = model.init(key, voxel0, jnp.zeros((1, 8), jnp.int32))["params"]
+
+    from neurons_tpu.utils import checkpoint as ckpt_lib
+    ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
+    if ckpt_lib.exists(ckpt_dir, "brain_model_prior_last"):
+        loaded = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_prior_last")
+        dec_params = ckpt_lib.restore_into(dec_params, loaded["params"])
+        print("--- loaded brain_model_prior_last ---")
+
+    unet = UNetModel(ucfg)
+    x0 = jnp.zeros((1, 4, latent_hw, latent_hw))
+    unet_params = unet.init(key, x0, jnp.zeros((1,)),
+                            jnp.zeros((1, bcfg.clip_seq_dim,
+                                       bcfg.clip_emb_dim)),
+                            jnp.zeros((1, ucfg.adm_in_channels)))["params"]
+    vae = AutoencoderKL(vcfg)
+    img_hw = latent_hw * 2 ** (len(vcfg.block_out_channels) - 1)
+    vae_params = vae.init(key, jnp.zeros((1, 3, img_hw, img_hw)))
+
+    def dec_apply(p, method, *a, **kw):
+        return model.apply({"params": p}, *a, method=method, **kw)
+
+    class_embeds = jnp.asarray(np.random.default_rng(0).normal(
+        size=(dcfg.num_classes, dcfg.clip_txt_emb_dim)).astype(np.float32))
+
+    bs = 4
+    voxel = jnp.asarray(test_split.voxel[:bs, :1], jnp.float32)
+    out = reconstruct_keyframes(
+        decoupler_apply=dec_apply, decoupler_params=dec_params,
+        unet_apply=lambda p, x, t, ca, v: unet.apply({"params": p}, x, t,
+                                                     ca, v),
+        unet_params=unet_params,
+        vae_decode=lambda z: vae.apply(vae_params, z,
+                                       method=AutoencoderKL.decode),
+        key=key, voxel=voxel, class_text_embeds=class_embeds,
+        sampler_cfg=scfg, n_frames=dcfg.n_frames, latent_hw=latent_hw,
+        enhance=args.enhance, caption_len=12 if args.tiny else 60)
+
+    out_dir = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
+    io.save_stage3_artifacts(
+        out_dir, args.subj, all_recons=np.asarray(out.keyframes),
+        all_gts=np.asarray(test_split.images[:bs, 2]),
+        captions=[f"tokens:{list(map(int, c[:8]))}" for c in out.captions],
+        blurry_videos=np.asarray(out.blurry_latents))
+    print(f"=== stage 3 finished -> {out_dir} ===")
+
+
+def cmd_eval(args):
+    _setup(args)
+    from neurons_tpu.evaluation.runner import run_metrics
+    from neurons_tpu.pipelines import io
+
+    data_path = io.video_dir(args.exp_dir, args.exp, args.subj, args.mode)
+    report = run_metrics(data_path)
+    out = os.path.join(io.exp_dir(args.exp_dir, args.exp, args.subj),
+                       f"metrics_{args.mode}.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"=== stage 6 finished -> {out} ===")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="neurons")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train-brain", help="stage 1")
+    _add_common(p)
+    _add_train_args(p)
+    p.set_defaults(fn=cmd_train_brain)
+
+    p = sub.add_parser("train-decoupler", help="stage 2")
+    _add_common(p)
+    _add_train_args(p)
+    p.set_defaults(fn=cmd_train_decoupler)
+
+    p = sub.add_parser("recon", help="stage 3")
+    _add_common(p)
+    _add_train_args(p)
+    p.add_argument("--enhance", action="store_true")
+    p.set_defaults(fn=cmd_recon)
+
+    p = sub.add_parser("eval", help="stage 6")
+    _add_common(p)
+    p.add_argument("--mode", type=str, default="enhance")
+    p.set_defaults(fn=cmd_eval)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,6 +24,10 @@ def get_loss_weights(total_epochs: int, epoch, batch, batches_per_epoch: int):
     """Returns [4] weights for the decoupler tasks. `epoch`/`batch` may be
     traced scalars; `total_epochs`/`batches_per_epoch` are static."""
     period = total_epochs // 5 * 2
+    if period == 0:
+        # fewer than 5 epochs (smoke runs): no curriculum window fits,
+        # all task weights stay 1 (the reference would divide by zero here)
+        return jnp.ones((4,))
     weights = []
     for i in range(4):
         start_epoch = i * period // 2

@@ -1,0 +1,166 @@
+"""Full training loops for stages 1 and 2 (epochs, eval, checkpointing).
+
+The orchestration layer over the jitted steps (reference
+train_neurons.py:287-651 `train`): epoch loop with host-side batch
+assembly, epoch-parity frame selection, epoch-end retrieval eval, best-
+metric + last checkpointing via Orbax. Rank gating is
+`jax.process_index() == 0` (the reference's accelerator.is_main_process);
+the barrier the reference needs (:642) is implicit — every process runs the
+same jitted graph, and Orbax saves synchronize internally.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurons_tpu.config import (BrainModelConfig, DecouplerConfig,
+                                PipelineConfig, PriorConfig, TrainConfig)
+from neurons_tpu.data import cc2017
+from neurons_tpu.parallel import shard_batch
+from neurons_tpu.training import losses, train_brain, train_decoupler
+from neurons_tpu.utils import checkpoint as ckpt_lib
+from neurons_tpu.utils.prng import epoch_key, root_key
+
+
+def _log(msg: str):
+    if jax.process_index() == 0:
+        print(msg, flush=True)
+
+
+def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
+               train_split: cc2017.CC2017Split,
+               test_split: cc2017.CC2017Split,
+               clip_targets_train: np.ndarray,
+               clip_targets_test: np.ndarray,
+               ckpt_dir: Optional[str] = None,
+               log_every: int = 50) -> train_brain.TrainState:
+    """Stage-1 training (reference `--no-neurons_decoupler` branch).
+    clip_targets_*: precomputed CLIP tables [N, n_frames, 256, 1664]."""
+    steps_per_epoch = max(len(train_split) // tcfg.batch_size, 1)
+    key = root_key(tcfg.seed)
+    model, state, tx = train_brain.init_stage1(bcfg, tcfg, steps_per_epoch,
+                                               key)
+    step_fn = train_brain.make_stage1_train_step(model, tx, tcfg)
+    eval_fn = train_brain.make_stage1_eval_step(model)
+
+    best_metric = -np.inf
+    for epoch in range(tcfg.num_epochs):
+        t0 = time.time()
+        ep_losses = []
+        for it, batch in enumerate(cc2017.batches(
+                train_split, tcfg.batch_size, seed=tcfg.seed + epoch)):
+            batch["index"] = np.arange(len(batch["voxel"]))
+            voxel, target = train_brain.select_stage1_inputs(
+                batch, epoch, clip_targets_train)
+            sb = shard_batch(mesh, {"voxel": voxel, "target": target,
+                                    "text": batch["text_emb"]})
+            state, metrics = step_fn(state, epoch_key(key, epoch, it),
+                                     sb["voxel"], sb["target"], sb["text"])
+            ep_losses.append(float(metrics["loss"]))
+            if it % log_every == 0:
+                _log(f"epoch {epoch} it {it}: loss={ep_losses[-1]:.4f}")
+
+        # epoch-end eval (reference :557-626)
+        ev = eval_fn(state.params,
+                     jnp.asarray(test_split.voxel[:, :1]),
+                     jnp.asarray(clip_targets_test[:, 2]),
+                     jnp.asarray(test_split.text_emb))
+        fwd = float(ev["test_fwd_percent_correct"])
+        bwd = float(ev["test_bwd_percent_correct"])
+        txt = float(ev["text_fwd_percent_correct"])
+        metric = fwd + bwd + txt
+        _log(f"epoch {epoch}: mean_loss={np.mean(ep_losses):.4f} fwd={fwd:.3f} "
+             f"bwd={bwd:.3f} txt={txt:.3f} ({time.time() - t0:.1f}s)")
+        if ckpt_dir and metric > best_metric:
+            best_metric = metric
+            ckpt_lib.save_ckpt(ckpt_dir, "brain_model", params=state.params,
+                               opt_state=None, step=int(state.step),
+                               epoch=epoch)
+            _log(f"  new best metric {metric:.3f} -> saved brain_model")
+    if ckpt_dir and tcfg.ckpt_saving:
+        ckpt_lib.save_ckpt(ckpt_dir, "brain_model_last", params=state.params,
+                           step=int(state.step), epoch=tcfg.num_epochs - 1)
+    return state
+
+
+def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
+               dcfg: DecouplerConfig, tcfg: TrainConfig, gpt2_cfg, mesh,
+               train_split: cc2017.CC2017Split,
+               batch_builder: Callable[[Dict, int], Dict],
+               core_params=None, ckpt_dir: Optional[str] = None,
+               log_every: int = 50) -> train_brain.TrainState:
+    """Stage-2 training (reference `--neurons_decoupler` branch).
+    `batch_builder(batch, epoch)` assembles the precomputed-table fields
+    (clip targets, class text embeds, VAE latents) for a raw batch."""
+    steps_per_epoch = max(len(train_split) // tcfg.batch_size, 1)
+    key = root_key(tcfg.seed)
+    bundle, state = train_decoupler.init_stage2(
+        bcfg, pcfg, dcfg, tcfg, gpt2_cfg, steps_per_epoch, key,
+        core_params=core_params)
+    step_fn = train_decoupler.make_stage2_train_step(bundle, tcfg, dcfg,
+                                                     steps_per_epoch)
+    soft_temps = np.asarray(losses.cosine_anneal(
+        tcfg.soft_temp_start, tcfg.soft_temp_end,
+        max(tcfg.num_epochs - int(tcfg.mixup_pct * tcfg.num_epochs), 1)))
+
+    for epoch in range(tcfg.num_epochs):
+        t0 = time.time()
+        ep_losses = []
+        temp_idx = min(max(epoch - int(tcfg.mixup_pct * tcfg.num_epochs), 0),
+                       len(soft_temps) - 1)
+        for it, batch in enumerate(cc2017.batches(
+                train_split, tcfg.batch_size, seed=tcfg.seed + epoch)):
+            full = batch_builder(batch, epoch)
+            sb = shard_batch(mesh, full)
+            state, metrics = step_fn(state, epoch_key(key, epoch, it), sb,
+                                     jnp.asarray(epoch), jnp.asarray(it),
+                                     jnp.asarray(soft_temps[temp_idx]))
+            ep_losses.append(float(metrics["loss"]))
+            if it % log_every == 0:
+                _log(f"epoch {epoch} it {it}: loss={ep_losses[-1]:.4f} "
+                     f"prior={float(metrics['loss_prior']):.4f} "
+                     f"seg={float(metrics['loss_key_obj_seg']):.4f}")
+        _log(f"epoch {epoch}: mean_loss={np.mean(ep_losses):.4f} "
+             f"({time.time() - t0:.1f}s)")
+        if ckpt_dir:
+            ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior",
+                               params=state.params, step=int(state.step),
+                               epoch=epoch)
+    if ckpt_dir and tcfg.ckpt_saving:
+        ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
+                           params=state.params, step=int(state.step),
+                           epoch=tcfg.num_epochs - 1)
+    return state
+
+
+def synthetic_stage2_batch_builder(bcfg: BrainModelConfig,
+                                   dcfg: DecouplerConfig, gpt2_vocab: int,
+                                   seed: int = 0) -> Callable:
+    """Batch builder with random frozen-encoder tables — the smoke/bench
+    path when real CLIP/VAE tables are absent."""
+    g = np.random.default_rng(seed)
+
+    def build(batch: Dict, epoch: int) -> Dict:
+        b = len(batch["voxel"])
+        f = dcfg.n_frames
+        n, c = bcfg.clip_seq_dim, bcfg.clip_emb_dim
+        return {
+            "voxel": batch["voxel"][:, :1].astype(np.float32),
+            "clip_vision_target": g.normal(size=(b, n, c)).astype(np.float32),
+            "clip_video_target": g.normal(size=(b, f, n, c)).astype(np.float32),
+            "text_emb": batch["text_emb"].astype(np.float32),
+            "key_obj_text_embed": g.normal(
+                size=(b, dcfg.clip_txt_emb_dim)).astype(np.float32),
+            "key_obj_masks": batch["key_obj_masks"][:, :f].astype(np.float32),
+            "cls_label": batch["cls_label"].astype(np.float32),
+            "clip_tokens": (batch["clip_tokens"][:, :12] % gpt2_vocab
+                            ).astype(np.int32),
+            "vae_latents": g.normal(size=(b, f, 4, 8, 8)).astype(np.float32),
+        }
+
+    return build

@@ -174,6 +174,8 @@ def topk_accuracy(similarities: jax.Array, labels: jax.Array, k: int = 5) -> jax
 
 def cosine_anneal(start: float, end: float, steps: int) -> jax.Array:
     """Temperature schedule (reference utils.py:258-259)."""
+    if steps <= 1:
+        return jnp.asarray([start])
     t = jnp.arange(steps)
     return end + (start - end) / 2 * (1 + jnp.cos(jnp.pi * t / (steps - 1)))
 

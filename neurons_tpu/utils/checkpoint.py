@@ -1,0 +1,84 @@
+"""Checkpoint/resume via Orbax (SURVEY.md section 5 checkpoint contract).
+
+Replaces the reference's rank-0 torch.save of
+{epoch, model_state_dict, optimizer_state_dict, lr_scheduler, losses, lrs}
+(reference train_neurons.py:48-61) with an Orbax checkpoint of the same
+logical content: {params, opt_state, step, epoch, metrics_history}. Tags
+mirror the reference (`brain_model`, `brain_model_prior`, `*_last`) and
+best-metric gating is the caller's job (reference :629-636). Orbax writes
+are atomic and multi-host safe, which also covers preemptible-TPU recovery
+(the reference has none).
+
+Partial loading (`restore_into`) reproduces the reference's strict=False
+layered-ensemble loading: any params present in the checkpoint override the
+target tree, missing ones keep their initialization.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_ckpt(directory: str, tag: str, *, params: Any, opt_state: Any = None,
+              step: int = 0, epoch: int = 0,
+              extra: Optional[Dict] = None) -> str:
+    """Write a checkpoint (host 0 only under multihost)."""
+    if jax.process_index() != 0:
+        return os.path.join(directory, tag)
+    path = os.path.abspath(os.path.join(directory, tag))
+    # store host numpy so restore needs no sharding spec; the trainer
+    # re-places restored params onto its mesh
+    to_np = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+    params = to_np(params)
+    opt_state = to_np(opt_state) if opt_state is not None else None
+    payload = {"params": params, "step": np.asarray(step),
+               "epoch": np.asarray(epoch)}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    if extra:
+        payload["extra"] = extra
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def load_ckpt(directory: str, tag: str) -> Dict:
+    path = os.path.abspath(os.path.join(directory, tag))
+    restored = _checkpointer().restore(path)
+    # hand back jax arrays: numpy leaves break traced indexing
+    # (np_param[traced_idx] calls __array__ on the tracer)
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+        restored)
+
+
+def restore_into(target_params: Any, ckpt_params: Any) -> Any:
+    """strict=False layering (reference train_neurons.py:211,221,231):
+    overlay checkpoint subtrees onto the target, keeping unmatched target
+    leaves."""
+
+    def overlay(target, ckpt):
+        if isinstance(target, dict) and isinstance(ckpt, dict):
+            out = dict(target)
+            for k, v in ckpt.items():
+                if k in target:
+                    out[k] = overlay(target[k], v)
+            return out
+        return ckpt if ckpt is not None else target
+
+    return overlay(target_params, ckpt_params)
+
+
+def exists(directory: str, tag: str) -> bool:
+    return os.path.isdir(os.path.join(directory, tag))

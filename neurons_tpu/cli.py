@@ -247,6 +247,147 @@ def cmd_recon(args):
     print(f"=== stage 3 finished -> {out_dir} ===")
 
 
+def cmd_video(args):
+    _setup(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neurons_tpu.config import UNet3DConfig, VAEConfig
+    from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
+    from neurons_tpu.models.unet3d import UNet3DModel
+    from neurons_tpu.models.vae import AutoencoderKL
+    from neurons_tpu.pipelines import io
+    from neurons_tpu.pipelines.video import reconstruct_video
+
+    if args.tiny:
+        u3 = UNet3DConfig(block_out_channels=(8, 16, 16, 16),
+                          layers_per_block=1, cross_attention_dim=12,
+                          attention_head_dim=4, norm_num_groups=4,
+                          motion_num_attention_heads=2,
+                          motion_max_seq_length=8)
+        vcfg = VAEConfig(block_out_channels=(8, 8), layers_per_block=1,
+                         norm_num_groups=4)
+        n_frames, steps, hw = 4, 3, 16
+    else:
+        u3, vcfg = UNet3DConfig(), VAEConfig()
+        n_frames, steps, hw = 16, 25, 256
+
+    key = jax.random.PRNGKey(args.seed)
+    lat_hw = hw // 2 ** (len(vcfg.block_out_channels) - 1)
+    unet = UNet3DModel(u3, n_frames=n_frames)
+    ctx_dim = u3.cross_attention_dim
+    x0 = jnp.zeros((1, 4, n_frames, lat_hw, lat_hw))
+    ctx0 = jnp.zeros((1, 5 if args.tiny else 77, ctx_dim))
+    uparams = unet.init(key, x0, jnp.zeros((1,)), ctx0)["params"]
+    cn = SparseControlNetModel(u3, n_frames=n_frames)
+    cparams = cn.init(key, x0, jnp.zeros((1,)), ctx0,
+                      jnp.zeros((1, 4, n_frames, lat_hw, lat_hw)),
+                      jnp.zeros((1, 1, n_frames, lat_hw, lat_hw)))["params"]
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(key, jnp.zeros((1, 3, hw, hw)))
+
+    # stage-3 artifacts (blurry videos + keyframes); synthetic fallback
+    st3 = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
+    g = np.random.default_rng(args.seed)
+    try:
+        art = io.load_stage3_artifacts(st3, args.subj)
+        keyframes = jnp.asarray(art["all_recons"][:2], jnp.float32)
+        gts = art["all_gts"][:2]
+        blurry = None  # blurry latents need VAE decode; use GT-shaped noise
+    except FileNotFoundError:
+        if not args.synthetic:
+            raise
+        keyframes, gts = None, None
+    if keyframes is None or keyframes.ndim != 4:
+        keyframes = jnp.asarray(g.uniform(size=(2, 3, hw, hw)), jnp.float32)
+        gts = g.uniform(size=(2, 6, 3, hw, hw)).astype(np.float32)
+    keyframes = jax.image.resize(keyframes,
+                                 (keyframes.shape[0], 3, hw, hw), "linear")
+    blurry = jnp.asarray(g.uniform(size=(keyframes.shape[0], 6, 3, hw, hw)),
+                         jnp.float32)
+    text = jnp.asarray(g.normal(size=(keyframes.shape[0],
+                                      ctx0.shape[1], ctx_dim)) * 0.1,
+                       jnp.float32)
+
+    out = reconstruct_video(
+        unet3d_apply=lambda p, x, t, c, d, m: unet.apply(
+            {"params": p}, x, t, c, d, m),
+        unet3d_params=uparams,
+        controlnet_apply=lambda p, x, t, c, cond, mask, s: cn.apply(
+            {"params": p}, x, t, c, cond, mask, s),
+        controlnet_params=cparams,
+        vae_encode_mode=lambda x: vae.apply(
+            vparams, x, method=AutoencoderKL.encode).mode(),
+        vae_decode=lambda z: vae.apply(vparams, z,
+                                       method=AutoencoderKL.decode),
+        key=key, blurry_video=blurry, keyframe=keyframes,
+        text_embeddings=text, uncond_embeddings=jnp.zeros_like(text),
+        num_steps=steps, n_frames=n_frames)
+
+    mode = "enhance" if args.enhance else "motion"
+    out_dir = io.video_dir(args.exp_dir, args.exp, args.subj, mode)
+    os.makedirs(out_dir, exist_ok=True)
+    video = np.asarray(out.video)
+    for i in range(video.shape[0]):
+        gt_i = np.asarray(gts[i])[:video.shape[1]]
+        if gt_i.shape[0] < video.shape[1]:
+            reps = -(-video.shape[1] // gt_i.shape[0])
+            gt_i = np.tile(gt_i, (reps, 1, 1, 1))[:video.shape[1]]
+        gt_i = np.asarray(jax.image.resize(
+            jnp.asarray(gt_i), (video.shape[1], 3, video.shape[3],
+                                video.shape[4]), "linear"))
+        side = np.concatenate([gt_i[None], video[i][None]], axis=-1)
+        io.save_video_grid(side, os.path.join(out_dir, f"test{i + 1}.gif"))
+    print(f"=== stage 5 finished -> {out_dir} ===")
+
+
+def cmd_decoupled_eval(args):
+    _setup(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neurons_tpu.models.gpt2 import GPT2Config, tiny_gpt2_config
+    from neurons_tpu.models.neurons import NeuronsDecoupler
+    from neurons_tpu.pipelines.decoupled_eval import generate_decoupled_outputs
+    from neurons_tpu.utils import checkpoint as ckpt_lib
+
+    bcfg, pcfg, dcfg, tcfg = _configs(args, stage2=True)
+    gcfg = tiny_gpt2_config() if args.tiny else GPT2Config()
+    test_split = _load_data(args, bcfg, tcfg, train=False)
+    # stage-e uses train-style GT masks on the test set when available
+    gt_split = _load_data(args, bcfg, tcfg, train=True)
+
+    key = jax.random.PRNGKey(args.seed)
+    model = NeuronsDecoupler(bcfg, pcfg, dcfg, gcfg)
+    voxel0 = jnp.zeros((1, 1, bcfg.voxel_counts[0]))
+    params = model.init(key, voxel0, jnp.zeros((1, 8), jnp.int32))["params"]
+    ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
+    if ckpt_lib.exists(ckpt_dir, "brain_model_prior_last"):
+        loaded = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_prior_last")
+        params = ckpt_lib.restore_into(params, loaded["params"])
+        print("--- loaded brain_model_prior_last (strict) ---")
+
+    bs = 4
+    g = np.random.default_rng(0)
+    class_embeds = jnp.asarray(g.normal(
+        size=(dcfg.num_classes, dcfg.clip_txt_emb_dim)).astype(np.float32))
+    out = generate_decoupled_outputs(
+        decoupler_apply=lambda p, m, *a, **kw: model.apply(
+            {"params": p}, *a, method=m, **kw),
+        decoupler_params=params, key=key,
+        voxel=jnp.asarray(test_split.voxel[:bs, :1], jnp.float32),
+        class_text_embeds=class_embeds, n_frames=dcfg.n_frames,
+        prior_steps=4 if args.tiny else 100,
+        caption_len=12 if args.tiny else 60,
+        gt_masks=jnp.asarray(gt_split.key_obj_masks[:bs, :dcfg.n_frames]),
+        gt_cls=jnp.asarray(test_split.cls_label[:bs]))
+    print(f"Dice: {float(out.dice):.4f}")
+    print(f"cls accuracy: {float(out.cls_accuracy):.4f} "
+          f"precision: {float(out.cls_precision):.4f} "
+          f"recall: {float(out.cls_recall):.4f}")
+    print("=== stage e finished ===")
+
+
 def cmd_eval(args):
     _setup(args)
     from neurons_tpu.evaluation.runner import run_metrics
@@ -280,6 +421,17 @@ def main(argv=None):
     _add_train_args(p)
     p.add_argument("--enhance", action="store_true")
     p.set_defaults(fn=cmd_recon)
+
+    p = sub.add_parser("video", help="stage 5")
+    _add_common(p)
+    _add_train_args(p)
+    p.add_argument("--enhance", action="store_true")
+    p.set_defaults(fn=cmd_video)
+
+    p = sub.add_parser("decoupled-eval", help="stage e")
+    _add_common(p)
+    _add_train_args(p)
+    p.set_defaults(fn=cmd_decoupled_eval)
 
     p = sub.add_parser("eval", help="stage 6")
     _add_common(p)

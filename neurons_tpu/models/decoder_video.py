@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from neurons_tpu.ops.attention import dot_product_attention
+from neurons_tpu.ops.fused_norm import GroupNormSiLU
 
 
 class ResnetBlock2D(nn.Module):
@@ -55,13 +56,11 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=self.groups, epsilon=self.eps,
+                          name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=self.groups, epsilon=self.eps,
+                          name="norm2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from neurons_tpu.config import UNet2DConfig
 from neurons_tpu.ops.attention import dot_product_attention
+from neurons_tpu.ops.fused_norm import GroupNormSiLU
 
 
 def timestep_embedding(t: jax.Array, dim: int,
@@ -58,13 +59,11 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=self.groups, name="in_norm")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="in_conv")(h)
         e = nn.Dense(self.out_channels, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=self.groups, name="out_norm")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1,
                     kernel_init=zero_init(), name="out_conv")(h)
@@ -250,8 +249,7 @@ class UNetModel(nn.Module):
                     h = UpsampleConv(ch, name=f"up_{level}_upsample")(h)
                     ds //= 2
 
-        h = nn.GroupNorm(num_groups=groups, name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=groups, name="out_norm")(h)
         h = nn.Conv(c.out_channels, (3, 3), padding=1,
                     kernel_init=zero_init(), name="out_conv")(h)
         return h.transpose(0, 3, 1, 2)  # -> NCHW

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from neurons_tpu.config import UNet3DConfig
 from neurons_tpu.models.unet2d import timestep_embedding, zero_init
 from neurons_tpu.ops.attention import dot_product_attention
+from neurons_tpu.ops.fused_norm import GroupNormSiLU
 
 
 def temporal_pos_encoding(max_len: int, dim: int) -> jnp.ndarray:
@@ -147,15 +148,13 @@ class ResnetBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         residual = x
-        h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]),
-                         epsilon=1e-5, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=min(self.groups, x.shape[-1]),
+                          epsilon=1e-5, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
         e = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
-        h = nn.GroupNorm(num_groups=min(self.groups, self.out_channels),
-                         epsilon=1e-5, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=min(self.groups, self.out_channels),
+                          epsilon=1e-5, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1),

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from neurons_tpu.config import VAEConfig
 from neurons_tpu.ops.attention import dot_product_attention
+from neurons_tpu.ops.fused_norm import GroupNormSiLU
 
 
 class VAEResnetBlock(nn.Module):
@@ -39,13 +40,11 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=self.groups, epsilon=self.eps,
+                          name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=self.groups, epsilon=self.eps,
+                          name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1),
@@ -112,8 +111,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(ch, groups=g, name="mid_block_1")(h)
         h = VAEAttnBlock(ch, groups=g, name="mid_attn")(h)
         h = VAEResnetBlock(ch, groups=g, name="mid_block_2")(h)
-        h = nn.GroupNorm(num_groups=g, epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=g, epsilon=1e-6, name="norm_out")(h)
         # double_z: moments (mean ++ logvar)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding=1,
                        name="conv_out")(h)
@@ -136,8 +134,7 @@ class Decoder(nn.Module):
                 h = VAEResnetBlock(ch, groups=g, name=f"up_{i}_block_{j}")(h)
             if i != len(c.block_out_channels) - 1:
                 h = Upsample(ch, name=f"up_{i}_upsample")(h)
-        h = nn.GroupNorm(num_groups=g, epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=g, epsilon=1e-6, name="norm_out")(h)
         return nn.Conv(c.out_channels, (3, 3), padding=1, name="conv_out")(h)
 
 

@@ -1,0 +1,161 @@
+"""Fused GroupNorm + SiLU — Pallas TPU kernel with XLA fallback.
+
+The GN->SiLU(->conv) chains around every ResBlock conv are the UNet's
+HBM-bound hot path (SURVEY.md section 2f: the reference leans on cuDNN +
+eager torch here; BASELINE names the fused kernel as a target). The Pallas
+kernel computes both reduction moments and the normalize+SiLU in ONE pass
+over VMEM-resident data — a single HBM read + write per element instead of
+XLA's separate reduce and elementwise passes.
+
+Layout: NHWC. Grid over batch; each program owns one sample's [H*W, C]
+tile. Group statistics ride the MXU via a one-hot [C, G] assignment matrix
+(2-D matmuls instead of awkward lane-dim reshapes). Falls back to the XLA
+composite when the per-sample tile exceeds VMEM (e.g. the 768x768 VAE
+decode) or off-TPU.
+
+Forward-only fusion: under `jax.grad` the custom_vjp re-runs the XLA
+composite for the backward, keeping training exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import flax.linen as flax_nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+# Per-sample cap for the fused path (bytes of the fp32 work tile). The
+# kernel's scoped-VMEM footprint is ~4x the tile (bf16 in + fp32 work +
+# out + padding) against a 16 MB scoped budget, so 3 MB keeps headroom;
+# larger tiles (e.g. 96x96x320) fall back to the XLA composite, which is
+# already HBM-bound there.
+_VMEM_LIMIT = 3 * 1024 * 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def group_norm_silu_reference(x: jax.Array, scale: jax.Array,
+                              bias: jax.Array, groups: int,
+                              eps: float = 1e-5) -> jax.Array:
+    """XLA composite: GroupNorm over (H, W, C/G) then SiLU. x [N, H, W, C]."""
+    n, h, w, c = x.shape
+    xg = x.reshape(n, h * w, groups, c // groups).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(n, h, w, c) * scale[None, None, None] + bias[None, None, None]
+    return (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
+
+
+def _kernel(x_ref, scale_ref, bias_ref, assign_ref, o_ref, *, eps: float,
+            inv_count: float):
+    x = x_ref[...].astype(jnp.float32)          # [HW, C] (None dim squeezed)
+    s = jnp.sum(x, axis=0, keepdims=True)       # [1, C]
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    assign = assign_ref[...]                    # [C, G] one-hot
+    gsum = jax.lax.dot_general(s, assign, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    gsum2 = jax.lax.dot_general(s2, assign, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    mean = gsum * inv_count                     # [1, G]
+    var = gsum2 * inv_count - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    # broadcast group stats back to channels: [1, G] @ [G, C]
+    mean_c = jax.lax.dot_general(mean, assign.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    inv_c = jax.lax.dot_general(inv, assign.T, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    y = (x - mean_c) * inv_c * scale_ref[...] + bias_ref[...]
+    o_ref[...] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
+def _pallas_gn_silu(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                    groups: int, eps: float = 1e-5,
+                    interpret: bool = False) -> jax.Array:
+    n, h, w, c = x.shape
+    hw = h * w
+    xf = x.reshape(n, hw, c)
+    assign = jnp.asarray(np.kron(np.eye(groups),
+                                 np.ones((c // groups, 1))), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps,
+                          inv_count=1.0 / (hw * (c // groups))),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, hw, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, groups), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, hw, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        interpret=interpret,
+    )(xf, scale.reshape(1, c), bias.reshape(1, c), assign)
+    return out.reshape(n, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                    groups: int, eps: float = 1e-5) -> jax.Array:
+    """Fused GN+SiLU. x [N, H, W, C], scale/bias [C]."""
+    usable = (
+        _HAS_PALLAS and _on_tpu()
+        and x.shape[1] * x.shape[2] * x.shape[3] * 4 <= _VMEM_LIMIT
+        and x.shape[3] % groups == 0
+    )
+    if usable:
+        return _pallas_gn_silu(x, scale, bias, groups, eps)
+    return group_norm_silu_reference(x, scale, bias, groups, eps)
+
+
+def _fwd(x, scale, bias, groups, eps):
+    return group_norm_silu(x, scale, bias, groups, eps), (x, scale, bias)
+
+
+def _bwd(groups, eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x, s, b: group_norm_silu_reference(x, s, b, groups, eps),
+        x, scale, bias)
+    return vjp(g)
+
+
+group_norm_silu.defvjp(_fwd, _bwd)
+
+
+class GroupNormSiLU(flax_nn.Module):
+    """Drop-in for `nn.GroupNorm(...)` + `nn.silu`: identical param tree
+    (scale/bias of shape [C]) so checkpoints and weight importers are
+    unchanged; routes through the fused Pallas kernel on TPU."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @flax_nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", flax_nn.initializers.ones, (c,))
+        bias = self.param("bias", flax_nn.initializers.zeros, (c,))
+        if x.ndim == 4:
+            return group_norm_silu(x, scale, bias, self.num_groups,
+                                   self.epsilon)
+        orig = x.shape
+        x4 = x.reshape((orig[0], 1, -1, c))
+        y = group_norm_silu(x4, scale, bias, self.num_groups, self.epsilon)
+        return y.reshape(orig)

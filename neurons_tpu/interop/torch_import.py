@@ -263,6 +263,328 @@ def import_diffusers_vae(state_dict: Dict, num_blocks: int,
 
 
 # ---------------------------------------------------------------------------
+# LDM/sgm UNet (unclip6 Lightning ckpt) -> models.unet2d.UNetModel
+# ---------------------------------------------------------------------------
+
+def strip_prefix(state_dict: Dict, prefix: str) -> Dict:
+    """Select the sub-model of a Lightning checkpoint (e.g.
+    'model.diffusion_model.' or 'first_stage_model.' of the unclip6 ckpt,
+    reference recon_keyframe_neurons.py:257-259)."""
+    return {k[len(prefix):]: v for k, v in state_dict.items()
+            if k.startswith(prefix)}
+
+
+def _maybe_1x1(w: np.ndarray) -> np.ndarray:
+    """A torch 1x1 Conv2d weight [out, in, 1, 1] used as a linear ->
+    flax Dense kernel [in, out]."""
+    if w.ndim == 4:
+        w = w.squeeze(-1).squeeze(-1)
+    return w.T
+
+
+def _lin_or_1x1(sd, key) -> Dict[str, np.ndarray]:
+    out = {"kernel": _maybe_1x1(t2j(sd[f"{key}.weight"]))}
+    if f"{key}.bias" in sd:
+        out["bias"] = t2j(sd[f"{key}.bias"])
+    return out
+
+
+def _ldm_resblock(sd, p: str) -> Dict[str, Any]:
+    """OpenAI-UNet ResBlock (reference openaimodel.py:210-356):
+    in_layers(GN,SiLU,conv) / emb_layers(SiLU,linear) / out_layers
+    (GN,SiLU,drop,conv) / skip_connection."""
+    r = {"in_norm": norm(sd, f"{p}.in_layers.0"),
+         "in_conv": conv(sd, f"{p}.in_layers.2"),
+         "emb_proj": linear(sd, f"{p}.emb_layers.1"),
+         "out_norm": norm(sd, f"{p}.out_layers.0"),
+         "out_conv": conv(sd, f"{p}.out_layers.3")}
+    if f"{p}.skip_connection.weight" in sd:
+        r["skip_conv"] = conv(sd, f"{p}.skip_connection")
+    return r
+
+
+def _ldm_transformer(sd, p: str, depth: int) -> Dict[str, Any]:
+    """sgm SpatialTransformer (reference attention.py:619-759); proj_in/
+    proj_out are Linear under use_linear_in_transformer, else 1x1 conv."""
+    t: Dict[str, Any] = {"norm": norm(sd, f"{p}.norm"),
+                         "proj_in": _lin_or_1x1(sd, f"{p}.proj_in"),
+                         "proj_out": _lin_or_1x1(sd, f"{p}.proj_out")}
+    for d in range(depth):
+        q = f"{p}.transformer_blocks.{d}"
+        t[f"block_{d}"] = {
+            "norm1": norm(sd, f"{q}.norm1"),
+            "attn1": {"to_q": linear(sd, f"{q}.attn1.to_q"),
+                      "to_k": linear(sd, f"{q}.attn1.to_k"),
+                      "to_v": linear(sd, f"{q}.attn1.to_v"),
+                      "to_out": linear(sd, f"{q}.attn1.to_out.0")},
+            "norm2": norm(sd, f"{q}.norm2"),
+            "attn2": {"to_q": linear(sd, f"{q}.attn2.to_q"),
+                      "to_k": linear(sd, f"{q}.attn2.to_k"),
+                      "to_v": linear(sd, f"{q}.attn2.to_v"),
+                      "to_out": linear(sd, f"{q}.attn2.to_out.0")},
+            "norm3": norm(sd, f"{q}.norm3"),
+            "ff": {"proj_in": linear(sd, f"{q}.ff.net.0.proj"),
+                   "proj_out": linear(sd, f"{q}.ff.net.2")},
+        }
+    return t
+
+
+def import_ldm_unet(state_dict: Dict, cfg) -> Tuple[Dict, List[str]]:
+    """LDM/sgm `model.diffusion_model` state dict -> UNetModel params.
+
+    cfg is a neurons_tpu.config.UNet2DConfig; the input/output block
+    indexing follows reference openaimodel.py:526-699 (input_blocks),
+    :707-784 (output_blocks)."""
+    sd = _Tracker(dict(state_dict))
+    levels = len(cfg.channel_mult)
+    nres = cfg.num_res_blocks
+    p: Dict[str, Any] = {
+        "time_embed_0": linear(sd, "time_embed.0"),
+        "time_embed_2": linear(sd, "time_embed.2"),
+        "conv_in": conv(sd, "input_blocks.0.0"),
+        "out_norm": norm(sd, "out.0"),
+        "out_conv": conv(sd, "out.2"),
+        "mid_res_0": _ldm_resblock(sd, "middle_block.0"),
+        "mid_attn": _ldm_transformer(sd, "middle_block.1",
+                                     cfg.transformer_depth[-1]),
+        "mid_res_1": _ldm_resblock(sd, "middle_block.2"),
+    }
+    if "label_emb.0.0.weight" in sd:  # num_classes='sequential' (adm)
+        p["label_emb_0"] = linear(sd, "label_emb.0.0")
+        p["label_emb_2"] = linear(sd, "label_emb.0.2")
+
+    idx, ds = 1, 1
+    for level in range(levels):
+        for i in range(nres):
+            p[f"down_{level}_res_{i}"] = _ldm_resblock(
+                sd, f"input_blocks.{idx}.0")
+            if ds in cfg.attention_resolutions:
+                p[f"down_{level}_attn_{i}"] = _ldm_transformer(
+                    sd, f"input_blocks.{idx}.1",
+                    cfg.transformer_depth[level])
+            idx += 1
+        if level != levels - 1:
+            p[f"down_{level}_downsample"] = {
+                "op": conv(sd, f"input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+
+    idx = 0
+    for level in reversed(range(levels)):
+        for i in range(nres + 1):
+            p[f"up_{level}_res_{i}"] = _ldm_resblock(
+                sd, f"output_blocks.{idx}.0")
+            sub = 1
+            if ds in cfg.attention_resolutions:
+                p[f"up_{level}_attn_{i}"] = _ldm_transformer(
+                    sd, f"output_blocks.{idx}.1",
+                    cfg.transformer_depth[level])
+                sub = 2
+            if level and i == nres:
+                p[f"up_{level}_upsample"] = {
+                    "conv": conv(sd, f"output_blocks.{idx}.{sub}.conv")}
+                ds //= 2
+            idx += 1
+    return p, sd.unused()
+
+
+# ---------------------------------------------------------------------------
+# LDM VAE (sgm AutoencoderKL / `first_stage_model`) -> models.vae
+# ---------------------------------------------------------------------------
+
+def import_ldm_vae(state_dict: Dict, cfg) -> Tuple[Dict, List[str]]:
+    """sgm/LDM AutoencoderKL layout (reference sgm/modules/
+    diffusionmodules/model.py Encoder/Decoder; `first_stage_model.` of the
+    unclip6 ckpt). Differs from diffusers: down.{i}.block.{j}, mid.block_1/
+    attn_1/block_2, decoder.up INDEXED IN REVERSE application order, and
+    1x1-conv attention projections."""
+    sd = _Tracker(dict(state_dict))
+    nres = len(cfg.block_out_channels)
+
+    def resnet(prefix):
+        r = {"norm1": norm(sd, f"{prefix}.norm1"),
+             "conv1": conv(sd, f"{prefix}.conv1"),
+             "norm2": norm(sd, f"{prefix}.norm2"),
+             "conv2": conv(sd, f"{prefix}.conv2")}
+        if f"{prefix}.nin_shortcut.weight" in sd:
+            r["nin_shortcut"] = conv(sd, f"{prefix}.nin_shortcut")
+        return r
+
+    def attn(prefix):
+        return {"norm": norm(sd, f"{prefix}.norm"),
+                "q": _lin_or_1x1(sd, f"{prefix}.q"),
+                "k": _lin_or_1x1(sd, f"{prefix}.k"),
+                "v": _lin_or_1x1(sd, f"{prefix}.v"),
+                "proj_out": _lin_or_1x1(sd, f"{prefix}.proj_out")}
+
+    p: Dict[str, Any] = {
+        "quant_conv": conv(sd, "quant_conv"),
+        "post_quant_conv": conv(sd, "post_quant_conv"),
+        "encoder": {"conv_in": conv(sd, "encoder.conv_in"),
+                    "norm_out": norm(sd, "encoder.norm_out"),
+                    "conv_out": conv(sd, "encoder.conv_out"),
+                    "mid_block_1": resnet("encoder.mid.block_1"),
+                    "mid_attn": attn("encoder.mid.attn_1"),
+                    "mid_block_2": resnet("encoder.mid.block_2")},
+        "decoder": {"conv_in": conv(sd, "decoder.conv_in"),
+                    "norm_out": norm(sd, "decoder.norm_out"),
+                    "conv_out": conv(sd, "decoder.conv_out"),
+                    "mid_block_1": resnet("decoder.mid.block_1"),
+                    "mid_attn": attn("decoder.mid.attn_1"),
+                    "mid_block_2": resnet("decoder.mid.block_2")},
+    }
+    for i in range(nres):
+        for j in range(cfg.layers_per_block):
+            p["encoder"][f"down_{i}_block_{j}"] = resnet(
+                f"encoder.down.{i}.block.{j}")
+        if f"encoder.down.{i}.downsample.conv.weight" in sd:
+            p["encoder"][f"down_{i}_downsample"] = {
+                "conv": conv(sd, f"encoder.down.{i}.downsample.conv")}
+        # decoder.up is built with insert(0, ...) — up.{nres-1} runs first
+        # (reference model.py Decoder), our up_{i} runs in order.
+        src = nres - 1 - i
+        for j in range(cfg.layers_per_block + 1):
+            p["decoder"][f"up_{i}_block_{j}"] = resnet(
+                f"decoder.up.{src}.block.{j}")
+        if f"decoder.up.{src}.upsample.conv.weight" in sd:
+            p["decoder"][f"up_{i}_upsample"] = {
+                "conv": conv(sd, f"decoder.up.{src}.upsample.conv")}
+    return p, sd.unused()
+
+
+# ---------------------------------------------------------------------------
+# diffusers SD-1.5 UNet + AnimateDiff motion modules -> models.unet3d
+# ---------------------------------------------------------------------------
+
+def _diffusers_resnet(sd, p: str) -> Dict[str, Any]:
+    r = {"norm1": norm(sd, f"{p}.norm1"),
+         "conv1": conv(sd, f"{p}.conv1"),
+         "time_emb_proj": linear(sd, f"{p}.time_emb_proj"),
+         "norm2": norm(sd, f"{p}.norm2"),
+         "conv2": conv(sd, f"{p}.conv2")}
+    if f"{p}.conv_shortcut.weight" in sd:
+        r["conv_shortcut"] = conv(sd, f"{p}.conv_shortcut")
+    return r
+
+
+def _diffusers_transformer(sd, p: str) -> Dict[str, Any]:
+    """diffusers Transformer2DModel depth-1 (SD-1.5: 1x1-conv proj_in/out)
+    -> our Transformer3D flat naming (block_0_*)."""
+    q = f"{p}.transformer_blocks.0"
+    return {
+        "norm": norm(sd, f"{p}.norm"),
+        "proj_in": _lin_or_1x1(sd, f"{p}.proj_in"),
+        "proj_out": _lin_or_1x1(sd, f"{p}.proj_out"),
+        "block_0_norm1": norm(sd, f"{q}.norm1"),
+        "block_0_attn1": {"to_q": linear(sd, f"{q}.attn1.to_q"),
+                          "to_k": linear(sd, f"{q}.attn1.to_k"),
+                          "to_v": linear(sd, f"{q}.attn1.to_v"),
+                          "to_out": linear(sd, f"{q}.attn1.to_out.0")},
+        "block_0_norm2": norm(sd, f"{q}.norm2"),
+        "block_0_attn2": {"to_q": linear(sd, f"{q}.attn2.to_q"),
+                          "to_k": linear(sd, f"{q}.attn2.to_k"),
+                          "to_v": linear(sd, f"{q}.attn2.to_v"),
+                          "to_out": linear(sd, f"{q}.attn2.to_out.0")},
+        "block_0_norm3": norm(sd, f"{q}.norm3"),
+        "block_0_ff": {"proj_in": linear(sd, f"{q}.ff.net.0.proj"),
+                       "proj_out": linear(sd, f"{q}.ff.net.2")},
+    }
+
+
+def import_animatediff_unet3d(state_dict: Dict, cfg
+                              ) -> Tuple[Dict, List[str]]:
+    """diffusers SD-1.5 UNet2DConditionModel state dict -> UNet3DModel
+    params (the reference `from_pretrained_2d` path, unet.py:478-572 —
+    2D convs apply per-frame in the folded [(B F), H, W, C] layout, so
+    weights transfer unchanged). Motion-module params are NOT in this
+    checkpoint; merge them afterwards with import_motion_modules."""
+    sd = _Tracker(dict(state_dict))
+    p: Dict[str, Any] = {
+        "conv_in": conv(sd, "conv_in"),
+        "time_emb_1": linear(sd, "time_embedding.linear_1"),
+        "time_emb_2": linear(sd, "time_embedding.linear_2"),
+        "conv_norm_out": norm(sd, "conv_norm_out"),
+        "conv_out": conv(sd, "conv_out"),
+        "mid_res_0": _diffusers_resnet(sd, "mid_block.resnets.0"),
+        "mid_attn": _diffusers_transformer(sd, "mid_block.attentions.0"),
+        "mid_res_1": _diffusers_resnet(sd, "mid_block.resnets.1"),
+    }
+    for i, btype in enumerate(cfg.down_block_types):
+        is_cross = btype.startswith("CrossAttn")
+        for j in range(cfg.layers_per_block):
+            p[f"down_{i}_res_{j}"] = _diffusers_resnet(
+                sd, f"down_blocks.{i}.resnets.{j}")
+            if is_cross:
+                p[f"down_{i}_attn_{j}"] = _diffusers_transformer(
+                    sd, f"down_blocks.{i}.attentions.{j}")
+        if f"down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            p[f"down_{i}_downsample"] = conv(
+                sd, f"down_blocks.{i}.downsamplers.0.conv")
+    for i, btype in enumerate(cfg.up_block_types):
+        is_cross = btype.startswith("CrossAttn")
+        for j in range(cfg.layers_per_block + 1):
+            p[f"up_{i}_res_{j}"] = _diffusers_resnet(
+                sd, f"up_blocks.{i}.resnets.{j}")
+            if is_cross:
+                p[f"up_{i}_attn_{j}"] = _diffusers_transformer(
+                    sd, f"up_blocks.{i}.attentions.{j}")
+        if f"up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            p[f"up_{i}_upsample"] = conv(
+                sd, f"up_blocks.{i}.upsamplers.0.conv")
+    return p, sd.unused()
+
+
+def _motion_module(sd, p: str, num_blocks: int, num_attn: int
+                   ) -> Dict[str, Any]:
+    """AnimateDiff TemporalTransformer3DModel (reference motion_module.py:
+    173-222) -> our MotionModule flat naming. pos_encoder.pe buffers are
+    recomputed, not imported (reference util.py:106-122 drops them)."""
+    t = f"{p}.temporal_transformer"
+    m: Dict[str, Any] = {"norm": norm(sd, f"{t}.norm"),
+                         "proj_in": linear(sd, f"{t}.proj_in"),
+                         "proj_out": linear(sd, f"{t}.proj_out")}
+    for b in range(num_blocks):
+        q = f"{t}.transformer_blocks.{b}"
+        for a in range(num_attn):
+            m[f"block_{b}_attn_{a}_norm"] = norm(sd, f"{q}.norms.{a}")
+            m[f"block_{b}_attn_{a}"] = {
+                "to_q": linear(sd, f"{q}.attention_blocks.{a}.to_q"),
+                "to_k": linear(sd, f"{q}.attention_blocks.{a}.to_k"),
+                "to_v": linear(sd, f"{q}.attention_blocks.{a}.to_v"),
+                "to_out": linear(sd, f"{q}.attention_blocks.{a}.to_out.0")}
+        m[f"block_{b}_ff_norm"] = norm(sd, f"{q}.ff_norm")
+        m[f"block_{b}_ff"] = {"proj_in": linear(sd, f"{q}.ff.net.0.proj"),
+                              "proj_out": linear(sd, f"{q}.ff.net.2")}
+    return m
+
+
+def import_motion_modules(state_dict: Dict, cfg, params: Dict
+                          ) -> Tuple[Dict, List[str]]:
+    """AnimateDiff motion-module ckpt (already passed through
+    filter_motion_module) merged INTO unet3d params in place of the
+    randomly-initialised motion submodules."""
+    sd = _Tracker(dict(state_dict))
+    nb = cfg.motion_num_transformer_block
+    na = len(cfg.motion_attention_block_types)
+    for i in range(len(cfg.down_block_types)):
+        for j in range(cfg.layers_per_block):
+            key = f"down_blocks.{i}.motion_modules.{j}"
+            if f"{key}.temporal_transformer.norm.weight" in sd:
+                params[f"down_{i}_motion_{j}"] = _motion_module(
+                    sd, key, nb, na)
+    for i in range(len(cfg.up_block_types)):
+        for j in range(cfg.layers_per_block + 1):
+            key = f"up_blocks.{i}.motion_modules.{j}"
+            if f"{key}.temporal_transformer.norm.weight" in sd:
+                params[f"up_{i}_motion_{j}"] = _motion_module(
+                    sd, key, nb, na)
+    if "mid_block.motion_modules.0.temporal_transformer.norm.weight" in sd:
+        params["mid_motion_0"] = _motion_module(
+            sd, "mid_block.motion_modules.0", nb, na)
+    return params, sd.unused()
+
+
+# ---------------------------------------------------------------------------
 # LoRA / DreamBooth merging (reference convert_lora_safetensor_to_diffusers)
 # ---------------------------------------------------------------------------
 

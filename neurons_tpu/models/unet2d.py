@@ -59,11 +59,14 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         residual = x
-        h = GroupNormSiLU(num_groups=self.groups, name="in_norm")(x)
+        # eps 1e-5: torch GroupNorm default (reference GroupNorm32)
+        h = GroupNormSiLU(num_groups=self.groups, epsilon=1e-5,
+                          name="in_norm")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="in_conv")(h)
         e = nn.Dense(self.out_channels, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
-        h = GroupNormSiLU(num_groups=self.groups, name="out_norm")(h)
+        h = GroupNormSiLU(num_groups=self.groups, epsilon=1e-5,
+                          name="out_norm")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1,
                     kernel_init=zero_init(), name="out_conv")(h)
@@ -109,7 +112,9 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, name="proj_in")(x)
         val, gate = jnp.split(h, 2, axis=-1)
-        return nn.Dense(self.dim, name="proj_out")(val * nn.gelu(gate))
+        # reference sgm GEGLU uses exact (erf) GELU, not tanh-approximate
+        return nn.Dense(self.dim, name="proj_out")(
+            val * nn.gelu(gate, approximate=False))
 
 
 class BasicTransformerBlock(nn.Module):
@@ -249,7 +254,8 @@ class UNetModel(nn.Module):
                     h = UpsampleConv(ch, name=f"up_{level}_upsample")(h)
                     ds //= 2
 
-        h = GroupNormSiLU(num_groups=groups, name="out_norm")(h)
+        h = GroupNormSiLU(num_groups=groups, epsilon=1e-5,
+                          name="out_norm")(h)
         h = nn.Conv(c.out_channels, (3, 3), padding=1,
                     kernel_init=zero_init(), name="out_conv")(h)
         return h.transpose(0, 3, 1, 2)  # -> NCHW

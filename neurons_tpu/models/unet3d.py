@@ -84,7 +84,9 @@ class GEGLU_FF(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim * self.mult * 2, name="proj_in")(x)
         val, gate = jnp.split(h, 2, axis=-1)
-        return nn.Dense(self.dim, name="proj_out")(val * nn.gelu(gate))
+        # diffusers GEGLU uses exact (erf) GELU, not tanh-approximate
+        return nn.Dense(self.dim, name="proj_out")(
+            val * nn.gelu(gate, approximate=False))
 
 
 class MotionModule(nn.Module):

@@ -38,6 +38,10 @@ def _add_common(p):
                    help="miniature model dims (smoke mode)")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (cpu/tpu)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the stage to DIR")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (numerical sanitizer)")
 
 
 def _add_train_args(p):
@@ -63,6 +67,8 @@ def _setup(args):
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.getcwd(), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
 
 
 def _configs(args, stage2: bool = False):
@@ -247,6 +253,78 @@ def cmd_recon(args):
     print(f"=== stage 3 finished -> {out_dir} ===")
 
 
+def cmd_caption(args):
+    """Stage 4: BLIP-2 captions for the stage-3 keyframes (reference
+    caption_keyframe.py:23-48; enhance variant differs only in paths)."""
+    _setup(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neurons_tpu.models.blip2 import Blip2Captioner, Blip2Config
+    from neurons_tpu.pipelines import io
+
+    cfg = Blip2Config.tiny() if args.tiny else Blip2Config()
+    model = Blip2Captioner(cfg)
+    hw = cfg.vision.image_size
+
+    st3 = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
+    try:
+        art = io.load_stage3_artifacts(st3, args.subj)
+        imgs = np.asarray(art["all_recons"], np.float32)
+    except FileNotFoundError:
+        if not args.synthetic:
+            raise
+        imgs = np.random.default_rng(args.seed).uniform(
+            size=(4, 3, hw, hw)).astype(np.float32)
+    imgs = jax.image.resize(jnp.asarray(imgs),
+                            (imgs.shape[0], 3, hw, hw), "linear")
+    # BLIP preprocessing: CLIP mean/std normalization of [0,1] images
+    mean = jnp.array([0.48145466, 0.4578275, 0.40821073])[:, None, None]
+    std = jnp.array([0.26862954, 0.26130258, 0.27577711])[:, None, None]
+    imgs = (imgs - mean[None]) / std[None]
+
+    key = jax.random.PRNGKey(args.seed)
+    wfile = os.path.join(args.weights_dir, "blip2-opt.pt")
+    if os.path.exists(wfile):
+        import torch
+        from neurons_tpu.interop.torch_import import import_blip2
+        sd = torch.load(wfile, map_location="cpu")
+        params, unused = import_blip2(sd.get("state_dict", sd), cfg)
+        if unused:
+            print(f"--- blip2 import: {len(unused)} unused keys ---")
+    else:
+        if not (args.tiny or args.synthetic):
+            raise FileNotFoundError(
+                f"{wfile} not found; run with --tiny/--synthetic or place "
+                "the HF blip2-opt state dict there")
+        params = model.init(key, imgs[:1],
+                            jnp.zeros((1, 2), jnp.int32))["params"]
+
+    max_len = 8 if args.tiny else 30
+    gen = jax.jit(lambda p, x: model.apply({"params": p}, x, max_len=max_len,
+                                           method=Blip2Captioner.generate))
+    toks = []
+    bs = 8
+    for i in range(0, imgs.shape[0], bs):
+        toks.append(np.asarray(gen(params, imgs[i:i + bs])))
+    toks = np.concatenate(toks, 0)
+
+    captions = []
+    try:  # decode with the OPT tokenizer when its files are cached
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained("facebook/opt-2.7b",
+                                            local_files_only=True)
+        captions = [tok.decode(t, skip_special_tokens=True).strip()
+                    for t in toks]
+    except Exception:
+        captions = ["ids:" + ",".join(map(str, t)) for t in toks]
+
+    out = os.path.join(st3, "pred_test_caption.txt")
+    with open(out, "w") as f:
+        f.write("\n".join(captions))
+    print(f"=== stage 4 finished -> {out} ===")
+
+
 def cmd_video(args):
     _setup(args)
     import jax
@@ -422,6 +500,11 @@ def main(argv=None):
     p.add_argument("--enhance", action="store_true")
     p.set_defaults(fn=cmd_recon)
 
+    p = sub.add_parser("caption", help="stage 4")
+    _add_common(p)
+    p.add_argument("--enhance", action="store_true")
+    p.set_defaults(fn=cmd_caption)
+
     p = sub.add_parser("video", help="stage 5")
     _add_common(p)
     _add_train_args(p)
@@ -439,6 +522,15 @@ def main(argv=None):
     p.set_defaults(fn=cmd_eval)
 
     args = parser.parse_args(argv)
+    if getattr(args, "profile", None):
+        import jax
+        os.makedirs(args.profile, exist_ok=True)
+        jax.profiler.start_trace(args.profile)
+        try:
+            return args.fn(args)
+        finally:
+            jax.profiler.stop_trace()
+            print(f"--- profiler trace -> {args.profile} ---")
     return args.fn(args)
 
 

@@ -585,6 +585,85 @@ def import_motion_modules(state_dict: Dict, cfg, params: Dict
 
 
 # ---------------------------------------------------------------------------
+# HF BLIP-2 (Salesforce/blip2-opt-*) -> models.blip2.Blip2Captioner
+# ---------------------------------------------------------------------------
+
+def import_blip2(state_dict: Dict, cfg) -> Tuple[Dict, List[str]]:
+    """HF Blip2ForConditionalGeneration state dict -> Blip2Captioner
+    params (reference caption_keyframe.py:23-48 loads the HF model; the
+    lm_head is weight-tied to embed_tokens and dropped)."""
+    sd = _Tracker({k: v for k, v in state_dict.items()
+                   if not k.startswith("language_model.lm_head")})
+    p: Dict[str, Any] = {
+        "query_tokens": t2j(sd["query_tokens"]),
+        "language_projection": linear(sd, "language_projection"),
+        "embed_tokens": t2j(
+            sd["language_model.model.decoder.embed_tokens.weight"]),
+    }
+
+    v: Dict[str, Any] = {
+        "patch_embed": conv(sd, "vision_model.embeddings.patch_embedding"),
+        "class_embedding": t2j(
+            sd["vision_model.embeddings.class_embedding"]).reshape(-1),
+        "position_embedding": t2j(
+            sd["vision_model.embeddings.position_embedding"])[0],
+        "post_layernorm": norm(sd, "vision_model.post_layernorm"),
+    }
+    for i in range(cfg.vision.layers):
+        q = f"vision_model.encoder.layers.{i}"
+        v[f"layer_{i}"] = {
+            "layer_norm1": norm(sd, f"{q}.layer_norm1"),
+            "qkv": linear(sd, f"{q}.self_attn.qkv"),
+            "projection": linear(sd, f"{q}.self_attn.projection"),
+            "layer_norm2": norm(sd, f"{q}.layer_norm2"),
+            "fc1": linear(sd, f"{q}.mlp.fc1"),
+            "fc2": linear(sd, f"{q}.mlp.fc2"),
+        }
+    p["vision_model"] = v
+
+    def qf_attn(prefix):
+        return {"query": linear(sd, f"{prefix}.attention.query"),
+                "key": linear(sd, f"{prefix}.attention.key"),
+                "value": linear(sd, f"{prefix}.attention.value"),
+                "out_dense": linear(sd, f"{prefix}.output.dense"),
+                "out_ln": norm(sd, f"{prefix}.output.LayerNorm")}
+
+    qf: Dict[str, Any] = {"layernorm": norm(sd, "qformer.layernorm")}
+    for i in range(cfg.qformer.layers):
+        q = f"qformer.encoder.layer.{i}"
+        layer = {"attention": qf_attn(f"{q}.attention"),
+                 "intermediate_query": linear(
+                     sd, f"{q}.intermediate_query.dense"),
+                 "output_query": linear(sd, f"{q}.output_query.dense"),
+                 "output_ln": norm(sd, f"{q}.output_query.LayerNorm")}
+        if f"{q}.crossattention.attention.query.weight" in sd:
+            layer["crossattention"] = qf_attn(f"{q}.crossattention")
+        qf[f"layer_{i}"] = layer
+    p["qformer"] = qf
+
+    lm: Dict[str, Any] = {
+        "embed_positions": t2j(
+            sd["language_model.model.decoder.embed_positions.weight"]),
+        "final_layer_norm": norm(
+            sd, "language_model.model.decoder.final_layer_norm"),
+    }
+    for i in range(cfg.opt.layers):
+        q = f"language_model.model.decoder.layers.{i}"
+        lm[f"layer_{i}"] = {
+            "self_attn_layer_norm": norm(sd, f"{q}.self_attn_layer_norm"),
+            "q_proj": linear(sd, f"{q}.self_attn.q_proj"),
+            "k_proj": linear(sd, f"{q}.self_attn.k_proj"),
+            "v_proj": linear(sd, f"{q}.self_attn.v_proj"),
+            "out_proj": linear(sd, f"{q}.self_attn.out_proj"),
+            "final_layer_norm": norm(sd, f"{q}.final_layer_norm"),
+            "fc1": linear(sd, f"{q}.fc1"),
+            "fc2": linear(sd, f"{q}.fc2"),
+        }
+    p["lm"] = lm
+    return p, sd.unused()
+
+
+# ---------------------------------------------------------------------------
 # LoRA / DreamBooth merging (reference convert_lora_safetensor_to_diffusers)
 # ---------------------------------------------------------------------------
 

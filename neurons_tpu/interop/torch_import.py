@@ -585,6 +585,64 @@ def import_motion_modules(state_dict: Dict, cfg, params: Dict
 
 
 # ---------------------------------------------------------------------------
+# AnimateDiff SparseCtrl ckpt -> models.sparse_controlnet
+# ---------------------------------------------------------------------------
+
+def import_sparse_controlnet(state_dict: Dict, cfg,
+                             motion_attention_blocks: int = 1
+                             ) -> Tuple[Dict, List[str]]:
+    """AnimateDiff SparseControlNetModel state dict (reference
+    animatediff/models/sparse_controlnet.py:85-315; v3_sd15_sparsectrl
+    ckpts) -> SparseControlNetModel params. Handles both the simplified
+    (single zero conv, latent conditioning) and full conv-stack condition
+    embeddings; mid-block motion modules, absent from our mid (matching
+    v3 configs), surface in the unused report."""
+    sd = _Tracker(dict(state_dict))
+    nb = cfg.motion_num_transformer_block
+    p: Dict[str, Any] = {
+        "conv_in": conv(sd, "conv_in"),
+        "time_emb_1": linear(sd, "time_embedding.linear_1"),
+        "time_emb_2": linear(sd, "time_embedding.linear_2"),
+        "mid_res_0": _diffusers_resnet(sd, "mid_block.resnets.0"),
+        "mid_attn": _diffusers_transformer(sd, "mid_block.attentions.0"),
+        "mid_res_1": _diffusers_resnet(sd, "mid_block.resnets.1"),
+        "controlnet_mid": conv(sd, "controlnet_mid_block"),
+    }
+    if "controlnet_cond_embedding.weight" in sd:  # simplified (zero conv)
+        p["cond_embedding"] = conv(sd, "controlnet_cond_embedding")
+    else:
+        p["cond_in"] = conv(sd, "controlnet_cond_embedding.conv_in")
+        p["cond_out"] = conv(sd, "controlnet_cond_embedding.conv_out")
+        i = 0
+        while f"controlnet_cond_embedding.blocks.{2 * i}.weight" in sd:
+            p[f"cond_b{i}a"] = conv(
+                sd, f"controlnet_cond_embedding.blocks.{2 * i}")
+            p[f"cond_b{i}b"] = conv(
+                sd, f"controlnet_cond_embedding.blocks.{2 * i + 1}")
+            i += 1
+    k = 0
+    while f"controlnet_down_blocks.{k}.weight" in sd:
+        p[f"controlnet_down_{k}"] = conv(sd, f"controlnet_down_blocks.{k}")
+        k += 1
+    for i, btype in enumerate(cfg.down_block_types):
+        is_cross = btype.startswith("CrossAttn")
+        for j in range(cfg.layers_per_block):
+            p[f"down_{i}_res_{j}"] = _diffusers_resnet(
+                sd, f"down_blocks.{i}.resnets.{j}")
+            if is_cross:
+                p[f"down_{i}_attn_{j}"] = _diffusers_transformer(
+                    sd, f"down_blocks.{i}.attentions.{j}")
+            key = f"down_blocks.{i}.motion_modules.{j}"
+            if f"{key}.temporal_transformer.norm.weight" in sd:
+                p[f"down_{i}_motion_{j}"] = _motion_module(
+                    sd, key, nb, motion_attention_blocks)
+        if f"down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            p[f"down_{i}_downsample"] = conv(
+                sd, f"down_blocks.{i}.downsamplers.0.conv")
+    return p, sd.unused()
+
+
+# ---------------------------------------------------------------------------
 # HF BLIP-2 (Salesforce/blip2-opt-*) -> models.blip2.Blip2Captioner
 # ---------------------------------------------------------------------------
 
@@ -678,6 +736,27 @@ def merge_lora(weight: np.ndarray, up: np.ndarray, down: np.ndarray,
     else:
         delta = up @ down
     return weight + alpha * delta
+
+
+def ldm_apply_ema(state_dict: Dict) -> Tuple[Dict, int]:
+    """Swap LitEma shadow weights into the live UNet params — the
+    inference-time effect of the reference's `ema_scope()` (reference
+    sgm/modules/ema.py:41-60 stores each param 'a.b.c' of `self.model`
+    under 'model_ema.' + 'abc', dots stripped; utils.py:307 enters the
+    scope around unclip sampling). Returns (new state dict, n swapped)."""
+    ema = {k[len("model_ema."):]: v for k, v in state_dict.items()
+           if k.startswith("model_ema.")
+           and k not in ("model_ema.num_updates", "model_ema.decay")}
+    out = dict(state_dict)
+    swapped = 0
+    for k in state_dict:
+        if not k.startswith("model."):
+            continue
+        mangled = k[len("model."):].replace(".", "")
+        if mangled in ema:
+            out[k] = ema[mangled]
+            swapped += 1
+    return out, swapped
 
 
 def filter_motion_module(state_dict: Dict) -> Dict:

@@ -504,15 +504,17 @@ class TMotionModule(tnn.Module):
     [norms.a + attention_blocks.a (temporal self-attn w/ sinusoidal pe),
     ff_norm + ff] -> proj_out, residual."""
 
-    def __init__(self, c, heads, max_len, g):
+    def __init__(self, c, heads, max_len, g, num_attn=2):
         super().__init__()
+        self.num_attn = num_attn
         tt = self.temporal_transformer = tnn.Module()
         tt.norm = tnn.GroupNorm(g, c, eps=1e-6)
         tt.proj_in = tnn.Linear(c, c)
         blk = tnn.Module()
-        blk.norms = tnn.ModuleList([tnn.LayerNorm(c), tnn.LayerNorm(c)])
+        blk.norms = tnn.ModuleList(
+            [tnn.LayerNorm(c) for _ in range(num_attn)])
         blk.attention_blocks = tnn.ModuleList(
-            [TAttn(c, c, heads, c // heads) for _ in range(2)])
+            [TAttn(c, c, heads, c // heads) for _ in range(num_attn)])
         blk.ff_norm = tnn.LayerNorm(c)
         blk.ff = tnn.Module()
         blk.ff.net = t_feedforward(c)
@@ -534,7 +536,7 @@ class TMotionModule(tnn.Module):
         tokens = tt.proj_in(h)
         d = hh * ww
         blk = tt.transformer_blocks[0]
-        for a in range(2):
+        for a in range(self.num_attn):
             t = blk.norms[a](tokens)
             t = t.reshape(b, f, d, c).transpose(1, 2).reshape(b * d, f, c)
             t = t + self.pe[None, :f]
@@ -673,6 +675,125 @@ class TDiffusersUNet3D(tnn.Module):
         h = self.conv_out(tF.silu(self.conv_norm_out(h)))
         return h.reshape(b, f, -1, h.shape[2], h.shape[3]).permute(
             0, 2, 1, 3, 4)
+
+
+class TSparseControlNet(tnn.Module):
+    """Key-exact mini replica of the AnimateDiff SparseControlNetModel
+    (reference sparse_controlnet.py:85-315): zeroed sample input, simplified
+    zero-conv condition embedding of cond++mask, UNet3D encoder copy with
+    1-attention motion modules, zero-conv residual heads."""
+
+    def __init__(self, cfg: UNet3DConfig):
+        super().__init__()
+        self.cfg = cfg
+        bo, g, lpb = cfg.block_out_channels, cfg.norm_num_groups, \
+            cfg.layers_per_block
+        ted = bo[0] * 4
+        self.conv_in = tnn.Conv2d(cfg.in_channels, bo[0], 3, padding=1)
+        te = self.time_embedding = tnn.Module()
+        te.linear_1 = tnn.Linear(bo[0], ted)
+        te.linear_2 = tnn.Linear(ted, ted)
+        self.controlnet_cond_embedding = tnn.Conv2d(
+            cfg.in_channels + 1, bo[0], 3, padding=1)
+        self.down_blocks = tnn.ModuleList()
+        self.controlnet_down_blocks = tnn.ModuleList(
+            [tnn.Conv2d(bo[0], bo[0], 1)])
+        ch = bo[0]
+        for i, btype in enumerate(cfg.down_block_types):
+            blk = tnn.Module()
+            blk.resnets = tnn.ModuleList()
+            if btype.startswith("CrossAttn"):
+                blk.attentions = tnn.ModuleList()
+            blk.motion_modules = tnn.ModuleList()
+            for _ in range(lpb):
+                blk.resnets.append(TDResnet(ch, bo[i], ted, g))
+                ch = bo[i]
+                if btype.startswith("CrossAttn"):
+                    blk.attentions.append(TDTransformer(
+                        ch, cfg.cross_attention_dim,
+                        cfg.attention_head_dim, g))
+                blk.motion_modules.append(TMotionModule(
+                    ch, cfg.motion_num_attention_heads,
+                    cfg.motion_max_seq_length, g, num_attn=1))
+                self.controlnet_down_blocks.append(tnn.Conv2d(ch, ch, 1))
+            if i != len(cfg.down_block_types) - 1:
+                blk.downsamplers = tnn.ModuleList([tnn.Module()])
+                blk.downsamplers[0].conv = tnn.Conv2d(ch, ch, 3, stride=2,
+                                                      padding=1)
+                self.controlnet_down_blocks.append(tnn.Conv2d(ch, ch, 1))
+            self.down_blocks.append(blk)
+        mid = self.mid_block = tnn.Module()
+        mid.resnets = tnn.ModuleList([TDResnet(ch, ch, ted, g),
+                                      TDResnet(ch, ch, ted, g)])
+        mid.attentions = tnn.ModuleList([TDTransformer(
+            ch, cfg.cross_attention_dim, cfg.attention_head_dim, g)])
+        self.controlnet_mid_block = tnn.Conv2d(ch, ch, 1)
+
+    def forward(self, sample, t, ctx, cond, mask, scale=1.0):
+        b, _, f, hh, ww = sample.shape
+        sample = torch.zeros_like(sample)
+        h = sample.permute(0, 2, 1, 3, 4).reshape(b * f, -1, hh, ww)
+        temb = self.time_embedding.linear_2(tF.silu(
+            self.time_embedding.linear_1(
+                t_timestep_embedding(t, self.cfg.block_out_channels[0]))))
+        temb_f = temb.repeat_interleave(f, dim=0)
+        ctx_f = ctx.repeat_interleave(f, dim=0)
+        h = self.conv_in(h)
+        c5 = torch.cat([cond, mask], dim=1)
+        c5 = c5.permute(0, 2, 1, 3, 4).reshape(b * f, -1, hh, ww)
+        h = h + self.controlnet_cond_embedding(c5)
+        hs = [h]
+        for blk in self.down_blocks:
+            for j, res in enumerate(blk.resnets):
+                h = res(h, temb_f)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx_f)
+                h = blk.motion_modules[j](h, b, f)
+                hs.append(h)
+            if hasattr(blk, "downsamplers"):
+                h = blk.downsamplers[0].conv(h)
+                hs.append(h)
+        h = self.mid_block.resnets[0](h, temb_f)
+        h = self.mid_block.attentions[0](h, ctx_f)
+        h = self.mid_block.resnets[1](h, temb_f)
+        down = [zc(s) * scale
+                for zc, s in zip(self.controlnet_down_blocks, hs)]
+        return down, self.controlnet_mid_block(h) * scale
+
+
+class TestSparseControlNetParity:
+    def test_residuals_match(self):
+        from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
+        from neurons_tpu.interop.torch_import import import_sparse_controlnet
+
+        tm = TSparseControlNet(TINY_3D).eval()
+        params, unused = import_sparse_controlnet(tm.state_dict(), TINY_3D)
+        assert unused == [], unused
+
+        f = 4
+        jm = SparseControlNetModel(TINY_3D, n_frames=f)
+        rs = np.random.RandomState(0)
+        x = rs.randn(2, 4, f, 8, 8).astype(np.float32)
+        t = np.array([5.0, 9.0], np.float32)
+        ctx = rs.randn(2, 5, 12).astype(np.float32)
+        cond = rs.randn(2, 4, f, 8, 8).astype(np.float32)
+        mask = (rs.rand(2, 1, f, 8, 8) > 0.5).astype(np.float32)
+        with torch.no_grad():
+            ref_down, ref_mid = tm(torch.tensor(x), torch.tensor(t),
+                                   torch.tensor(ctx), torch.tensor(cond),
+                                   torch.tensor(mask), scale=0.7)
+        got_down, got_mid = jm.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(t),
+            jnp.asarray(ctx), jnp.asarray(cond), jnp.asarray(mask), 0.7)
+        assert len(got_down) == len(ref_down)
+        for g_r, r_r in zip(got_down, ref_down):
+            # ours is folded NHWC; torch fixture is folded NCHW
+            np.testing.assert_allclose(
+                np.asarray(g_r), r_r.numpy().transpose(0, 2, 3, 1),
+                rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(got_mid), ref_mid.numpy().transpose(0, 2, 3, 1),
+            rtol=5e-4, atol=5e-4)
 
 
 class TestAnimateDiffUNet3DParity:

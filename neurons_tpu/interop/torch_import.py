@@ -180,6 +180,41 @@ def import_open_clip_vision(state_dict: Dict, layers: int,
     return params, sd.unused()
 
 
+def import_hf_clip_text(state_dict: Dict, layers: int
+                        ) -> Tuple[Dict, List[str]]:
+    """HF CLIPTextModel (SD-1.5's `cond_stage_model.transformer`, openai/
+    clip-vit-large-patch14 layout) -> CLIPTextTower params."""
+    sd = _Tracker({k.replace("text_model.", ""): v
+                   for k, v in state_dict.items()
+                   if "position_ids" not in k})
+    params: Dict[str, Any] = {
+        "token_embedding": t2j(sd["embeddings.token_embedding.weight"]),
+        "positional_embedding": t2j(
+            sd["embeddings.position_embedding.weight"]),
+        "ln_final": norm(sd, "final_layer_norm"),
+    }
+    if "text_projection.weight" in sd:
+        params["text_projection"] = t2j(sd["text_projection.weight"]).T
+    for i in range(layers):
+        p = f"encoder.layers.{i}"
+        qw = t2j(sd[f"{p}.self_attn.q_proj.weight"])
+        kw = t2j(sd[f"{p}.self_attn.k_proj.weight"])
+        vw = t2j(sd[f"{p}.self_attn.v_proj.weight"])
+        qb = t2j(sd[f"{p}.self_attn.q_proj.bias"])
+        kb = t2j(sd[f"{p}.self_attn.k_proj.bias"])
+        vb = t2j(sd[f"{p}.self_attn.v_proj.bias"])
+        params[f"resblock_{i}"] = {
+            "ln_1": norm(sd, f"{p}.layer_norm1"),
+            "in_proj": {"kernel": np.concatenate([qw, kw, vw], 0).T,
+                        "bias": np.concatenate([qb, kb, vb], 0)},
+            "out_proj": linear(sd, f"{p}.self_attn.out_proj"),
+            "ln_2": norm(sd, f"{p}.layer_norm2"),
+            "mlp_fc": linear(sd, f"{p}.mlp.fc1"),
+            "mlp_proj": linear(sd, f"{p}.mlp.fc2"),
+        }
+    return params, sd.unused()
+
+
 def import_open_clip_text(state_dict: Dict, layers: int
                           ) -> Tuple[Dict, List[str]]:
     """open_clip text tower (reference FrozenOpenCLIPEmbedder2)."""

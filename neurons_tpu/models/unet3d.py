@@ -305,8 +305,8 @@ class UNet3DModel(nn.Module):
         h = nn.GroupNorm(num_groups=min(g, h.shape[-1]),
                          name="conv_norm_out")(h)
         h = nn.silu(h)
-        h = nn.Conv(c.in_channels, (3, 3), padding=1, kernel_init=zero_init(),
-                    name="conv_out")(h)
+        h = nn.Conv(c.out_channels, (3, 3), padding=1,
+                    kernel_init=zero_init(), name="conv_out")(h)
         # [(B F), H, W, C] -> [B, C, F, H, W]
         h = h.reshape(b, f, h.shape[1], h.shape[2], h.shape[3])
         return h.transpose(0, 4, 1, 2, 3)

@@ -112,24 +112,37 @@ class TBasicBlock(tnn.Module):
 
 
 class TSpatial(tnn.Module):
-    """sgm SpatialTransformer, use_linear_in_transformer=True path."""
+    """sgm SpatialTransformer: linear proj (use_linear_in_transformer,
+    SD-2.x/unclip) or 1x1-conv proj (SD-1.5)."""
 
-    def __init__(self, c, ctx_dim, heads, dh, depth, g):
+    def __init__(self, c, ctx_dim, heads, dh, depth, g, linear_proj=True):
         super().__init__()
+        self.linear_proj = linear_proj
         self.norm = tnn.GroupNorm(g, c, eps=1e-6)
-        self.proj_in = tnn.Linear(c, c)
+        self.proj_in = (tnn.Linear(c, c) if linear_proj
+                        else tnn.Conv2d(c, c, 1))
         self.transformer_blocks = tnn.ModuleList(
             [TBasicBlock(c, ctx_dim, heads, dh) for _ in range(depth)])
-        self.proj_out = tnn.Linear(c, c)
+        self.proj_out = (tnn.Linear(c, c) if linear_proj
+                         else tnn.Conv2d(c, c, 1))
 
     def forward(self, x, ctx):
         b, c, hh, ww = x.shape
-        t = self.norm(x).permute(0, 2, 3, 1).reshape(b, hh * ww, c)
-        t = self.proj_in(t)
+        t = self.norm(x)
+        if self.linear_proj:
+            t = t.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+            t = self.proj_in(t)
+        else:
+            t = self.proj_in(t).permute(0, 2, 3, 1).reshape(b, hh * ww, c)
         for blk in self.transformer_blocks:
             t = blk(t, ctx)
-        t = self.proj_out(t)
-        return x + t.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+        if self.linear_proj:
+            t = self.proj_out(t)
+            t = t.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+        else:
+            t = t.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+            t = self.proj_out(t)
+        return x + t
 
 
 class TDownsample(tnn.Module):
@@ -153,18 +166,27 @@ class TUpsample(tnn.Module):
 class TLDMUNet(tnn.Module):
     """Key-exact mini replica of the OpenAI/sgm UNetModel layout."""
 
-    def __init__(self, cfg: UNet2DConfig):
+    def __init__(self, cfg: UNet2DConfig, linear_proj=True,
+                 fixed_heads=None, with_label=True):
         super().__init__()
         self.cfg = cfg
+        self.with_label = with_label
+        lp = linear_proj
         mc = cfg.model_channels
         g = 32 if mc % 32 == 0 else mc
         ted = mc * 4
-        heads_of = lambda ch: ch // cfg.num_head_channels
+        if fixed_heads:  # SD-1.5 style: num_heads fixed, dim_head varies
+            heads_of = lambda ch: fixed_heads
+            dh_of = lambda ch: ch // fixed_heads
+        else:
+            heads_of = lambda ch: ch // cfg.num_head_channels
+            dh_of = lambda ch: cfg.num_head_channels
         self.time_embed = tnn.Sequential(tnn.Linear(mc, ted), tnn.SiLU(),
                                          tnn.Linear(ted, ted))
-        self.label_emb = tnn.Sequential(tnn.Sequential(
-            tnn.Linear(cfg.adm_in_channels, ted), tnn.SiLU(),
-            tnn.Linear(ted, ted)))
+        if with_label:
+            self.label_emb = tnn.Sequential(tnn.Sequential(
+                tnn.Linear(cfg.adm_in_channels, ted), tnn.SiLU(),
+                tnn.Linear(ted, ted)))
         blocks = [tnn.ModuleList([tnn.Conv2d(cfg.in_channels, mc, 3,
                                              padding=1)])]
         ch, ds = mc, 1
@@ -175,8 +197,9 @@ class TLDMUNet(tnn.Module):
                 ch = out
                 if ds in cfg.attention_resolutions:
                     layers.append(TSpatial(ch, cfg.context_dim, heads_of(ch),
-                                           cfg.num_head_channels,
-                                           cfg.transformer_depth[level], g))
+                                           dh_of(ch),
+                                           cfg.transformer_depth[level], g,
+                                           linear_proj=lp))
                 blocks.append(tnn.ModuleList(layers))
             if level != len(cfg.channel_mult) - 1:
                 blocks.append(tnn.ModuleList([TDownsample(ch)]))
@@ -185,7 +208,8 @@ class TLDMUNet(tnn.Module):
         self.middle_block = tnn.ModuleList([
             TResBlock(ch, ch, ted, g),
             TSpatial(ch, cfg.context_dim, heads_of(ch),
-                     cfg.num_head_channels, cfg.transformer_depth[-1], g),
+                     dh_of(ch), cfg.transformer_depth[-1], g,
+                     linear_proj=lp),
             TResBlock(ch, ch, ted, g)])
         out_blocks = []
         # mirror of the flax up path: reversed levels, nres+1 blocks each
@@ -197,8 +221,9 @@ class TLDMUNet(tnn.Module):
                 ch = out
                 if ds in cfg.attention_resolutions:
                     layers.append(TSpatial(ch, cfg.context_dim, heads_of(ch),
-                                           cfg.num_head_channels,
-                                           cfg.transformer_depth[level], g))
+                                           dh_of(ch),
+                                           cfg.transformer_depth[level], g,
+                                           linear_proj=lp))
                 if level and i == cfg.num_res_blocks:
                     layers.append(TUpsample(ch))
                     ds //= 2
@@ -222,7 +247,8 @@ class TLDMUNet(tnn.Module):
 
     def forward(self, x, t, context, y):
         emb = self.time_embed(t_timestep_embedding(t, self.cfg.model_channels))
-        emb = emb + self.label_emb(y)
+        if self.with_label:
+            emb = emb + self.label_emb(y)
         hs = []
         h = x
         for blk in self.input_blocks:
@@ -759,6 +785,98 @@ class TSparseControlNet(tnn.Module):
         down = [zc(s) * scale
                 for zc, s in zip(self.controlnet_down_blocks, hs)]
         return down, self.controlnet_mid_block(h) * scale
+
+
+class TestLDMConverters:
+    """LDM->diffusers key converters (reference convert_from_ckpt.py)
+    round-trip through the diffusers importers to the flax models."""
+
+    def test_sd15_unet_converts_and_matches(self):
+        """SD-1.5-style LDM UNet (conv 1x1 proj, fixed heads, no label)
+        -> diffusers keys -> UNet3D at n_frames=1 == the 2D torch net."""
+        from neurons_tpu.interop.convert_ldm import \
+            convert_ldm_unet_to_diffusers
+        from neurons_tpu.models.unet3d import UNet3DModel
+
+        ldm_cfg = UNet2DConfig(model_channels=8, channel_mult=(1, 2),
+                               num_res_blocks=1, attention_resolutions=(1,),
+                               transformer_depth=(1, 1), num_head_channels=4,
+                               context_dim=12)
+        tm = TLDMUNet(ldm_cfg, linear_proj=False, fixed_heads=4,
+                      with_label=False).eval()
+        dsd = convert_ldm_unet_to_diffusers(tm.state_dict())
+
+        cfg3d = UNet3DConfig(block_out_channels=(8, 16), layers_per_block=1,
+                             down_block_types=("CrossAttnDownBlock3D",
+                                               "DownBlock3D"),
+                             up_block_types=("UpBlock3D",
+                                             "CrossAttnUpBlock3D"),
+                             cross_attention_dim=12, attention_head_dim=4,
+                             norm_num_groups=8, use_motion_module=False)
+        params, unused = TI.import_animatediff_unet3d(dsd, cfg3d)
+        assert unused == [], unused
+
+        jm = UNet3DModel(cfg3d, n_frames=1)
+        rs = np.random.RandomState(3)
+        x = rs.randn(2, 4, 8, 8).astype(np.float32)
+        t = np.array([2.0, 31.0], np.float32)
+        ctx = rs.randn(2, 5, 12).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.tensor(x), torch.tensor(t), torch.tensor(ctx),
+                     None).numpy()
+        got = jm.apply({"params": params}, jnp.asarray(x)[:, :, None],
+                       jnp.asarray(t), jnp.asarray(ctx))
+        np.testing.assert_allclose(np.asarray(got)[:, :, 0], ref,
+                                   rtol=5e-4, atol=5e-4)
+
+    def test_ldm_vae_converts_and_matches(self):
+        from neurons_tpu.interop.convert_ldm import \
+            convert_ldm_vae_to_diffusers
+        from neurons_tpu.models.vae import AutoencoderKL
+
+        tm = TLDMVAE(TINY_VAE).eval()
+        dsd = convert_ldm_vae_to_diffusers(tm.state_dict())
+        params, unused = TI.import_diffusers_vae(
+            dsd, num_blocks=2, layers_per_block=1)
+        assert unused == [], unused
+        jm = AutoencoderKL(TINY_VAE)
+        z = np.random.RandomState(5).randn(2, 3, 4, 4).astype(np.float32)
+        with torch.no_grad():
+            ref = tm.decode(torch.tensor(z)).numpy()
+        got = jm.apply({"params": params}, jnp.asarray(z),
+                       method=AutoencoderKL.decode)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4,
+                                   atol=2e-4)
+
+    def test_lora_merge_matches_reference_math(self):
+        from neurons_tpu.interop.convert_ldm import merge_lora_into_state_dict
+
+        rs = np.random.RandomState(0)
+        w = rs.randn(6, 5).astype(np.float32)
+        up = rs.randn(6, 2).astype(np.float32)
+        down = rs.randn(2, 5).astype(np.float32)
+        target = {
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+            ".weight": w.copy(),
+            "mid_block.attentions.0.transformer_blocks.0.attn1.to_out.0"
+            ".weight": w.copy(),
+        }
+        lora = {
+            "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_"
+            "attn1_to_q.lora_down.weight": down,
+            "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_"
+            "attn1_to_q.lora_up.weight": up,
+            # to_out.0 flattens to to_out_0 in LoRA naming
+            "lora_unet_mid_block_attentions_0_transformer_blocks_0_"
+            "attn1_to_out_0.lora_down.weight": down,
+            "lora_unet_mid_block_attentions_0_transformer_blocks_0_"
+            "attn1_to_out_0.lora_up.weight": up,
+        }
+        merged, missed = merge_lora_into_state_dict(target, lora, alpha=0.5)
+        assert missed == []
+        expect = w + 0.5 * (up @ down)
+        for k in target:
+            np.testing.assert_allclose(merged[k], expect, rtol=1e-5)
 
 
 class TestSparseControlNetParity:

@@ -57,9 +57,9 @@ def save_video_grid(videos: np.ndarray, path: str, fps: int = 8,
                     rescale: bool = False) -> None:
     """GIF writer (reference animatediff/utils/util.py:61-74): stack videos
     side by side per frame and write a GIF. videos [N, F, 3, H, W] or
-    [N, 3, F, H, W] in [0, 1] (rescale=True maps [-1,1]->[0,1])."""
-    import imageio
-
+    [N, 3, F, H, W] in [0, 1] (rescale=True maps [-1,1]->[0,1]).
+    Uses the native threaded codec (native/neurons_io.cpp) when built,
+    imageio otherwise."""
     v = np.asarray(videos)
     if v.shape[2] == 3 and v.shape[1] != 3:
         pass  # already [N, F, 3, H, W]
@@ -73,11 +73,27 @@ def save_video_grid(videos: np.ndarray, path: str, fps: int = 8,
         row = np.concatenate(list(v[:, f]), axis=-1)  # side-by-side on W
         frames.append((row.transpose(1, 2, 0) * 255).astype(np.uint8))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    from neurons_tpu import native_io
+    data = native_io.encode_gif(np.stack(frames),
+                                delay_ms=int(1000 / fps))
+    if data is not None:
+        with open(path, "wb") as fh:
+            fh.write(data)
+        return
+    import imageio
     imageio.mimsave(path, frames, duration=1000 / fps, loop=0)
 
 
 def load_gif(path: str) -> np.ndarray:
-    """-> [F, H, W, 3] uint8."""
+    """-> [F, H, W, 3] uint8. Native decoder fast path; imageio fallback
+    for exotic GIFs (interlaced etc.)."""
+    from neurons_tpu import native_io
+    with open(path, "rb") as fh:
+        data = fh.read()
+    frames = native_io.decode_gif(data)
+    if frames is not None:
+        return frames
     import imageio
 
     frames = imageio.mimread(path)

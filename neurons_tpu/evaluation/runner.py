@@ -31,12 +31,18 @@ class MetricClassifiers:
     clip_embed_fn: Optional[Callable] = None   # frames -> [F, D]
 
 
-def load_gif_dir(data_path: str):
+def load_gif_dir(data_path: str, workers: int = 8):
+    """Threaded load of the 1200-clip GIF directory (reference
+    run_metrics.py:36-47 reads sequentially); the native decoder releases
+    the GIL so threads scale."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [f for f in sorted(os.listdir(data_path)) if f.endswith(".gif")]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        gifs = list(pool.map(
+            lambda f: load_gif(os.path.join(data_path, f)), names))
     gts, preds = [], []
-    for filename in sorted(os.listdir(data_path)):
-        if not filename.endswith(".gif"):
-            continue
-        gif = load_gif(os.path.join(data_path, filename))
+    for gif in gifs:
         gt, pred = split_gt_pred(gif)
         gts.append(gt)
         preds.append(pred)

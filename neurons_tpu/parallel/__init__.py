@@ -4,4 +4,6 @@ from neurons_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     local_mesh_size,
+    prefetch_to_device,
+    replicate,
 )

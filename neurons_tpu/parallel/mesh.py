@@ -80,3 +80,28 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (e.g. params) over the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Overlap host->HBM batch transfer with device compute.
+
+    The TPU-native replacement for the reference's DataLoader worker
+    prefetch (num_workers, train_neurons.py prepare_data): a small deque
+    of batches is `shard_batch`-transferred AHEAD of consumption, so the
+    next batch's DMA rides under the current step's compute. Yields the
+    same dicts `shard_batch` would."""
+    import collections
+
+    queue = collections.deque()
+
+    def enqueue(n):
+        for _ in range(n):
+            batch = next(iterator, None)
+            if batch is None:
+                return
+            queue.append(shard_batch(mesh, batch))
+
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)

@@ -21,7 +21,7 @@ import numpy as np
 from neurons_tpu.config import (BrainModelConfig, DecouplerConfig,
                                 PipelineConfig, PriorConfig, TrainConfig)
 from neurons_tpu.data import cc2017
-from neurons_tpu.parallel import shard_batch
+from neurons_tpu.parallel import prefetch_to_device, shard_batch
 from neurons_tpu.training import losses, train_brain, train_decoupler
 from neurons_tpu.utils import checkpoint as ckpt_lib
 from neurons_tpu.utils.prng import epoch_key, root_key
@@ -52,18 +52,24 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
     for epoch in range(tcfg.num_epochs):
         t0 = time.time()
         ep_losses = []
-        for it, batch in enumerate(cc2017.batches(
-                train_split, tcfg.batch_size, seed=tcfg.seed + epoch)):
-            batch["index"] = np.arange(len(batch["voxel"]))
-            voxel, target = train_brain.select_stage1_inputs(
-                batch, epoch, clip_targets_train)
-            sb = shard_batch(mesh, {"voxel": voxel, "target": target,
-                                    "text": batch["text_emb"]})
+        def _stage1_batches():
+            for batch in cc2017.batches(train_split, tcfg.batch_size,
+                                        seed=tcfg.seed + epoch):
+                batch["index"] = np.arange(len(batch["voxel"]))
+                voxel, target = train_brain.select_stage1_inputs(
+                    batch, epoch, clip_targets_train)
+                yield {"voxel": voxel, "target": target,
+                       "text": batch["text_emb"]}
+
+        # device prefetch + on-device metrics: no host sync inside the
+        # hot loop (float() would block dispatch every step)
+        for it, sb in enumerate(prefetch_to_device(_stage1_batches(), mesh)):
             state, metrics = step_fn(state, epoch_key(key, epoch, it),
                                      sb["voxel"], sb["target"], sb["text"])
-            ep_losses.append(float(metrics["loss"]))
+            ep_losses.append(metrics["loss"])
             if it % log_every == 0:
-                _log(f"epoch {epoch} it {it}: loss={ep_losses[-1]:.4f}")
+                _log(f"epoch {epoch} it {it}: loss={float(metrics['loss']):.4f}")
+        ep_losses = [float(x) for x in ep_losses]
 
         # epoch-end eval (reference :557-626)
         ev = eval_fn(state.params,
@@ -113,18 +119,22 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
         ep_losses = []
         temp_idx = min(max(epoch - int(tcfg.mixup_pct * tcfg.num_epochs), 0),
                        len(soft_temps) - 1)
-        for it, batch in enumerate(cc2017.batches(
-                train_split, tcfg.batch_size, seed=tcfg.seed + epoch)):
-            full = batch_builder(batch, epoch)
-            sb = shard_batch(mesh, full)
+        def _stage2_batches():
+            for batch in cc2017.batches(train_split, tcfg.batch_size,
+                                        seed=tcfg.seed + epoch):
+                yield batch_builder(batch, epoch)
+
+        for it, sb in enumerate(prefetch_to_device(_stage2_batches(), mesh)):
             state, metrics = step_fn(state, epoch_key(key, epoch, it), sb,
                                      jnp.asarray(epoch), jnp.asarray(it),
                                      jnp.asarray(soft_temps[temp_idx]))
-            ep_losses.append(float(metrics["loss"]))
+            ep_losses.append(metrics["loss"])
             if it % log_every == 0:
-                _log(f"epoch {epoch} it {it}: loss={ep_losses[-1]:.4f} "
+                _log(f"epoch {epoch} it {it}: "
+                     f"loss={float(metrics['loss']):.4f} "
                      f"prior={float(metrics['loss_prior']):.4f} "
                      f"seg={float(metrics['loss_key_obj_seg']):.4f}")
+        ep_losses = [float(x) for x in ep_losses]
         _log(f"epoch {epoch}: mean_loss={np.mean(ep_losses):.4f} "
              f"({time.time() - t0:.1f}s)")
         if ckpt_dir:

@@ -144,3 +144,62 @@ class TestPriorNetwork:
         o1 = net.apply(params, img, jnp.array([0]), brain)
         o2 = net.apply(params, img, jnp.array([9]), brain)
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+class TestSamplerZoo:
+    """With D(x, sigma) = x0 constant, the PF-ODE trajectory is
+    x(sigma) = x0 + c*sigma (d is constant), so EVERY consistent sampler
+    must land exactly on x0 at sigma=0 — a discriminating correctness
+    check for the whole zoo (reference sampling.py:87-367)."""
+
+    def _setup(self):
+        import numpy as np
+        from neurons_tpu.diffusion import samplers as S
+        from neurons_tpu.diffusion.schedule import sd_sigmas
+
+        x0 = jnp.asarray(np.random.RandomState(0).randn(2, 3, 4, 4),
+                         jnp.float32)
+        denoise = lambda x, sigma: jnp.broadcast_to(x0, x.shape)
+        sigmas = jnp.asarray(sd_sigmas(8), jnp.float32)
+        x_init = jax.random.normal(jax.random.PRNGKey(1), x0.shape) \
+            * sigmas[0]
+        return S, denoise, x0, sigmas, x_init
+
+    def test_euler_converges(self):
+        S, d, x0, sig, x = self._setup()
+        out = S.sample_euler(d, x, sig, prepare=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-4)
+
+    def test_heun_converges(self):
+        S, d, x0, sig, x = self._setup()
+        out = S.sample_heun(d, x, sig, prepare=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-4)
+
+    def test_euler_ancestral_converges(self):
+        S, d, x0, sig, x = self._setup()
+        out = S.sample_euler_ancestral(d, x, sig, jax.random.PRNGKey(2),
+                                       prepare=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-4)
+
+    def test_dpmpp2m_converges(self):
+        S, d, x0, sig, x = self._setup()
+        out = S.sample_dpmpp2m(d, x, sig, prepare=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-3)
+
+    def test_dpmpp2s_ancestral_converges(self):
+        S, d, x0, sig, x = self._setup()
+        out = S.sample_dpmpp2s_ancestral(d, x, sig, jax.random.PRNGKey(2),
+                                         prepare=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-3)
+
+    def test_lms_converges(self):
+        import numpy as np
+        S, d, x0, sig, x = self._setup()
+        out = S.sample_lms(d, x, np.asarray(sig), prepare=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-3)

@@ -38,9 +38,12 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                clip_targets_train: np.ndarray,
                clip_targets_test: np.ndarray,
                ckpt_dir: Optional[str] = None,
-               log_every: int = 50) -> train_brain.TrainState:
+               log_every: int = 50, logger=None) -> train_brain.TrainState:
     """Stage-1 training (reference `--no-neurons_decoupler` branch).
     clip_targets_*: precomputed CLIP tables [N, n_frames, 256, 1664]."""
+    if logger is None:
+        from neurons_tpu.utils.metrics_log import MetricLogger
+        logger = MetricLogger(log_dir=ckpt_dir)
     steps_per_epoch = max(len(train_split) // tcfg.batch_size, 1)
     key = root_key(tcfg.seed)
     model, state, tx = train_brain.init_stage1(bcfg, tcfg, steps_per_epoch,
@@ -82,6 +85,12 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
         metric = fwd + bwd + txt
         _log(f"epoch {epoch}: mean_loss={np.mean(ep_losses):.4f} fwd={fwd:.3f} "
              f"bwd={bwd:.3f} txt={txt:.3f} ({time.time() - t0:.1f}s)")
+        logger.log_metrics({"epoch": epoch,
+                            "train/mean_loss": float(np.mean(ep_losses)),
+                            "test/fwd_pct": fwd, "test/bwd_pct": bwd,
+                            "test/text_pct": txt,
+                            "epoch_seconds": time.time() - t0},
+                           step=int(state.step))
         if ckpt_dir and metric > best_metric:
             best_metric = metric
             ckpt_lib.save_ckpt(ckpt_dir, "brain_model", params=state.params,
@@ -99,10 +108,13 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                train_split: cc2017.CC2017Split,
                batch_builder: Callable[[Dict, int], Dict],
                core_params=None, ckpt_dir: Optional[str] = None,
-               log_every: int = 50) -> train_brain.TrainState:
+               log_every: int = 50, logger=None) -> train_brain.TrainState:
     """Stage-2 training (reference `--neurons_decoupler` branch).
     `batch_builder(batch, epoch)` assembles the precomputed-table fields
     (clip targets, class text embeds, VAE latents) for a raw batch."""
+    if logger is None:
+        from neurons_tpu.utils.metrics_log import MetricLogger
+        logger = MetricLogger(log_dir=ckpt_dir)
     steps_per_epoch = max(len(train_split) // tcfg.batch_size, 1)
     key = root_key(tcfg.seed)
     bundle, state = train_decoupler.init_stage2(
@@ -137,6 +149,10 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
         ep_losses = [float(x) for x in ep_losses]
         _log(f"epoch {epoch}: mean_loss={np.mean(ep_losses):.4f} "
              f"({time.time() - t0:.1f}s)")
+        logger.log_metrics({"epoch": epoch,
+                            "train/mean_loss": float(np.mean(ep_losses)),
+                            "epoch_seconds": time.time() - t0},
+                           step=int(state.step))
         if ckpt_dir:
             ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior",
                                params=state.params, step=int(state.step),

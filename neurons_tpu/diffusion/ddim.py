@@ -64,3 +64,29 @@ class DDIMScheduler(NamedTuple):
             jnp.maximum(prev_t, 0)], self.final_alpha_cumprod)
         x0 = (sample - jnp.sqrt(1 - abar_t) * eps_pred) / jnp.sqrt(abar_t)
         return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1 - abar_prev) * eps_pred
+
+
+def ddim_inversion(scheduler: DDIMScheduler, eps_fn, latents: jax.Array,
+                   num_steps: int) -> jax.Array:
+    """DDIM inversion: run the deterministic trajectory BACKWARD (clean ->
+    noised), reference animatediff/utils/util.py:192-246 `ddim_inversion`.
+    eps_fn(x, t[B]) -> eps. Returns the inverted latent at the last step."""
+    ts = scheduler.timesteps[::-1]  # ascending
+
+    def step(x, i):
+        t = ts[i]
+        step_ratio = scheduler.num_train_timesteps // ts.shape[0]
+        prev_t = t - step_ratio
+        abar_t = scheduler.alphas_cumprod[t]
+        abar_prev = jnp.where(
+            prev_t >= 0,
+            scheduler.alphas_cumprod[jnp.maximum(prev_t, 0)],
+            scheduler.final_alpha_cumprod)
+        eps = eps_fn(x, jnp.full((x.shape[0],), t))
+        # invert: x was at "prev"; lift to t
+        x0 = (x - jnp.sqrt(1 - abar_prev) * eps) / jnp.sqrt(abar_prev)
+        x_t = jnp.sqrt(abar_t) * x0 + jnp.sqrt(1 - abar_t) * eps
+        return x_t, None
+
+    out, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+    return out

@@ -278,3 +278,24 @@ def sample_lms(denoise: DenoiseFn, x: jax.Array, sigmas,
     ds0 = jnp.zeros((order,) + x.shape, x.dtype)
     (x, _), _ = jax.lax.scan(step, (x, ds0), jnp.arange(n))
     return x
+
+
+def make_linear_prediction_denoiser(denoiser, network, cond: Dict, uc: Dict,
+                                    num_frames: int, min_scale: float = 1.0,
+                                    max_scale: float = 2.5) -> DenoiseFn:
+    """LinearPredictionGuider (reference guiders.py:49-99, SVD video CFG):
+    per-frame guidance scale ramping linearly min->max over the clip.
+    Expects the frame axis folded into batch as [(B F), ...]."""
+    scales = jnp.linspace(min_scale, max_scale, num_frames)
+
+    def denoise(x, sigma):
+        x2 = jnp.concatenate([x, x], axis=0)
+        s2 = jnp.concatenate([sigma, sigma], axis=0)
+        c2 = {k: jnp.concatenate([uc[k], cond[k]], axis=0) for k in cond}
+        out = denoiser(network, x2, s2, **c2)
+        x_u, x_c = jnp.split(out, 2, axis=0)
+        b = x_u.shape[0] // num_frames
+        scale = jnp.tile(scales, b).reshape((-1,) + (1,) * (x_u.ndim - 1))
+        return x_u + scale * (x_c - x_u)
+
+    return denoise

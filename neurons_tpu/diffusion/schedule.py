@@ -141,3 +141,17 @@ def sd_sigmas(num_steps: int, timesteps: int = 1000,
     if append_zero:
         sigmas = np.concatenate([sigmas, [0.0]])
     return jnp.asarray(sigmas.copy(), jnp.float32)
+
+
+def edm_sigmas(num_steps: int, sigma_min: float = 0.002,
+               sigma_max: float = 80.0, rho: float = 7.0,
+               append_zero: bool = True) -> jax.Array:
+    """EDMDiscretization (reference discretizer.py:28-39, Karras et al.):
+    sigma_i = (max^(1/rho) + i/(n-1) * (min^(1/rho) - max^(1/rho)))^rho,
+    descending with a trailing 0."""
+    ramp = np.linspace(0, 1, num_steps)
+    min_r, max_r = sigma_min ** (1 / rho), sigma_max ** (1 / rho)
+    sigmas = (max_r + ramp * (min_r - max_r)) ** rho
+    if append_zero:
+        sigmas = np.concatenate([sigmas, [0.0]])
+    return jnp.asarray(sigmas, jnp.float32)

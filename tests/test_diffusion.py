@@ -203,3 +203,61 @@ class TestSamplerZoo:
         out = S.sample_lms(d, x, np.asarray(sig), prepare=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
                                    atol=1e-3)
+
+
+class TestDiffusionExtras:
+    def test_edm_sigmas_ladder(self):
+        from neurons_tpu.diffusion.schedule import edm_sigmas
+        s = np.asarray(edm_sigmas(10))
+        assert s.shape == (11,) and s[-1] == 0.0
+        assert (np.diff(s) < 0).all()  # strictly descending
+        np.testing.assert_allclose(s[0], 80.0, rtol=1e-5)
+        np.testing.assert_allclose(s[-2], 0.002, rtol=1e-4)
+
+    def test_ddim_inversion_round_trip(self):
+        from neurons_tpu.diffusion.ddim import DDIMScheduler, ddim_inversion
+        sched = DDIMScheduler.create(10)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 4),
+                        jnp.float32)
+        zero_eps = lambda z, t: jnp.zeros_like(z)
+        inv = ddim_inversion(sched, zero_eps, x, 10)
+        # forward DDIM with the same zero eps must undo the inversion
+        def fwd(z, t):
+            return sched.step(jnp.zeros_like(z), t, z), None
+        out, _ = jax.lax.scan(fwd, inv, sched.timesteps)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_linear_prediction_guider_ramps(self):
+        from neurons_tpu.diffusion import samplers as S
+        F = 4
+        # denoiser returns cond=1, uncond=0 -> output == per-frame scale
+        def denoiser(network, x, s, **kw):
+            half = x.shape[0] // 2
+            return jnp.concatenate([jnp.zeros_like(x[:half]),
+                                    jnp.ones_like(x[half:])], axis=0)
+        d = S.make_linear_prediction_denoiser(
+            denoiser, None, {"c": jnp.zeros((F, 1))},
+            {"c": jnp.zeros((F, 1))}, num_frames=F,
+            min_scale=1.0, max_scale=2.5)
+        out = d(jnp.zeros((F, 2)), jnp.zeros((F,)))
+        np.testing.assert_allclose(np.asarray(out[:, 0]),
+                                   np.linspace(1.0, 2.5, F), rtol=1e-6)
+
+    def test_standard_diffusion_loss_zero_for_perfect_denoiser(self):
+        from neurons_tpu.diffusion.loss import (standard_diffusion_loss,
+                                                discrete_sigma_sampler,
+                                                edm_sigma_sampler)
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 2, 8, 8),
+                        jnp.float32)
+        perfect = lambda noised, sigmas: jnp.broadcast_to(x, noised.shape)
+        for sampler in (discrete_sigma_sampler(100), edm_sigma_sampler()):
+            loss = standard_diffusion_loss(perfect, x, jax.random.PRNGKey(0),
+                                           sampler,
+                                           offset_noise_level=0.04)
+            assert float(loss) < 1e-10
+        # a wrong denoiser has positive loss
+        wrong = lambda noised, sigmas: noised
+        loss = standard_diffusion_loss(wrong, x, jax.random.PRNGKey(0),
+                                       discrete_sigma_sampler(100))
+        assert float(loss) > 0.1

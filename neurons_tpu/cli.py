@@ -57,6 +57,9 @@ def _add_train_args(p):
                    choices=["cycle", "linear", "cosine"])
     p.add_argument("--ckpt_saving", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--resume_from_ckpt", action="store_true",
+                   help="resume params/opt-state/epoch from the *_last "
+                        "checkpoint (reference train_neurons.py:342-352)")
 
 
 def _setup(args):
@@ -141,7 +144,7 @@ def cmd_train_brain(args):
     ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
     run_stage1(bcfg, tcfg, mesh, train_split, test_split, ct_train, ct_test,
-               ckpt_dir=ckpt_dir)
+               ckpt_dir=ckpt_dir, resume=args.resume_from_ckpt)
     print("=== stage 1 finished ===")
 
 
@@ -169,7 +172,8 @@ def cmd_train_decoupler(args):
                                              args.seed)
     os.makedirs(ckpt_dir, exist_ok=True)
     run_stage2(bcfg, pcfg, dcfg, tcfg, gcfg, mesh, train_split, builder,
-               core_params=core_params, ckpt_dir=ckpt_dir)
+               core_params=core_params, ckpt_dir=ckpt_dir,
+               resume=args.resume_from_ckpt)
     print("=== stage 2 finished ===")
 
 

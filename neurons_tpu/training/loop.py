@@ -32,15 +32,36 @@ def _log(msg: str):
         print(msg, flush=True)
 
 
+def _restore_state(ckpt_dir: str, tag: str, state, state_cls):
+    """Full-state resume: params + optimizer state + step + epoch
+    (reference train_neurons.py:342-352 restores model/opt/sched/epoch;
+    the LR schedule lives in the optax opt_state step counters)."""
+    template = {"params": state.params, "opt_state": state.opt_state,
+                "step": np.asarray(0), "epoch": np.asarray(0)}
+    try:
+        loaded = ckpt_lib.load_ckpt(ckpt_dir, tag, template=template)
+        opt_state = loaded["opt_state"]
+    except Exception:  # older ckpt without opt_state: params-only resume
+        loaded = ckpt_lib.load_ckpt(ckpt_dir, tag)
+        opt_state = state.opt_state
+    params = ckpt_lib.restore_into(state.params, loaded["params"])
+    new_state = state_cls(params, opt_state,
+                          jnp.asarray(loaded["step"]))
+    return new_state, int(loaded["epoch"]) + 1
+
+
 def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                train_split: cc2017.CC2017Split,
                test_split: cc2017.CC2017Split,
                clip_targets_train: np.ndarray,
                clip_targets_test: np.ndarray,
                ckpt_dir: Optional[str] = None,
-               log_every: int = 50, logger=None) -> train_brain.TrainState:
+               log_every: int = 50, logger=None,
+               resume: bool = False) -> train_brain.TrainState:
     """Stage-1 training (reference `--no-neurons_decoupler` branch).
-    clip_targets_*: precomputed CLIP tables [N, n_frames, 256, 1664]."""
+    clip_targets_*: precomputed CLIP tables [N, n_frames, 256, 1664].
+    `resume=True` restores params/opt-state/epoch from brain_model_last
+    (reference --resume_from_ckpt, train_neurons.py:342-352)."""
     if logger is None:
         from neurons_tpu.utils.metrics_log import MetricLogger
         logger = MetricLogger(log_dir=ckpt_dir)
@@ -51,8 +72,14 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
     step_fn = train_brain.make_stage1_train_step(model, tx, tcfg)
     eval_fn = train_brain.make_stage1_eval_step(model)
 
+    start_epoch = 0
+    if resume and ckpt_dir and ckpt_lib.exists(ckpt_dir, "brain_model_last"):
+        state, start_epoch = _restore_state(ckpt_dir, "brain_model_last",
+                                            state, train_brain.TrainState)
+        _log(f"--- resumed brain_model_last at epoch {start_epoch} ---")
+
     best_metric = -np.inf
-    for epoch in range(tcfg.num_epochs):
+    for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
         ep_losses = []
         def _stage1_batches():
@@ -99,7 +126,8 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
             _log(f"  new best metric {metric:.3f} -> saved brain_model")
     if ckpt_dir and tcfg.ckpt_saving:
         ckpt_lib.save_ckpt(ckpt_dir, "brain_model_last", params=state.params,
-                           step=int(state.step), epoch=tcfg.num_epochs - 1)
+                           opt_state=state.opt_state, step=int(state.step),
+                           epoch=tcfg.num_epochs - 1)
     return state
 
 
@@ -108,7 +136,8 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                train_split: cc2017.CC2017Split,
                batch_builder: Callable[[Dict, int], Dict],
                core_params=None, ckpt_dir: Optional[str] = None,
-               log_every: int = 50, logger=None) -> train_brain.TrainState:
+               log_every: int = 50, logger=None,
+               resume: bool = False) -> train_brain.TrainState:
     """Stage-2 training (reference `--neurons_decoupler` branch).
     `batch_builder(batch, epoch)` assembles the precomputed-table fields
     (clip targets, class text embeds, VAE latents) for a raw batch."""
@@ -126,7 +155,15 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
         tcfg.soft_temp_start, tcfg.soft_temp_end,
         max(tcfg.num_epochs - int(tcfg.mixup_pct * tcfg.num_epochs), 1)))
 
-    for epoch in range(tcfg.num_epochs):
+    start_epoch = 0
+    if resume and ckpt_dir and ckpt_lib.exists(ckpt_dir,
+                                               "brain_model_prior_last"):
+        state, start_epoch = _restore_state(
+            ckpt_dir, "brain_model_prior_last", state,
+            train_decoupler.TrainState)
+        _log(f"--- resumed brain_model_prior_last at epoch {start_epoch} ---")
+
+    for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
         ep_losses = []
         temp_idx = min(max(epoch - int(tcfg.mixup_pct * tcfg.num_epochs), 0),
@@ -159,8 +196,8 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                                epoch=epoch)
     if ckpt_dir and tcfg.ckpt_saving:
         ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
-                           params=state.params, step=int(state.step),
-                           epoch=tcfg.num_epochs - 1)
+                           params=state.params, opt_state=state.opt_state,
+                           step=int(state.step), epoch=tcfg.num_epochs - 1)
     return state
 
 

@@ -51,9 +51,15 @@ def save_ckpt(directory: str, tag: str, *, params: Any, opt_state: Any = None,
     return path
 
 
-def load_ckpt(directory: str, tag: str) -> Dict:
+def load_ckpt(directory: str, tag: str, template: Any = None) -> Dict:
+    """Load a checkpoint; with `template` (a payload-shaped pytree, e.g.
+    including a live optax opt_state) Orbax restores INTO that structure,
+    which is how NamedTuple-typed optimizer states round-trip."""
     path = os.path.abspath(os.path.join(directory, tag))
-    restored = _checkpointer().restore(path)
+    if template is not None:
+        restored = _checkpointer().restore(path, item=template)
+    else:
+        restored = _checkpointer().restore(path)
     # hand back jax arrays: numpy leaves break traced indexing
     # (np_param[traced_idx] calls __array__ on the tracer)
     import jax.numpy as jnp

@@ -371,15 +371,21 @@ def cmd_video(args):
     # stage-3 artifacts (blurry videos + keyframes); synthetic fallback
     st3 = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
     g = np.random.default_rng(args.seed)
+    # round-robin clip scattering: this process handles clips
+    # shard, shard+num_shards, ... (reference org_idx = rank + i * N)
+    shard, num_shards = args.shard, args.num_shards
     try:
         art = io.load_stage3_artifacts(st3, args.subj)
-        keyframes = jnp.asarray(art["all_recons"][:2], jnp.float32)
-        gts = art["all_gts"][:2]
+        sel = np.arange(shard, len(art["all_recons"]), num_shards)
+        if args.tiny:
+            sel = sel[:2]
+        keyframes = jnp.asarray(art["all_recons"][sel], jnp.float32)
+        gts = art["all_gts"][sel]
         blurry = None  # blurry latents need VAE decode; use GT-shaped noise
     except FileNotFoundError:
         if not args.synthetic:
             raise
-        keyframes, gts = None, None
+        keyframes, gts, sel = None, None, np.arange(2)
     if keyframes is None or keyframes.ndim != 4:
         keyframes = jnp.asarray(g.uniform(size=(2, 3, hw, hw)), jnp.float32)
         gts = g.uniform(size=(2, 6, 3, hw, hw)).astype(np.float32)
@@ -419,7 +425,9 @@ def cmd_video(args):
             jnp.asarray(gt_i), (video.shape[1], 3, video.shape[3],
                                 video.shape[4]), "linear"))
         side = np.concatenate([gt_i[None], video[i][None]], axis=-1)
-        io.save_video_grid(side, os.path.join(out_dir, f"test{i + 1}.gif"))
+        org_idx = int(sel[i]) if i < len(sel) else i
+        io.save_video_grid(side, os.path.join(out_dir,
+                                              f"test{org_idx + 1}.gif"))
     print(f"=== stage 5 finished -> {out_dir} ===")
 
 
@@ -484,6 +492,20 @@ def cmd_eval(args):
     print(f"=== stage 6 finished -> {out} ===")
 
 
+def cmd_pipeline(args):
+    """Run stages in sequence (reference train_neurons.sh stage string,
+    e.g. '123456' or '12e')."""
+    stage_map = {"1": cmd_train_brain, "2": cmd_train_decoupler,
+                 "3": cmd_recon, "4": cmd_caption, "5": cmd_video,
+                 "e": cmd_decoupled_eval, "6": cmd_eval}
+    for s in args.stages:
+        if s not in stage_map:
+            raise SystemExit(f"unknown stage '{s}' (use 12345e6)")
+    for s in args.stages:
+        print(f"=== pipeline: stage {s} ===")
+        stage_map[s](args)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="neurons")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -513,6 +535,10 @@ def main(argv=None):
     _add_common(p)
     _add_train_args(p)
     p.add_argument("--enhance", action="store_true")
+    p.add_argument("--shard", type=int, default=0,
+                   help="round-robin clip shard index (reference "
+                        "neuroclips_video.py:39-40 rank scattering)")
+    p.add_argument("--num_shards", type=int, default=1)
     p.set_defaults(fn=cmd_video)
 
     p = sub.add_parser("decoupled-eval", help="stage e")
@@ -524,6 +550,18 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--mode", type=str, default="enhance")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("pipeline", help="run stages in sequence, e.g. "
+                                        "'pipeline 123456'")
+    p.add_argument("stages", type=str,
+                   help="stage string: subset of 12345e6, in order")
+    _add_common(p)
+    _add_train_args(p)
+    p.add_argument("--enhance", action="store_true")
+    p.add_argument("--mode", type=str, default="enhance")
+    p.add_argument("--shard", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=1)
+    p.set_defaults(fn=cmd_pipeline)
 
     args = parser.parse_args(argv)
     if getattr(args, "profile", None):

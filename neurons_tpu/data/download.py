@@ -32,6 +32,37 @@ def download(root_dir: str = "./cc2017_dataset",
         print(f"downloaded {repo} -> {root_dir}")
 
 
+WEIGHTS = {
+    # reference README.md:31-99 + animatediff auto_download (util.py:77-89)
+    "animatediff": ("guoyww/animatediff", "model",
+                    ["v3_sd15_mm.ckpt", "v3_sd15_adapter.ckpt",
+                     "v3_sd15_sparsectrl_rgb.ckpt"]),
+    "neurons_exp": ("McGregorW/NEURONS", "model", None),  # EXP dump (>60GB)
+}
+
+
+def download_weights(weights_dir: str = "./pretrained_weights",
+                     bundles=("animatediff",)) -> None:
+    """auto_download equivalent (reference animatediff/utils/util.py:77-89:
+    existence-check then hub fetch)."""
+    from huggingface_hub import hf_hub_download, snapshot_download
+
+    os.makedirs(weights_dir, exist_ok=True)
+    for name in bundles:
+        repo, rtype, files = WEIGHTS[name]
+        if files is None:
+            snapshot_download(repo_id=repo, repo_type=rtype,
+                              local_dir=weights_dir)
+            continue
+        for f in files:
+            dest = os.path.join(weights_dir, f)
+            if os.path.exists(dest):
+                continue
+            hf_hub_download(repo_id=repo, filename=f, repo_type=rtype,
+                            local_dir=weights_dir)
+            print(f"downloaded {repo}/{f} -> {weights_dir}")
+
+
 if __name__ == "__main__":
     import sys
 

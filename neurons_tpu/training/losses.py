@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -182,3 +183,26 @@ def cosine_anneal(start: float, end: float, steps: int) -> jax.Array:
 
 def l2norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def check_loss(loss: jax.Array, name: str = "loss") -> jax.Array:
+    """NaN guard (reference utils.py:254-256 raises on NaN losses). Under
+    jit this uses checkify-free debug callbacks: the loss is returned
+    unchanged and a non-finite value triggers a host-side error print; for
+    a hard stop enable `jax.config.update("jax_debug_nans", True)` (the
+    CLI's --debug_nans)."""
+    import jax.debug
+
+    def _warn(ok, val):
+        if not ok:
+            print(f"!! non-finite {name}: {val}")
+
+    jax.debug.callback(_warn, jnp.isfinite(loss).all(), loss)
+    return loss
+
+
+def count_params(params) -> int:
+    """Total parameter count (reference utils.py:248-252)."""
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(params)
+               if hasattr(p, "shape"))

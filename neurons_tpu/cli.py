@@ -168,8 +168,16 @@ def cmd_train_decoupler(args):
         core_params = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_last")["params"]
         print("--- resuming core from brain_model_last ---")
 
-    builder = synthetic_stage2_batch_builder(bcfg, dcfg, gcfg.vocab_size,
-                                             args.seed)
+    tables_exist = os.path.exists(
+        os.path.join(args.root_dir, "clip_targets_train.npy"))
+    if tables_exist and not args.synthetic:
+        from neurons_tpu.training.loop import table_stage2_batch_builder
+        builder = table_stage2_batch_builder(args.root_dir, dcfg,
+                                             gcfg.vocab_size)
+        print("--- using precomputed frozen-encoder tables ---")
+    else:
+        builder = synthetic_stage2_batch_builder(bcfg, dcfg, gcfg.vocab_size,
+                                                 args.seed)
     os.makedirs(ckpt_dir, exist_ok=True)
     run_stage2(bcfg, pcfg, dcfg, tcfg, gcfg, mesh, train_split, builder,
                core_params=core_params, ckpt_dir=ckpt_dir,
@@ -492,6 +500,96 @@ def cmd_eval(args):
     print(f"=== stage 6 finished -> {out} ===")
 
 
+def cmd_precompute(args):
+    """Build the frozen-encoder tables stage-1/2 training streams from
+    disk (see data/precompute.py; replaces the reference's in-loop frozen
+    CLIP/VAE forwards, train_neurons.py:400,498-499)."""
+    _setup(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neurons_tpu.config import VAEConfig
+    from neurons_tpu.data import precompute as pc
+    from neurons_tpu.data.clip_tokenizer import tokenize
+    from neurons_tpu.models.clip import (CLIPTextConfig, CLIPTextTower,
+                                         CLIPVisionConfig, CLIPVisionTower,
+                                         preprocess_images)
+    from neurons_tpu.models.vae import AutoencoderKL
+
+    bcfg, _, _, tcfg = _configs(args)
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.tiny:
+        vc, tc = CLIPVisionConfig.tiny(), CLIPTextConfig.tiny()
+        vcfg = VAEConfig(block_out_channels=(8, 8), layers_per_block=1,
+                         norm_num_groups=4)
+    else:
+        vc, tc, vcfg = (CLIPVisionConfig.bigG(), CLIPTextConfig.bigG(),
+                        VAEConfig())
+    vision = CLIPVisionTower(vc)
+    text = CLIPTextTower(tc)
+    vae = AutoencoderKL(vcfg)
+
+    wfile = os.path.join(args.weights_dir, "open_clip_bigG.pt")
+    img_hw = vc.image_size
+    if os.path.exists(wfile):
+        import torch
+        from neurons_tpu.interop.torch_import import (import_open_clip_text,
+                                                      import_open_clip_vision)
+        sd = torch.load(wfile, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        vparams, _ = import_open_clip_vision(sd, vc.layers)
+        tparams, _ = import_open_clip_text(sd, tc.layers)
+    else:
+        if not (args.tiny or args.synthetic):
+            raise FileNotFoundError(f"{wfile} missing (open_clip bigG sd)")
+        vparams = vision.init(key, jnp.zeros((1, 3, img_hw, img_hw)))["params"]
+        tparams = text.init(key, jnp.zeros((1, 8), jnp.int32))["params"]
+    vae_file = os.path.join(args.weights_dir, "sd_vae.pt")
+    if os.path.exists(vae_file):
+        from neurons_tpu.interop.load_weights import load_sd_vae
+        vae_params, _ = load_sd_vae(vae_file, vcfg)
+        vae_params = {"params": vae_params}
+    else:
+        hw = 8 * 2 ** (len(vcfg.block_out_channels) - 1)
+        vae_params = vae.init(key, jnp.zeros((1, 3, hw, hw)))
+
+    tokens_fn = jax.jit(lambda x: vision.apply(
+        {"params": vparams}, preprocess_images(jnp.asarray(x), img_hw))[1])
+    text_fn = jax.jit(lambda t: text.apply({"params": tparams},
+                                           jnp.asarray(t))[1])
+    vae_fn = jax.jit(lambda x: vae.apply(
+        vae_params, jnp.asarray(x), method=AutoencoderKL.encode).mode())
+
+    os.makedirs(args.root_dir, exist_ok=True)
+    for train in (True, False):
+        split = _load_data(args, bcfg, tcfg, train=train)
+        tag = "train" if train else "test"
+        pc.precompute_clip_targets(
+            np.asarray(split.images), tokens_fn,
+            os.path.join(args.root_dir, f"clip_targets_{tag}.npy"),
+            batch_size=4 if args.tiny else 16)
+        pc.precompute_vae_latents(
+            np.asarray(split.images), vae_fn,
+            os.path.join(args.root_dir, f"vae_latents_{tag}.npy"),
+            batch_size=4 if args.tiny else 16)
+    pc.precompute_class_text_embeds(
+        text_fn, lambda names: np.stack(
+            [np.asarray(t[:tc.context_length]) for t in
+             _pad_tokens(tokenize(names), tc.context_length)]),
+        os.path.join(args.root_dir, "class_text_embeds.npy"))
+    print(f"=== precompute finished -> {args.root_dir} ===")
+
+
+def _pad_tokens(tok_list, length):
+    import numpy as np
+    out = []
+    for t in tok_list:
+        t = list(t)[:length]
+        out.append(np.asarray(t + [0] * (length - len(t)), np.int32))
+    return out
+
+
 def cmd_pipeline(args):
     """Run stages in sequence (reference train_neurons.sh stage string,
     e.g. '123456' or '12e')."""
@@ -550,6 +648,13 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--mode", type=str, default="enhance")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("precompute", help="build frozen-encoder tables "
+                                          "(CLIP targets, VAE latents, "
+                                          "class text embeds)")
+    _add_common(p)
+    _add_train_args(p)
+    p.set_defaults(fn=cmd_precompute)
 
     p = sub.add_parser("pipeline", help="run stages in sequence, e.g. "
                                         "'pipeline 123456'")

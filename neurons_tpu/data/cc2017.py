@@ -158,4 +158,8 @@ def batches(split: CC2017Split, batch_size: int, seed: int = 0,
               if getattr(split, f.name) is not None}
     for start in range(0, stop, batch_size):
         sel = idx[start:start + batch_size]
-        yield {k: v[sel] for k, v in fields.items()}
+        out = {k: v[sel] for k, v in fields.items()}
+        # global dataset indices — precomputed-table lookups (CLIP targets,
+        # VAE latents) must address the TABLE rows of the drawn samples
+        out["index"] = sel
+        yield out

@@ -143,6 +143,21 @@ class SimpleTokenizer:
 _tokenizer: Optional[SimpleTokenizer] = None
 
 
+class _ByteFallbackTokenizer:
+    """Byte-level stand-in used ONLY when the CLIP BPE merges file is
+    absent (smoke/synthetic runs): ids are raw UTF-8 bytes. NOT
+    CLIP-vocabulary-compatible — real runs must provide the merges file
+    (set CLIP_BPE_PATH; it ships with the reference weight bundle)."""
+
+    def encode(self, text: str) -> List[int]:
+        return list(whitespace_clean(basic_clean(text)).lower()
+                    .encode("utf-8"))
+
+    def decode(self, tokens: Sequence[int]) -> str:
+        return bytes(int(t) for t in tokens
+                     if 0 <= int(t) < 256).decode("utf-8", errors="replace")
+
+
 def tokenize(texts: Sequence[str], context_length: int = CONTEXT_LENGTH,
              bpe_path: Optional[str] = None) -> List[List[int]]:
     """open_clip.tokenize-compatible: [SOT] + bpe + [EOT], truncated to
@@ -150,7 +165,15 @@ def tokenize(texts: Sequence[str], context_length: int = CONTEXT_LENGTH,
     lists (callers pad to their own fixed length)."""
     global _tokenizer
     if _tokenizer is None:
-        _tokenizer = SimpleTokenizer(bpe_path)
+        try:
+            _tokenizer = SimpleTokenizer(bpe_path)
+        except FileNotFoundError:
+            import warnings
+            warnings.warn("CLIP BPE merges file missing - using the "
+                          "byte-level fallback tokenizer (ids are NOT "
+                          "CLIP-compatible; set CLIP_BPE_PATH for real "
+                          "runs)")
+            _tokenizer = _ByteFallbackTokenizer()
     out = []
     for text in texts:
         ids = [SOT] + _tokenizer.encode(text) + [EOT]

@@ -85,7 +85,6 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
         def _stage1_batches():
             for batch in cc2017.batches(train_split, tcfg.batch_size,
                                         seed=tcfg.seed + epoch):
-                batch["index"] = np.arange(len(batch["voxel"]))
                 voxel, target = train_brain.select_stage1_inputs(
                     batch, epoch, clip_targets_train)
                 yield {"voxel": voxel, "target": target,
@@ -224,6 +223,44 @@ def synthetic_stage2_batch_builder(bcfg: BrainModelConfig,
             "clip_tokens": (batch["clip_tokens"][:, :12] % gpt2_vocab
                             ).astype(np.int32),
             "vae_latents": g.normal(size=(b, f, 4, 8, 8)).astype(np.float32),
+        }
+
+    return build
+
+
+def table_stage2_batch_builder(root_dir: str, dcfg: DecouplerConfig,
+                               gpt2_vocab: int,
+                               caption_token_len: int = 60) -> Callable:
+    """Real-data batch builder: streams the precomputed frozen-encoder
+    tables written by `neurons precompute` (data/precompute.py) — the
+    TPU-side replacement for the reference's in-loop frozen CLIP/VAE
+    forwards (reference train_neurons.py:400,457,498-499). Requires
+    batches carrying an 'index' field (added by the training loop) plus
+    the CC2017 fields."""
+    import os
+
+    clip_t = np.load(os.path.join(root_dir, "clip_targets_train.npy"),
+                     mmap_mode="r")
+    vae_t = np.load(os.path.join(root_dir, "vae_latents_train.npy"),
+                    mmap_mode="r")
+    class_emb = np.load(os.path.join(root_dir, "class_text_embeds.npy"))
+
+    def build(batch: Dict, epoch: int) -> Dict:
+        f = dcfg.n_frames
+        idx = batch["index"]
+        video = np.asarray(clip_t[idx, :f], np.float32)  # [B,F,256,1664]
+        key_cls = batch["key_obj_cls"].astype(np.int64)
+        return {
+            "voxel": batch["voxel"][:, :1].astype(np.float32),
+            "clip_vision_target": video[:, min(2, f - 1)],
+            "clip_video_target": video,
+            "text_emb": batch["text_emb"].astype(np.float32),
+            "key_obj_text_embed": class_emb[key_cls].astype(np.float32),
+            "key_obj_masks": batch["key_obj_masks"][:, :f].astype(np.float32),
+            "cls_label": batch["cls_label"].astype(np.float32),
+            "clip_tokens": (batch["clip_tokens"][:, :caption_token_len]
+                            % gpt2_vocab).astype(np.int32),
+            "vae_latents": np.asarray(vae_t[idx, :f], np.float32),
         }
 
     return build

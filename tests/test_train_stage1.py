@@ -98,3 +98,50 @@ def test_data_iterator_contract():
     v, img = train_brain.select_stage1_inputs(bs[0], epoch=1)
     assert v.shape == (4, 1, 30)
     assert img.shape == bs[0]["images"][:, 3].shape
+
+
+class TestBatchIndexCorrespondence:
+    """Regression: shuffled batches MUST carry the global dataset indices
+    so precomputed-table lookups address the drawn samples (a local
+    arange() silently mismatches voxels and CLIP targets)."""
+
+    def test_index_maps_back_to_split_rows(self):
+        from neurons_tpu.data import cc2017
+
+        split = cc2017.synthetic_split(n=32, n_voxels=10, seed=0)
+        for batch in cc2017.batches(split, 8, seed=3, shuffle=True):
+            idx = batch["index"]
+            np.testing.assert_array_equal(batch["voxel"], split.voxel[idx])
+            np.testing.assert_array_equal(batch["text_emb"],
+                                          split.text_emb[idx])
+        # shuffling actually happened
+        first = next(iter(cc2017.batches(split, 8, seed=3)))
+        assert not np.array_equal(first["index"], np.arange(8))
+
+    def test_table_builder_uses_global_indices(self, tmp_path):
+        import os
+        from neurons_tpu.config import DecouplerConfig
+        from neurons_tpu.data import cc2017
+        from neurons_tpu.training.loop import table_stage2_batch_builder
+
+        n, f = 16, 2
+        rng = np.random.default_rng(0)
+        clip_t = rng.normal(size=(n, 6, 4, 8)).astype(np.float16)
+        vae_t = rng.normal(size=(n, 6, 4, 2, 2)).astype(np.float16)
+        np.save(tmp_path / "clip_targets_train.npy", clip_t)
+        np.save(tmp_path / "vae_latents_train.npy", vae_t)
+        np.save(tmp_path / "class_text_embeds.npy",
+                rng.normal(size=(7, 5)).astype(np.float32))
+        dcfg = DecouplerConfig(n_frames=f, num_classes=7, clip_emb_dim=8,
+                               clip_txt_emb_dim=5,
+                               decoder_block_out_channels=(8, 8, 8))
+        builder = table_stage2_batch_builder(str(tmp_path), dcfg,
+                                             gpt2_vocab=50)
+        split = cc2017.synthetic_split(n=n, n_voxels=10, n_classes=7, seed=1)
+        batch = next(iter(cc2017.batches(split, 4, seed=2, shuffle=True)))
+        full = builder(batch, epoch=0)
+        idx = batch["index"]
+        np.testing.assert_allclose(full["clip_video_target"],
+                                   clip_t[idx, :f].astype(np.float32))
+        np.testing.assert_allclose(full["vae_latents"],
+                                   vae_t[idx, :f].astype(np.float32))

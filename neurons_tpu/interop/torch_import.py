@@ -620,6 +620,84 @@ def import_motion_modules(state_dict: Dict, cfg, params: Dict
 
 
 # ---------------------------------------------------------------------------
+# HF metric classifiers (google/vit-base, MCG-NJU/videomae) -> models.vit
+# ---------------------------------------------------------------------------
+
+def _hf_vit_block(sd, p: str) -> Dict[str, Any]:
+    blk = {
+        "ln_1": norm(sd, f"{p}.layernorm_before"),
+        "q": linear(sd, f"{p}.attention.attention.query"),
+        "k": linear(sd, f"{p}.attention.attention.key"),
+        "v": linear(sd, f"{p}.attention.attention.value"),
+        "attn_out": linear(sd, f"{p}.attention.output.dense"),
+        "ln_2": norm(sd, f"{p}.layernorm_after"),
+        "mlp_fc": linear(sd, f"{p}.intermediate.dense"),
+        "mlp_proj": linear(sd, f"{p}.output.dense"),
+    }
+    # VideoMAE: biasless q/k/v linears + separate q_bias/v_bias (k zero)
+    if f"{p}.attention.attention.q_bias" in sd:
+        d = blk["q"]["kernel"].shape[1]
+        blk["q"]["bias"] = t2j(sd[f"{p}.attention.attention.q_bias"])
+        blk["k"]["bias"] = np.zeros((d,), np.float32)
+        blk["v"]["bias"] = t2j(sd[f"{p}.attention.attention.v_bias"])
+    return blk
+
+
+def import_hf_vit_classifier(state_dict: Dict, layers: int
+                             ) -> Tuple[Dict, List[str]]:
+    """HF ViTForImageClassification (the frame metric's google/
+    vit-base-patch16-224, reference eval_metrics.py:72-105) ->
+    ViTClassifier params."""
+    sd = _Tracker({k: v for k, v in state_dict.items()
+                   if "position_ids" not in k})
+    p: Dict[str, Any] = {
+        "patch_embed": conv(sd, "vit.embeddings.patch_embeddings.projection"),
+        "cls_token": t2j(sd["vit.embeddings.cls_token"]),
+        "pos_embed": t2j(sd["vit.embeddings.position_embeddings"])[0],
+        "ln_post": norm(sd, "vit.layernorm"),
+        "head": linear(sd, "classifier"),
+    }
+    for i in range(layers):
+        p[f"block_{i}"] = _hf_vit_block(sd, f"vit.encoder.layer.{i}")
+    return p, sd.unused()
+
+
+def _sinusoid_table(n_position: int, d_hid: int) -> np.ndarray:
+    """VideoMAE's fixed sinusoidal positions (computed, not stored)."""
+    pos = np.arange(n_position)[:, None]
+    div = np.power(10000.0, 2 * (np.arange(d_hid) // 2) / d_hid)[None]
+    table = pos / div
+    table[:, 0::2] = np.sin(table[:, 0::2])
+    table[:, 1::2] = np.cos(table[:, 1::2])
+    return table.astype(np.float32)
+
+
+def import_videomae_classifier(state_dict: Dict, layers: int,
+                               num_tokens: int) -> Tuple[Dict, List[str]]:
+    """HF VideoMAEForVideoClassification (the video metric's
+    MCG-NJU/videomae-base-finetuned-kinetics, reference
+    eval_metrics.py:107-142) -> ViTClassifier params (tubelet Dense =
+    reshaped Conv3d; sinusoidal positions are recomputed)."""
+    sd = _Tracker(dict(state_dict))
+    w = t2j(sd["videomae.embeddings.patch_embeddings.projection.weight"])
+    d = w.shape[0]
+    # [d, ch, ts, ph, pw] -> Dense kernel [(ts ph pw ch), d]
+    kernel = w.transpose(2, 3, 4, 1, 0).reshape(-1, d)
+    p: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": kernel,
+            "bias": t2j(
+                sd["videomae.embeddings.patch_embeddings.projection.bias"])},
+        "pos_embed": _sinusoid_table(num_tokens, d),
+        "ln_post": norm(sd, "fc_norm"),
+        "head": linear(sd, "classifier"),
+    }
+    for i in range(layers):
+        p[f"block_{i}"] = _hf_vit_block(sd, f"videomae.encoder.layer.{i}")
+    return p, sd.unused()
+
+
+# ---------------------------------------------------------------------------
 # AnimateDiff SparseCtrl ckpt -> models.sparse_controlnet
 # ---------------------------------------------------------------------------
 

@@ -30,6 +30,7 @@ class ViTConfig(NamedTuple):
     heads: int = 12
     num_classes: int = 1000
     tubelet_size: int = 1   # >1 -> VideoMAE-style 3-D patches
+    mlp_ratio: float = 4.0
     num_frames: int = 1
     pool: str = "cls"       # cls | mean
 
@@ -51,6 +52,7 @@ class ViTConfig(NamedTuple):
 class _EncoderBlock(nn.Module):
     width: int
     heads: int
+    mlp_ratio: float = 4.0
 
     @nn.compact
     def __call__(self, x):
@@ -68,7 +70,8 @@ class _EncoderBlock(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.Dense(d, name="attn_out")(out)
         h = nn.LayerNorm(name="ln_2")(x)
-        h = nn.gelu(nn.Dense(4 * d, name="mlp_fc")(h), approximate=False)
+        h = nn.gelu(nn.Dense(int(self.mlp_ratio * d), name="mlp_fc")(h),
+                    approximate=False)
         return x + nn.Dense(d, name="mlp_proj")(h)
 
 
@@ -111,8 +114,12 @@ class ViTClassifier(nn.Module):
                          (tokens.shape[1], c.width))
         tokens = tokens + pos[None]
         for i in range(c.layers):
-            tokens = _EncoderBlock(c.width, c.heads,
+            tokens = _EncoderBlock(c.width, c.heads, c.mlp_ratio,
                                    name=f"block_{i}")(tokens)
-        tokens = nn.LayerNorm(name="ln_post")(tokens)
-        pooled = tokens[:, 0] if c.pool == "cls" else tokens.mean(axis=1)
+        if c.pool == "cls":
+            # HF ViTForImageClassification: LN over the sequence, take CLS
+            pooled = nn.LayerNorm(name="ln_post")(tokens)[:, 0]
+        else:
+            # HF VideoMAE use_mean_pooling: mean-pool FIRST, then fc_norm
+            pooled = nn.LayerNorm(name="ln_post")(tokens.mean(axis=1))
         return nn.Dense(c.num_classes, name="head")(pooled)

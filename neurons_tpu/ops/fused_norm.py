@@ -110,12 +110,22 @@ def _pallas_gn_silu(x: jax.Array, scale: jax.Array, bias: jax.Array,
     return out.reshape(n, h, w, c)
 
 
+def _fused_enabled() -> bool:
+    import os
+    return os.environ.get("NEURONS_TPU_FUSED_NORM", "0") == "1"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array,
                     groups: int, eps: float = 1e-5) -> jax.Array:
-    """Fused GN+SiLU. x [N, H, W, C], scale/bias [C]."""
+    """Fused GN+SiLU. x [N, H, W, C], scale/bias [C].
+
+    The Pallas path is OPT-IN (NEURONS_TPU_FUSED_NORM=1): end-to-end
+    bench showed the custom call acts as a fusion barrier in the UNet
+    (XLA fuses the composite's elementwise tail into the next conv),
+    costing ~1 s/clip at stage-3/5 shapes despite winning in isolation."""
     usable = (
-        _HAS_PALLAS and _on_tpu()
+        _HAS_PALLAS and _on_tpu() and _fused_enabled()
         and x.shape[1] * x.shape[2] * x.shape[3] * 4 <= _VMEM_LIMIT
         and x.shape[3] % groups == 0
     )

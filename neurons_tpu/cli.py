@@ -491,8 +491,13 @@ def cmd_eval(args):
     from neurons_tpu.evaluation.runner import run_metrics
     from neurons_tpu.pipelines import io
 
+    from neurons_tpu.evaluation.runner import build_metric_classifiers
+
     data_path = io.video_dir(args.exp_dir, args.exp, args.subj, args.mode)
-    report = run_metrics(data_path)
+    classifiers = build_metric_classifiers(args.weights_dir)
+    if classifiers is not None:
+        print("--- semantic metrics enabled (imported classifiers) ---")
+    report = run_metrics(data_path, classifiers=classifiers)
     out = os.path.join(io.exp_dir(args.exp_dir, args.exp, args.subj),
                        f"metrics_{args.mode}.json")
     with open(out, "w") as f:

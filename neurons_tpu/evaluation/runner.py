@@ -31,6 +31,67 @@ class MetricClassifiers:
     clip_embed_fn: Optional[Callable] = None   # frames -> [F, D]
 
 
+def build_metric_classifiers(weights_dir: str) -> Optional[MetricClassifiers]:
+    """Assemble the semantic-metric networks from downloaded HF state
+    dicts (reference run_metrics.py loads google/vit-base-patch16-224,
+    MCG-NJU/videomae-base-finetuned-kinetics and CLIP ViT-L from the hub).
+    Expects `vit_base.pt`, `videomae_kinetics.pt`, `clip_vit_l.pt` under
+    weights_dir; returns None (pixel-metrics-only mode) when absent."""
+    import jax
+    import jax.numpy as jnp
+
+    paths = {n: os.path.join(weights_dir, f)
+             for n, f in (("vit", "vit_base.pt"),
+                          ("videomae", "videomae_kinetics.pt"),
+                          ("clip", "clip_vit_l.pt"))}
+    if not any(os.path.exists(p) for p in paths.values()):
+        return None
+    import torch
+
+    from neurons_tpu.interop import torch_import as TI
+    from neurons_tpu.models.vit import ViTClassifier, ViTConfig
+
+    def _sd(path):
+        sd = torch.load(path, map_location="cpu")
+        return sd.get("state_dict", sd)
+
+    out = MetricClassifiers()
+    if os.path.exists(paths["vit"]):
+        cfg = ViTConfig.vit_base_224()
+        params, _ = TI.import_hf_vit_classifier(_sd(paths["vit"]),
+                                                cfg.layers)
+        m = ViTClassifier(cfg)
+        logits = jax.jit(lambda x: m.apply({"params": params}, x))
+        out.img_logits_fn = lambda x: np.asarray(
+            logits(jnp.asarray(x[None], jnp.float32)))[0]
+        out.img_probs_fn = lambda x: np.asarray(jax.nn.softmax(
+            logits(jnp.asarray(x[None], jnp.float32))))[0]
+    if os.path.exists(paths["videomae"]):
+        cfg = ViTConfig.videomae_kinetics()
+        n_tok = (cfg.num_frames // cfg.tubelet_size) * \
+            (cfg.image_size // cfg.patch_size) ** 2
+        params, _ = TI.import_videomae_classifier(_sd(paths["videomae"]),
+                                                  cfg.layers, n_tok)
+        m = ViTClassifier(cfg)
+        logits = jax.jit(lambda x: m.apply({"params": params}, x))
+        out.video_logits_fn = lambda x: np.asarray(
+            logits(jnp.asarray(x[None], jnp.float32)))[0]
+        out.video_probs_fn = lambda x: np.asarray(jax.nn.softmax(
+            logits(jnp.asarray(x[None], jnp.float32))))[0]
+    if os.path.exists(paths["clip"]):
+        from neurons_tpu.models.clip import (CLIPVisionConfig,
+                                             CLIPVisionTower,
+                                             preprocess_images)
+        cfg = CLIPVisionConfig.vit_l14()
+        params, _ = TI.import_hf_clip_vision(_sd(paths["clip"]), cfg.layers)
+        tower = CLIPVisionTower(cfg)
+        feats = jax.jit(lambda x: tower.apply(
+            {"params": params}, preprocess_images(x, cfg.image_size))[0])
+        out.clip_embed_fn = lambda frames: np.asarray(
+            feats(jnp.asarray(frames, jnp.float32)))
+    return out
+
+
 def load_gif_dir(data_path: str, workers: int = 8):
     """Threaded load of the 1200-clip GIF directory (reference
     run_metrics.py:36-47 reads sequentially); the native decoder releases

@@ -222,10 +222,23 @@ def cmd_recon(args):
 
     from neurons_tpu.utils import checkpoint as ckpt_lib
     ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
+    torch_ckpt = os.path.join(args.weights_dir, "brain_model_prior_last.pth")
     if ckpt_lib.exists(ckpt_dir, "brain_model_prior_last"):
         loaded = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_prior_last")
         dec_params = ckpt_lib.restore_into(dec_params, loaded["params"])
         print("--- loaded brain_model_prior_last ---")
+    elif os.path.exists(torch_ckpt):
+        # the reference's released torch ensemble checkpoint
+        import torch
+        from neurons_tpu.interop.torch_import import import_neurons_ensemble
+        sd = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
+        sd = sd.get("model_state_dict", sd.get("state_dict", sd))
+        imported, unused = import_neurons_ensemble(
+            sd, n_blocks=bcfg.n_blocks, prior_depth=pcfg.depth,
+            gpt2_layers=gcfg.n_layer)
+        dec_params = ckpt_lib.restore_into(dec_params, imported)
+        print(f"--- imported reference torch ensemble "
+              f"({len(unused)} unused keys) ---")
 
     unet = UNetModel(ucfg)
     x0 = jnp.zeros((1, 4, latent_hw, latent_hw))

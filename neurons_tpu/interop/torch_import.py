@@ -620,6 +620,195 @@ def import_motion_modules(state_dict: Dict, cfg, params: Dict
 
 
 # ---------------------------------------------------------------------------
+# Reference NEURONS ensemble ckpt (brain_model[_prior].pth) -> NeuronsDecoupler
+# ---------------------------------------------------------------------------
+
+def _gain(sd, key) -> Dict[str, np.ndarray]:
+    """dalle2 gain-only LayerNorm parameter `g` (any stored shape)."""
+    return {"g": t2j(sd[f"{key}.g"]).reshape(-1)}
+
+
+def _mixer_backbone(sd, n_blocks: int) -> Dict[str, Any]:
+    """reference BrainModel (BrainModel_neurons.py:227-305): mixer_blocks
+    are Sequential(LayerNorm, Sequential(Linear, GELU, Dropout, Linear));
+    clip_proj is the 4-linear projector (indices 0,2,3,5,6,8)."""
+    p: Dict[str, Any] = {
+        "backbone_linear": linear(sd, "backbone.backbone_linear"),
+        "clip_proj": {
+            "LayerNorm_0": norm(sd, "backbone.clip_proj.0"),
+            "Dense_0": linear(sd, "backbone.clip_proj.2"),
+            "LayerNorm_1": norm(sd, "backbone.clip_proj.3"),
+            "Dense_1": linear(sd, "backbone.clip_proj.5"),
+            "LayerNorm_2": norm(sd, "backbone.clip_proj.6"),
+            "Dense_2": linear(sd, "backbone.clip_proj.8"),
+        },
+    }
+    for i in range(n_blocks):
+        for blk, ours in (("mixer_blocks1", "mix1"), ("mixer_blocks2",
+                                                      "mix2")):
+            p[f"{ours}_ln_{i}"] = norm(sd, f"backbone.{blk}.{i}.0")
+            p[f"{ours}_mlp_{i}"] = {
+                "Dense_0": linear(sd, f"backbone.{blk}.{i}.1.0"),
+                "Dense_1": linear(sd, f"backbone.{blk}.{i}.1.3"),
+            }
+    return p
+
+
+def _dalle2_prior_net(sd, depth: int,
+                      prefix: str = "diffusion_prior.net.") -> Dict[str, Any]:
+    """dalle2-pytorch DiffusionPriorNetwork layout (the reference vendors
+    its usage, BrainModel_neurons.py:484-686): continuous-time Sequential
+    (SinusoidalPosEmb, MLP(depth 2)) embedder, FlaggedCausalTransformer of
+    [Attention(multi-query, null_kv), FeedForward(SwiGLU)] pairs."""
+    ct = prefix + "causal_transformer."
+    tr: Dict[str, Any] = {
+        "rel_pos_bias": {"rel_bias": t2j(
+            sd[ct + "rel_pos_bias.relative_attention_bias.weight"])},
+        "norm_out": _gain(sd, ct + "norm"),
+        "project_out": linear(sd, ct + "project_out"),
+    }
+    for i in range(depth):
+        a = ct + f"layers.{i}.0"
+        tr[f"attn_{i}"] = {
+            "norm": _gain(sd, f"{a}.norm"),
+            "null_kv": t2j(sd[f"{a}.null_kv"]),
+            "to_q": linear(sd, f"{a}.to_q"),
+            "to_kv": linear(sd, f"{a}.to_kv"),
+            "to_out": {"kernel": t2j(sd[f"{a}.to_out.0.weight"]).T},
+            "out_norm": _gain(sd, f"{a}.to_out.1"),
+        }
+        f = ct + f"layers.{i}.1"
+        tr[f"ff_{i}"] = {
+            "norm": _gain(sd, f"{f}.0"),
+            "proj_in": linear(sd, f"{f}.1"),
+            "proj_out": linear(sd, f"{f}.5"),
+        }
+    return {
+        "null_brain_embeds": t2j(sd[prefix + "null_brain_embeds"]),
+        "null_image_embed": t2j(sd[prefix + "null_image_embed"]),
+        "learned_query": t2j(sd[prefix + "learned_query"]),
+        "time_mlp": {
+            "Dense_0": linear(sd, prefix + "to_time_embeds.0.1.net.0.0"),
+            "Dense_1": linear(sd, prefix + "to_time_embeds.0.1.net.1.0"),
+            "Dense_2": linear(sd, prefix + "to_time_embeds.0.1.net.2"),
+        },
+        "transformer": tr,
+    }
+
+
+def _decoder_video(sd, prefix: str, n_up: int, layers_per_block: int
+                   ) -> Dict[str, Any]:
+    """reference model_variants/video_decoder.py DecoderVideo: diffusers
+    resnets/attentions + temporal attentions with learned blend scalars."""
+
+    def resnet(key):
+        r = {"norm1": norm(sd, f"{key}.norm1"),
+             "conv1": conv(sd, f"{key}.conv1"),
+             "norm2": norm(sd, f"{key}.norm2"),
+             "conv2": conv(sd, f"{key}.conv2")}
+        if f"{key}.conv_shortcut.weight" in sd:
+            r["conv_shortcut"] = conv(sd, f"{key}.conv_shortcut")
+        return r
+
+    def attn(key):
+        return {"group_norm": norm(sd, f"{key}.group_norm"),
+                "to_q": linear(sd, f"{key}.to_q"),
+                "to_k": linear(sd, f"{key}.to_k"),
+                "to_v": linear(sd, f"{key}.to_v"),
+                "to_out": linear(sd, f"{key}.to_out.0")}
+
+    p: Dict[str, Any] = {
+        "conv_in": conv(sd, f"{prefix}.conv_in"),
+        "conv_norm_out": norm(sd, f"{prefix}.conv_norm_out"),
+        "mid_block": {
+            "resnet_0": resnet(f"{prefix}.mid_block.resnets.0"),
+            "st_attn_0": {
+                "attn": attn(f"{prefix}.mid_block.attentions.0"),
+                "temp_attn": attn(f"{prefix}.mid_block.temp_attentions.0"),
+                "blend_weight": t2j(sd[f"{prefix}.mid_block.weights.0"]),
+            },
+            "resnet_1": resnet(f"{prefix}.mid_block.resnets.1"),
+        },
+    }
+    for i in range(n_up):
+        blk: Dict[str, Any] = {}
+        for j in range(layers_per_block + 1):
+            blk[f"resnet_{j}"] = resnet(f"{prefix}.up_blocks.{i}.resnets.{j}")
+            blk[f"st_attn_{j}"] = {
+                "attn": attn(f"{prefix}.up_blocks.{i}.attentions.{j}"),
+                "temp_attn": attn(
+                    f"{prefix}.up_blocks.{i}.temp_attentions.{j}"),
+                "blend_weight": t2j(
+                    sd[f"{prefix}.up_blocks.{i}.weights.{j}"]),
+            }
+        if f"{prefix}.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            blk["upsample"] = {
+                "conv": conv(sd, f"{prefix}.up_blocks.{i}.upsamplers.0.conv")}
+        p[f"up_block_{i}"] = blk
+    return p
+
+
+def import_neurons_ensemble(state_dict: Dict, n_blocks: int = 4,
+                            prior_depth: int = 6, gpt2_layers: int = 12,
+                            decoder_up_blocks: int = 3,
+                            decoder_layers_per_block: int = 1
+                            ) -> Tuple[Dict, List[str]]:
+    """Reference `brain_model_prior[_last].pth` model_state_dict (the
+    Neurons container ensemble, reference train_neurons.py:48-61,148-226)
+    -> NeuronsDecoupler params, so OUR inference stages run with the
+    REFERENCE's released trained weights. Noise-scheduler buffers under
+    diffusion_prior.* (betas etc.) are recomputed, not imported."""
+    sd = _Tracker({k: v for k, v in state_dict.items()
+                   if not (k.startswith("diffusion_prior.")
+                           and ".net." not in k)})
+    p: Dict[str, Any] = {}
+    core: Dict[str, Any] = {"backbone": _mixer_backbone(sd, n_blocks)}
+    ridge: Dict[str, Any] = {}
+    i = 0
+    while f"ridge.linears.{i}.weight" in sd:
+        ridge[f"subj{i}"] = linear(sd, f"ridge.linears.{i}")
+        i += 1
+    core["ridge"] = ridge
+    core["clipproj"] = {"proj": t2j(sd["clipproj.proj"])}
+    p["core"] = core
+    p["prior_net"] = _dalle2_prior_net(sd, prior_depth)
+    p["motion_proj"] = {"motion_proj": linear(sd, "motion_proj.motion_proj")}
+    p["classifier"] = {
+        "vision_proj_channel": linear(sd, "classifier.vision_proj_channel"),
+        "classifier": linear(sd, "classifier.classifier")}
+
+    tsd: Dict[str, Any] = {
+        "q": linear(sd, "text_seg_dec.q"),
+        "k": linear(sd, "text_seg_dec.k"),
+        "v": linear(sd, "text_seg_dec.v"),
+        "out": linear(sd, "text_seg_dec.out"),
+        "norm": norm(sd, "text_seg_dec.norm"),
+        "maps_0": conv(sd, "text_seg_dec.maps_projector.0"),
+        "maps_gn_0": norm(sd, "text_seg_dec.maps_projector.1"),
+        "maps_1": conv(sd, "text_seg_dec.maps_projector.3"),
+        "maps_gn_1": norm(sd, "text_seg_dec.maps_projector.4"),
+        "maps_2": conv(sd, "text_seg_dec.maps_projector.6"),
+        "video_decoder": _decoder_video(sd, "text_seg_dec.video_decoder",
+                                        decoder_up_blocks,
+                                        decoder_layers_per_block),
+        "seg_head": conv(sd, "text_seg_dec.seg_head"),
+        "recon_head": conv(sd, "text_seg_dec.recon_head"),
+    }
+    p["text_seg_dec"] = tsd
+
+    gpt2_sd = {k[len("text_dec.decoder."):]: sd[k] for k in list(sd.keys())
+               if k.startswith("text_dec.decoder.")}
+    gpt2_params, _ = import_gpt2(gpt2_sd, gpt2_layers)
+    # mark gpt2 keys consumed on the tracker
+    for k in list(sd.keys()):
+        if k.startswith("text_dec.decoder."):
+            _ = sd[k]
+    gpt2_params["clip_project"] = linear(sd, "text_dec.clip_project.model.0")
+    p["text_dec"] = gpt2_params
+    return p, sd.unused()
+
+
+# ---------------------------------------------------------------------------
 # HF metric classifiers (google/vit-base, MCG-NJU/videomae) -> models.vit
 # ---------------------------------------------------------------------------
 

@@ -175,7 +175,7 @@ class CLIPTextTower(nn.Module):
         b, t = tokens.shape
         emb = self.param("token_embedding", nn.initializers.normal(0.02),
                          (c.vocab_size, c.width))
-        x = emb[tokens]
+        x = jnp.take(jnp.asarray(emb), tokens, axis=0)
         pos = self.param("positional_embedding",
                          nn.initializers.normal(0.01),
                          (c.context_length, c.width))

@@ -91,7 +91,7 @@ class TextDecoder(nn.Module):
         logits [B, 1 + T, vocab] (prefix position included, as HF returns;
         the trainer drops the last position, reference
         train_neurons.py:486-488)."""
-        emb_text = self.wte[tokens]
+        emb_text = jnp.take(jnp.asarray(self.wte), tokens, axis=0)
         prefix = self.clip_project(clip_features)[:, None]
         x = jnp.concatenate([prefix, emb_text], axis=1)
         return self.lm(x, self.wte)
@@ -106,7 +106,7 @@ class TextDecoder(nn.Module):
 
         def step(carry, i):
             tokens, done = carry
-            emb = self.wte[tokens]
+            emb = jnp.take(jnp.asarray(self.wte), tokens, axis=0)
             x = jnp.concatenate([prefix, emb], axis=1)
             logits = self.lm(x, self.wte)          # [B, 1+max_len, V]
             # next token predicted at position i (prefix occupies pos 0)

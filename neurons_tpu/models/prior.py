@@ -71,7 +71,10 @@ class SinusoidalPosEmb(nn.Module):
 
 
 class TimeMLP(nn.Module):
-    """dalle2 MLP(dim_in, dim_out): Linear -> SiLU -> Linear, expansion 2."""
+    """dalle2 MLP(dim_in, dim_out) at its default depth=2, expansion 2:
+    Linear(in,h) -> SiLU -> Linear(h,h) -> SiLU -> Linear(h,out) — three
+    linears, matching the reference prior's continuous time embedder
+    (reference BrainModel_neurons.py:503-506 to_time_embeds)."""
 
     dim_out: int
     expansion: float = 2.0
@@ -79,8 +82,8 @@ class TimeMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = int(self.expansion * self.dim_out)
-        x = nn.Dense(hidden)(x)
-        x = nn.silu(x)
+        x = nn.silu(nn.Dense(hidden)(x))
+        x = nn.silu(nn.Dense(hidden)(x))
         return nn.Dense(self.dim_out)(x)
 
 
@@ -111,7 +114,7 @@ class RelPosBias(nn.Module):
         q_pos = jnp.arange(qlen)[:, None]
         k_pos = jnp.arange(klen)[None, :]
         buckets = self._bucket(k_pos - q_pos)
-        values = table[buckets]                       # [q, k, h]
+        values = jnp.take(jnp.asarray(table), buckets, axis=0)  # [q, k, h]
         return jnp.transpose(values, (2, 0, 1))       # [h, q, k]
 
 

@@ -473,10 +473,22 @@ def cmd_decoupled_eval(args):
     voxel0 = jnp.zeros((1, 1, bcfg.voxel_counts[0]))
     params = model.init(key, voxel0, jnp.zeros((1, 8), jnp.int32))["params"]
     ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
+    torch_ckpt = os.path.join(args.weights_dir, "brain_model_prior_last.pth")
     if ckpt_lib.exists(ckpt_dir, "brain_model_prior_last"):
         loaded = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_prior_last")
         params = ckpt_lib.restore_into(params, loaded["params"])
         print("--- loaded brain_model_prior_last (strict) ---")
+    elif os.path.exists(torch_ckpt):
+        import torch
+        from neurons_tpu.interop.torch_import import import_neurons_ensemble
+        sd = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
+        sd = sd.get("model_state_dict", sd.get("state_dict", sd))
+        imported, unused = import_neurons_ensemble(
+            sd, n_blocks=bcfg.n_blocks, prior_depth=pcfg.depth,
+            gpt2_layers=gcfg.n_layer)
+        params = ckpt_lib.restore_into(params, imported)
+        print(f"--- imported reference torch ensemble "
+              f"({len(unused)} unused keys) ---")
 
     bs = 4
     g = np.random.default_rng(0)

@@ -138,3 +138,36 @@ def reconstruct_video(
     frames = jnp.clip(frames / 2 + 0.5, 0.0, 1.0)
     video = frames.reshape(b, n_frames, *frames.shape[1:])
     return VideoPipelineOutputs(latents=latents, video=video)
+
+
+def animate(
+    *, unet3d_apply: Callable, unet3d_params, vae_decode: Callable,
+    key: jax.Array,
+    text_embeddings: jax.Array, uncond_embeddings: jax.Array,
+    n_frames: int = 16, latent_hw: int = 32, num_steps: int = 25,
+    guidance_scale: float = 7.5, latent_scale: float = 0.18215,
+) -> VideoPipelineOutputs:
+    """Stock AnimateDiff text-to-video (reference animatediff/pipelines/
+    pipeline_animation.py + scripts/animate.py demo): pure-noise DDIM with
+    CFG, no blurry-latent init and no controlnet. The init noise is
+    pre-scaled by sigma_init (diffusers init_noise_sigma == 1 for DDIM)."""
+    b = text_embeddings.shape[0]
+    sched = DDIMScheduler.create(num_steps)
+    latents = jax.random.normal(key, (b, 4, n_frames, latent_hw, latent_hw))
+    text2 = jnp.concatenate([uncond_embeddings, text_embeddings], axis=0)
+
+    def step(latents, t):
+        x2 = jnp.concatenate([latents, latents], axis=0)
+        t2 = jnp.full((2 * b,), t, jnp.float32)
+        eps = unet3d_apply(unet3d_params, x2, t2, text2, None, None)
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        eps = eps_u + guidance_scale * (eps_c - eps_u)
+        return sched.step(eps, t, latents), None
+
+    latents, _ = jax.lax.scan(step, latents, sched.timesteps)
+    lat_f = latents.transpose(0, 2, 1, 3, 4).reshape(
+        b * n_frames, *latents.shape[1:2] + latents.shape[3:])
+    frames = vae_decode(lat_f / latent_scale)
+    frames = jnp.clip(frames / 2 + 0.5, 0.0, 1.0)
+    video = frames.reshape(b, n_frames, *frames.shape[1:])
+    return VideoPipelineOutputs(latents=latents, video=video)

@@ -106,10 +106,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
     o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: Optional[float] = None,
-                    block_q: int = 256, block_k: int = 256) -> jax.Array:
+                    block_q: int = 256, block_k: int = 256,
+                    interpret: bool = False) -> jax.Array:
     """Pallas flash attention. q: [B, H, Tq, D], k/v: [B, H, Tk, D].
 
     Pads Tq/Tk to block multiples and D to the 128-lane boundary; padded kv
@@ -146,6 +148,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         ],
         out_specs=pl.BlockSpec((None, block_q, d_p), lambda bh, i: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
+        interpret=interpret,
     )(qf, kf, vf)
 
     return out.reshape(b, h, tq_p, d_p)[:, :, :tq, :d]

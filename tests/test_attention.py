@@ -1,0 +1,55 @@
+"""Pallas flash attention: interpret-mode parity vs the XLA reference
+across self/cross/padded shapes, plus dispatch behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurons_tpu.ops.attention import (dot_product_attention,
+                                       flash_attention, xla_attention)
+
+
+def _qkv(rng, b, h, tq, tk, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(rng, 3)
+    return (jax.random.normal(kq, (b, h, tq, d), dtype),
+            jax.random.normal(kk, (b, h, tk, d), dtype),
+            jax.random.normal(kv, (b, h, tk, d), dtype))
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("tq,tk,d", [
+        (256, 256, 64),    # tile-aligned self
+        (256, 77, 64),     # cross with padded kv
+        (150, 300, 52),    # nothing aligned (prior head dim 52)
+        (513, 513, 52),    # the prior's sequence
+    ])
+    def test_matches_xla(self, rng, tq, tk, d):
+        q, k, v = _qkv(rng, 2, 3, tq, tk, d)
+        ref = xla_attention(q, k, v)
+        got = flash_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_custom_scale(self, rng):
+        q, k, v = _qkv(rng, 1, 2, 130, 140, 32)
+        ref = xla_attention(q, k, v, scale=0.07)
+        got = flash_attention(q, k, v, scale=0.07, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bf16_tolerance(self, rng):
+        q, k, v = _qkv(rng, 1, 2, 256, 256, 64, jnp.bfloat16)
+        ref = np.asarray(xla_attention(q, k, v), np.float32)
+        got = np.asarray(flash_attention(q, k, v, interpret=True),
+                         np.float32)
+        assert np.abs(got - ref).max() < 0.05
+
+    def test_dispatch_uses_xla_for_bias_and_small(self, rng):
+        # bias path and tiny sequences must route to XLA (correctness
+        # guaranteed either way; this documents the dispatch contract)
+        q, k, v = _qkv(rng, 1, 2, 16, 16, 8)
+        bias = jnp.zeros((1, 2, 16, 16))
+        out = dot_product_attention(q, k, v, bias=bias)
+        ref = xla_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref))

@@ -6,4 +6,6 @@ from neurons_tpu.parallel.mesh import (
     local_mesh_size,
     prefetch_to_device,
     replicate,
+    fsdp_sharding,
+    shard_opt_state,
 )

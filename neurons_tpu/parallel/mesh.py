@@ -82,6 +82,33 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def fsdp_sharding(mesh: Mesh, x, axis: str = "data",
+                  min_elems: int = 2 ** 16) -> NamedSharding:
+    """ZeRO-style sharding spec for one optimizer-state / param leaf:
+    shard the largest `axis`-divisible dimension of big leaves over the
+    mesh axis, replicate small ones (the reference's commented DeepSpeed
+    ZeRO-2 suggestion, train_neurons.py:667 — here a first-class option)."""
+    if not hasattr(x, "shape") or np.prod(x.shape or (1,)) < min_elems:
+        return replicated_sharding(mesh)
+    n = mesh.shape[axis]
+    for i, d in sorted(enumerate(x.shape), key=lambda t: -t[1]):
+        if d % n == 0:
+            spec = [None] * len(x.shape)
+            spec[i] = axis
+            return NamedSharding(mesh, P(*spec))
+    return replicated_sharding(mesh)
+
+
+def shard_opt_state(mesh: Mesh, opt_state, axis: str = "data"):
+    """Place an optax state pytree with ZeRO-style sharding: the moment
+    buffers (same shapes as params) dominate optimizer memory; sharding
+    them over `data` cuts per-chip optimizer memory by the axis size.
+    GSPMD inserts the gathers the update math needs."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, fsdp_sharding(mesh, x, axis))
+        if hasattr(x, "shape") else x, opt_state)
+
+
 def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
     """Overlap host->HBM batch transfer with device compute.
 

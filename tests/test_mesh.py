@@ -77,3 +77,44 @@ def test_attention_matches_explicit_softmax():
     w /= w.sum(-1, keepdims=True)
     expected = np.einsum("bhqk,bhkd->bhqd", w, v)
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+class TestFsdpSharding:
+    def test_big_leaves_shard_small_replicate(self):
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from neurons_tpu.config import MeshConfig
+        from neurons_tpu.parallel import create_mesh, fsdp_sharding
+
+        mesh = create_mesh(MeshConfig(data=-1))
+        big = np.zeros((1024, 256), np.float32)
+        small = np.zeros((7,), np.float32)
+        s_big = fsdp_sharding(mesh, big)
+        s_small = fsdp_sharding(mesh, small)
+        assert s_big.spec == P("data", None)
+        assert s_small.spec == P()
+        # indivisible largest dim falls through to the next divisible one
+        odd = np.zeros((1023, 256), np.float32)
+        assert fsdp_sharding(mesh, odd).spec == P(None, "data")
+
+    def test_sharded_opt_state_still_trains(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from neurons_tpu.config import MeshConfig
+        from neurons_tpu.parallel import create_mesh, shard_opt_state
+
+        mesh = create_mesh(MeshConfig(data=-1))
+        params = {"w": jnp.ones((1024, 64)), "b": jnp.zeros((7,))}
+        tx = optax.adamw(1e-2)
+        opt_state = shard_opt_state(mesh, tx.init(params))
+
+        @jax.jit
+        def step(params, opt_state):
+            grads = jax.tree.map(jnp.ones_like, params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        p2, o2 = step(params, opt_state)
+        assert np.isfinite(np.asarray(p2["w"])).all()
+        assert float(jnp.abs(p2["w"] - params["w"]).max()) > 0

@@ -155,13 +155,16 @@ def build():
     return stage3, stage5, params
 
 
-def run_once(stage3, stage5, params, key):
-    brain_tokens = jax.random.normal(key, (1, 256, 1664)) * 0.5
+def run_once(stage3, stage5, params, key, batch):
+    """One batched pass: `batch` clips amortize the fixed sampler
+    overheads exactly as the reference batches stage 3 (batch 20,
+    reference recon_keyframe_neurons.py:350)."""
+    brain_tokens = jax.random.normal(key, (batch, 256, 1664)) * 0.5
     kf, prior_out = stage3(params["prior"], params["unet2d"], params["vae"],
                            key, brain_tokens)
-    keyframe = jax.image.resize(kf, (1, 3, 256, 256), "linear")
-    blurry = jax.random.uniform(key, (1, 6, 3, 256, 256))
-    text = jax.random.normal(key, (1, 77, 768)) * 0.1
+    keyframe = jax.image.resize(kf, (batch, 3, 256, 256), "linear")
+    blurry = jax.random.uniform(key, (batch, 6, 3, 256, 256))
+    text = jax.random.normal(key, (batch, 77, 768)) * 0.1
     video = stage5(params["unet3d"], params["cn"], params["vae"], key,
                    blurry, keyframe, text)
     return jax.block_until_ready(video)
@@ -170,13 +173,14 @@ def run_once(stage3, stage5, params, key):
 def main():
     stage3, stage5, params = build()
     key = jax.random.PRNGKey(0)
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     # warmup / compile
-    run_once(stage3, stage5, params, key)
+    run_once(stage3, stage5, params, key, batch)
     n_iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
     for i in range(n_iters):
-        run_once(stage3, stage5, params, jax.random.PRNGKey(i + 1))
-    sec_per_clip = (time.perf_counter() - t0) / n_iters
+        run_once(stage3, stage5, params, jax.random.PRNGKey(i + 1), batch)
+    sec_per_clip = (time.perf_counter() - t0) / (n_iters * batch)
     print(json.dumps({
         "metric": "sec_per_clip_e2e_stage3+5",
         "value": round(sec_per_clip, 3),

@@ -299,3 +299,42 @@ def make_linear_prediction_denoiser(denoiser, network, cond: Dict, uc: Dict,
         return x_u + scale * (x_c - x_u)
 
     return denoise
+
+
+def sample_euler_encoder_reuse(denoise_full: Callable,
+                               denoise_cached: Callable,
+                               x: jax.Array, sigmas: jax.Array,
+                               reuse: int, prepare: bool = True
+                               ) -> jax.Array:
+    """Euler with encoder-feature propagation ("Faster Diffusion",
+    arXiv 2312.09608; see PAPERS.md): `denoise_full(x, sigma) ->
+    (denoised, cache)` runs the whole UNet; on non-key steps
+    (i % reuse != 0) `denoise_cached(x, sigma, cache) -> denoised` reuses
+    the cached encoder features and runs mid+decoder only. reuse=1 is
+    exact Euler."""
+    if prepare:
+        x = prepare_noise(x, sigmas)
+    n = sigmas.shape[0] - 1
+    cache_shapes = jax.eval_shape(
+        lambda xx: denoise_full(xx, _bshape(sigmas[0], xx))[1], x)
+    cache0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+
+    def step(carry, args):
+        x, cache = carry
+        i, sigma, sigma_next = args
+
+        def full(_):
+            return denoise_full(x, _bshape(sigma, x))
+
+        def cached_step(_):
+            return denoise_cached(x, _bshape(sigma, x), cache), cache
+
+        denoised, cache_new = jax.lax.cond(i % reuse == 0, full,
+                                           cached_step, None)
+        d = (x - denoised) / jnp.maximum(sigma, 1e-9)
+        return (x + (sigma_next - sigma) * d, cache_new), None
+
+    (x, _), _ = jax.lax.scan(step, (x, cache0),
+                             (jnp.arange(n), sigmas[:-1], sigmas[1:]))
+    return x

@@ -186,13 +186,21 @@ class UpsampleConv(nn.Module):
 
 class UNetModel(nn.Module):
     """Inputs (NCHW boundary): x [B, 4, H, W], timesteps [B],
-    context [B, T, context_dim], y [B, adm_in_channels]."""
+    context [B, T, context_dim], y [B, adm_in_channels].
+
+    Encoder-feature reuse ("Faster Diffusion", arXiv 2312.09608 — the
+    down-block features of adjacent denoising steps are nearly identical):
+    pass `return_cache=True` to also get the (h, skips) encoder cache, and
+    `cached=(h, skips)` to skip the encoder and run mid+decoder only with
+    the fresh timestep embedding. All submodules carry explicit names, so
+    both partial paths address the same parameter tree."""
 
     cfg: UNet2DConfig
 
     @nn.compact
     def __call__(self, x, timesteps, context, y=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, cached=None,
+                 return_cache: bool = False):
         c = self.cfg
         time_embed_dim = c.model_channels * 4
 
@@ -204,30 +212,38 @@ class UNetModel(nn.Module):
             lab = nn.Dense(time_embed_dim, name="label_emb_2")(nn.silu(lab))
             emb = emb + lab
 
-        h = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC
         heads_of = lambda ch: ch // c.num_head_channels
         groups = 32 if c.model_channels % 32 == 0 else c.model_channels
 
-        h = nn.Conv(c.model_channels, (3, 3), padding=1, name="conv_in")(h)
-        skips = [h]
-        ds = 1
-        # --- input blocks ---
-        for level, mult in enumerate(c.channel_mult):
-            ch = c.model_channels * mult
-            for i in range(c.num_res_blocks):
-                h = ResBlock(ch, groups=groups, name=f"down_{level}_res_{i}")(
-                    h, emb, deterministic)
-                if ds in c.attention_resolutions:
-                    h = SpatialTransformer(
-                        ch, heads_of(ch), c.num_head_channels,
-                        c.transformer_depth[level], c.context_dim,
-                        groups=groups,
-                        name=f"down_{level}_attn_{i}")(h, context)
-                skips.append(h)
-            if level != len(c.channel_mult) - 1:
-                h = Downsample2D(ch, name=f"down_{level}_downsample")(h)
-                skips.append(h)
-                ds *= 2
+        if cached is None:
+            h = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+            h = nn.Conv(c.model_channels, (3, 3), padding=1,
+                        name="conv_in")(h)
+            skips = [h]
+            ds = 1
+            # --- input blocks ---
+            for level, mult in enumerate(c.channel_mult):
+                ch = c.model_channels * mult
+                for i in range(c.num_res_blocks):
+                    h = ResBlock(ch, groups=groups,
+                                 name=f"down_{level}_res_{i}")(
+                        h, emb, deterministic)
+                    if ds in c.attention_resolutions:
+                        h = SpatialTransformer(
+                            ch, heads_of(ch), c.num_head_channels,
+                            c.transformer_depth[level], c.context_dim,
+                            groups=groups,
+                            name=f"down_{level}_attn_{i}")(h, context)
+                    skips.append(h)
+                if level != len(c.channel_mult) - 1:
+                    h = Downsample2D(ch, name=f"down_{level}_downsample")(h)
+                    skips.append(h)
+                    ds *= 2
+        else:
+            h, skip_tuple = cached
+            skips = list(skip_tuple)
+            ds = 2 ** (len(c.channel_mult) - 1)
+        cache = (h, tuple(skips))
 
         # --- middle ---
         ch = c.model_channels * c.channel_mult[-1]
@@ -258,4 +274,7 @@ class UNetModel(nn.Module):
                           name="out_norm")(h)
         h = nn.Conv(c.out_channels, (3, 3), padding=1,
                     kernel_init=zero_init(), name="out_conv")(h)
-        return h.transpose(0, 3, 1, 2)  # -> NCHW
+        out = h.transpose(0, 3, 1, 2)  # -> NCHW
+        if return_cache:
+            return out, cache
+        return out

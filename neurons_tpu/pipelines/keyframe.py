@@ -43,8 +43,8 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
                   vector: Optional[jax.Array] = None,
                   num_steps: int = 38, cfg_scale: float = 5.0,
                   offset_noise_level: float = 0.04,
-                  latent_hw: int = 96, scale_factor: float = 0.13025
-                  ) -> jax.Array:
+                  latent_hw: int = 96, scale_factor: float = 0.13025,
+                  encoder_reuse: int = 1) -> jax.Array:
     """The reference's `unclip_recon` (reference utils.py:302-350), batched.
 
     clip_tokens: [B, 256, 1664] CLIP image tokens (from the prior).
@@ -54,6 +54,12 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
     (reference utils.py:328-331); x0 = z + noise * sigma_0 (the divide by
     sqrt(1+sigma_0^2) at utils.py:333 cancels against the sampler's
     multiply at sampling.py:52, so we skip both: prepare=False).
+
+    encoder_reuse > 1 enables Faster-Diffusion encoder propagation
+    (PAPERS.md, arXiv 2312.09608): the UNet encoder runs on every
+    `encoder_reuse`-th step and its features are reused in between —
+    requires `unet_apply` to forward `cached`/`return_cache` kwargs to
+    UNetModel. 1 (default) = exact sampling.
     """
     b = clip_tokens.shape[0]
     k_z, k_noise, k_offset, k_uc = jax.random.split(key, 4)
@@ -72,16 +78,52 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
 
     denoiser = DiscreteDenoiser.create_sd()
 
-    def network(x, t_cond, crossattn, vector):
-        return unet_apply(unet_params, x, t_cond, crossattn, vector)
+    def network(x, t_cond, crossattn, vector, **kw):
+        return unet_apply(unet_params, x, t_cond, crossattn, vector, **kw)
 
-    denoise = make_cfg_denoiser(
-        denoiser, network,
-        cond={"crossattn": clip_tokens, "vector": vector},
-        uc={"crossattn": uc_tokens, "vector": vector},
-        scale=cfg_scale)
+    if encoder_reuse <= 1:
+        denoise = make_cfg_denoiser(
+            denoiser, network,
+            cond={"crossattn": clip_tokens, "vector": vector},
+            uc={"crossattn": uc_tokens, "vector": vector},
+            scale=cfg_scale)
+        samples_z = sample_euler(denoise, x, sigmas, prepare=False)
+    else:
+        from neurons_tpu.diffusion.samplers import \
+            sample_euler_encoder_reuse
 
-    samples_z = sample_euler(denoise, x, sigmas, prepare=False)
+        ctx2 = jnp.concatenate([uc_tokens, clip_tokens], axis=0)
+        vec2 = jnp.concatenate([vector, vector], axis=0)
+
+        def _precondition(x2, s2):
+            idx = denoiser.sigma_to_idx(s2)
+            sq = denoiser.sigmas[idx].reshape(-1, 1, 1, 1)
+            c_skip, c_out, c_in, _ = denoiser.scaling(sq)
+            return idx.astype(jnp.float32), c_in, c_out, c_skip
+
+        def _combine(out, x2, c_out, c_skip):
+            d = out * c_out + x2 * c_skip
+            d_u, d_c = jnp.split(d, 2, axis=0)
+            return d_u + cfg_scale * (d_c - d_u)
+
+        def denoise_full(xs, s):
+            x2 = jnp.concatenate([xs, xs], axis=0)
+            s2 = jnp.concatenate([s, s], axis=0)
+            t, c_in, c_out, c_skip = _precondition(x2, s2)
+            out, cache = network(x2 * c_in, t, ctx2, vec2,
+                                 return_cache=True)
+            return _combine(out, x2, c_out, c_skip), cache
+
+        def denoise_cached(xs, s, cache):
+            x2 = jnp.concatenate([xs, xs], axis=0)
+            s2 = jnp.concatenate([s, s], axis=0)
+            t, c_in, c_out, c_skip = _precondition(x2, s2)
+            out = network(x2 * c_in, t, ctx2, vec2, cached=cache)
+            return _combine(out, x2, c_out, c_skip)
+
+        samples_z = sample_euler_encoder_reuse(
+            denoise_full, denoise_cached, x, sigmas, encoder_reuse,
+            prepare=False)
     samples_x = vae_decode(samples_z / scale_factor)
     return jnp.clip(samples_x * 0.8 + 0.2, 0.0, 1.0)
 

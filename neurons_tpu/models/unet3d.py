@@ -208,7 +208,8 @@ class UNet3DModel(nn.Module):
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
-                 down_block_residuals=None, mid_block_residual=None):
+                 down_block_residuals=None, mid_block_residual=None,
+                 cached=None, return_cache: bool = False):
         c = self.cfg
         f = self.n_frames
         b = sample.shape[0]
@@ -220,12 +221,6 @@ class UNet3DModel(nn.Module):
                         name="time_emb_2")(nn.silu(temb))
         temb_f = jnp.repeat(temb, f, axis=0)  # per (b f) row
 
-        # [B, C, F, H, W] -> [(B F), H, W, C]
-        h = sample.transpose(0, 2, 3, 4, 1).reshape(
-            b * f, sample.shape[3], sample.shape[4], sample.shape[1])
-        h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
-                    name="conv_in")(h)
-
         def motion(ch, res, name):
             if not (c.use_motion_module and res in c.motion_module_resolutions):
                 return None
@@ -234,6 +229,23 @@ class UNet3DModel(nn.Module):
                                 attention_block_types=c.motion_attention_block_types,
                                 max_seq_len=c.motion_max_seq_length,
                                 groups=g, name=name)
+
+        if cached is not None:
+            # Faster-Diffusion encoder propagation (PAPERS.md, arXiv
+            # 2312.09608): reuse the down-path features, run mid+decoder
+            h, skip_tuple = cached
+            skips = list(skip_tuple)
+            res = 2 ** (len(c.down_block_types) - 1)
+            return self._decode(h, skips, temb_f, encoder_hidden_states,
+                                down_block_residuals, mid_block_residual,
+                                b, f, res, motion, return_cache=False,
+                                cache=None)
+
+        # [B, C, F, H, W] -> [(B F), H, W, C]
+        h = sample.transpose(0, 2, 3, 4, 1).reshape(
+            b * f, sample.shape[3], sample.shape[4], sample.shape[1])
+        h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
+                    name="conv_in")(h)
 
         skips = [h]
         res = 1
@@ -261,6 +273,19 @@ class UNet3DModel(nn.Module):
                 skips.append(h)
                 res *= 2
 
+        return self._decode(h, skips, temb_f, encoder_hidden_states,
+                            down_block_residuals, mid_block_residual,
+                            b, f, res, motion, return_cache=return_cache,
+                            cache=(h, tuple(skips)))
+
+    def _decode(self, h, skips, temb_f, encoder_hidden_states,
+                down_block_residuals, mid_block_residual, b, f, res,
+                motion, return_cache, cache):
+        """Mid + up + out (plain helper inside the compact scope; all
+        submodules carry explicit names so the cached path addresses the
+        same parameters)."""
+        c = self.cfg
+        g = c.norm_num_groups
         # --- mid ---
         ch = c.block_out_channels[-1]
         h = ResnetBlock3D(ch, groups=g, name="mid_res_0")(h, temb_f)
@@ -309,4 +334,7 @@ class UNet3DModel(nn.Module):
                     kernel_init=zero_init(), name="conv_out")(h)
         # [(B F), H, W, C] -> [B, C, F, H, W]
         h = h.reshape(b, f, h.shape[1], h.shape[2], h.shape[3])
-        return h.transpose(0, 4, 1, 2, 3)
+        out = h.transpose(0, 4, 1, 2, 3)
+        if return_cache:
+            return out, cache
+        return out

@@ -75,35 +75,44 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                  block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale: float, kv_len: int, block_k: int, num_kb: int):
+    """Streaming flash attention: grid (bh, q_blocks, kv_blocks); the kv
+    axis iterates SEQUENTIALLY with the online-softmax state held in VMEM
+    scratch, so only one [block_k, D] K/V tile is resident at a time —
+    kv length never bounds VMEM (the 9216-token VAE mid-attention was the
+    forcing case)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
     q = q_ref[...].astype(jnp.float32) * scale          # [Bq, D]
-    bq, d = q.shape
-    tk = k_ref.shape[0]
-    num_kb = tk // block_k
+    kb = k_ref[...].astype(jnp.float32)                 # [Bk, D]
+    vb = v_ref[...].astype(jnp.float32)
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
 
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
+    m_prev, l_prev, acc_prev = m_ref[...], l_ref[...], acc_ref[...]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+    acc_new = acc_prev * alpha + jax.lax.dot_general(
+        p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+    l_ref[...] = l_new
+    acc_ref[...] = acc_new
 
-    def body(i, carry):
-        acc, m, l = carry
-        kb = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return acc_new, m_new, l_new
-
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(ki == num_kb - 1)
+    def _final():
+        o_ref[...] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+                      ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
@@ -136,18 +145,28 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     kf = kp.reshape(b * h, tk_p, d_p)
     vf = vp.reshape(b * h, tk_p, d_p)
 
-    grid = (b * h, tq_p // block_q)
+    num_kb = tk_p // block_k
+    grid = (b * h, tq_p // block_q, num_kb)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=tk,
-                          block_k=block_k),
+                          block_k=block_k, num_kb=num_kb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, block_q, d_p), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((None, tk_p, d_p), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((None, tk_p, d_p), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((None, block_q, d_p),
+                         lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((None, block_k, d_p),
+                         lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((None, block_k, d_p),
+                         lambda bh, qi, ki: (bh, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d_p), lambda bh, i: (bh, i, 0)),
+        out_specs=pl.BlockSpec((None, block_q, d_p),
+                               lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_p), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(qf, kf, vf)
 

@@ -71,7 +71,7 @@ def reconstruct_video(
     num_steps: int = 25, guidance_scale: float = 8.5,
     low_strength: float = 0.3, n_frames: int = 16,
     controlnet_scale: float = 1.0, latent_scale: float = 0.18215,
-    use_simplified_cond: bool = True,
+    use_simplified_cond: bool = True, encoder_reuse: int = 1,
 ) -> VideoPipelineOutputs:
     """One batched stage-5 reconstruction (reference
     scripts/neuroclips_video.py:243-330 per-clip loop, batched)."""
@@ -116,20 +116,67 @@ def reconstruct_video(
         cond2 = jnp.concatenate([cond, cond], axis=0)
         mask2 = jnp.concatenate([cond_mask, cond_mask], axis=0)
 
-    def step(latents, t):
-        x2 = jnp.concatenate([latents, latents], axis=0)
-        t2 = jnp.full((2 * b,), t, jnp.float32)
-        down_res = mid_res = None
-        if controlnet_apply is not None:
-            down_res, mid_res = controlnet_apply(
-                controlnet_params, x2, t2, text2, cond2, mask2,
-                controlnet_scale)
-        eps = unet3d_apply(unet3d_params, x2, t2, text2, down_res, mid_res)
-        eps_u, eps_c = jnp.split(eps, 2, axis=0)
-        eps = eps_u + guidance_scale * (eps_c - eps_u)
-        return sched.step(eps, t, latents), None
+    def _residuals(x2, t2):
+        if controlnet_apply is None:
+            return None, None
+        return controlnet_apply(controlnet_params, x2, t2, text2, cond2,
+                                mask2, controlnet_scale)
 
-    latents, _ = jax.lax.scan(step, latents, sched.timesteps)
+    if encoder_reuse <= 1:
+        def step(latents, t):
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.full((2 * b,), t, jnp.float32)
+            down_res, mid_res = _residuals(x2, t2)
+            eps = unet3d_apply(unet3d_params, x2, t2, text2, down_res,
+                               mid_res)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            return sched.step(eps, t, latents), None
+
+        latents, _ = jax.lax.scan(step, latents, sched.timesteps)
+    else:
+        # Faster-Diffusion encoder propagation (PAPERS.md, arXiv
+        # 2312.09608): the UNet3D encoder features AND the controlnet
+        # residuals recompute every `encoder_reuse`-th step only.
+        def _full(latents, t):
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.full((2 * b,), t, jnp.float32)
+            down_res, mid_res = _residuals(x2, t2)
+            eps, cache = unet3d_apply(unet3d_params, x2, t2, text2,
+                                      down_res, mid_res, return_cache=True)
+            return eps, (cache, down_res, mid_res)
+
+        def _reuse(latents, t, full_cache):
+            cache, down_res, mid_res = full_cache
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.full((2 * b,), t, jnp.float32)
+            return unet3d_apply(unet3d_params, x2, t2, text2, down_res,
+                                mid_res, cached=cache)
+
+        cache_shapes = jax.eval_shape(lambda l: _full(l, sched.timesteps[0])[1],
+                                      latents)
+        cache0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+
+        def step(carry, args):
+            latents, cache = carry
+            i, t = args
+
+            def full(_):
+                return _full(latents, t)
+
+            def reuse(_):
+                return _reuse(latents, t, cache), cache
+
+            eps, cache = jax.lax.cond(i % encoder_reuse == 0, full, reuse,
+                                      None)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            return (sched.step(eps, t, latents), cache), None
+
+        (latents, _), _ = jax.lax.scan(
+            step, (latents, cache0),
+            (jnp.arange(sched.timesteps.shape[0]), sched.timesteps))
 
     # --- decode (reference pipeline_neuroclips.py:242-255) ---
     lat_f = latents.transpose(0, 2, 1, 3, 4).reshape(

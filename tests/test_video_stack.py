@@ -184,3 +184,72 @@ class TestStage5Pipeline:
         assert out.video.shape == (1, F, 3, 16, 16)
         v = np.asarray(out.video)
         assert np.isfinite(v).all() and v.min() >= 0 and v.max() <= 1
+
+
+class TestVideoEncoderReuse:
+    """Faster-Diffusion encoder propagation in the stage-5 DDIM loop."""
+
+    def test_cached_forward_matches_full(self, rng):
+        from neurons_tpu.config import UNet3DConfig
+        from neurons_tpu.models.unet3d import UNet3DModel
+
+        cfg = UNet3DConfig(block_out_channels=(8, 16), layers_per_block=1,
+                           down_block_types=("CrossAttnDownBlock3D",
+                                             "DownBlock3D"),
+                           up_block_types=("UpBlock3D",
+                                           "CrossAttnUpBlock3D"),
+                           cross_attention_dim=12, attention_head_dim=4,
+                           norm_num_groups=4, motion_num_attention_heads=2,
+                           motion_max_seq_length=8)
+        m = UNet3DModel(cfg, n_frames=2)
+        x = jax.random.normal(rng, (1, 4, 2, 8, 8))
+        t = jnp.ones((1,)) * 5
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (1, 5, 12))
+        params = m.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+        out_full, cache = m.apply({"params": params}, x, t, ctx,
+                                  return_cache=True)
+        out_cached = m.apply({"params": params}, x, t, ctx, cached=cache)
+        np.testing.assert_allclose(np.asarray(out_cached),
+                                   np.asarray(out_full), rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_reconstruct_video_reuse_runs(self, rng):
+        from neurons_tpu.config import UNet3DConfig
+        from neurons_tpu.models.unet3d import UNet3DModel
+        from neurons_tpu.pipelines.video import reconstruct_video
+
+        cfg = UNet3DConfig(block_out_channels=(8, 16), layers_per_block=1,
+                           down_block_types=("CrossAttnDownBlock3D",
+                                             "DownBlock3D"),
+                           up_block_types=("UpBlock3D",
+                                           "CrossAttnUpBlock3D"),
+                           cross_attention_dim=12, attention_head_dim=4,
+                           norm_num_groups=4, motion_num_attention_heads=2,
+                           motion_max_seq_length=8)
+        f = 4
+        m = UNet3DModel(cfg, n_frames=f)
+        x0 = jnp.zeros((1, 4, f, 2, 2))
+        ctx0 = jnp.zeros((1, 5, 12))
+        params = m.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)),
+                        ctx0)["params"]
+
+        def unet_apply(p, x, t, c, down, mid, **kw):
+            return m.apply({"params": p}, x, t, c, down, mid, **kw)
+
+        def pool_encode(x):
+            n, c, h, w = x.shape
+            p = x.reshape(n, c, h // 8, 8, w // 8, 8).mean(axis=(3, 5))
+            return jnp.concatenate([p, p[:, :1]], axis=1)
+
+        out = reconstruct_video(
+            unet3d_apply=unet_apply, unet3d_params=params,
+            controlnet_apply=None, controlnet_params=None,
+            vae_encode_mode=pool_encode,
+            vae_decode=lambda z: jnp.zeros((z.shape[0], 3, 16, 16)),
+            key=jax.random.PRNGKey(1),
+            blurry_video=jnp.zeros((1, 6, 3, 16, 16)),
+            keyframe=jnp.zeros((1, 3, 16, 16)),
+            text_embeddings=jnp.zeros((1, 5, 12)),
+            uncond_embeddings=jnp.zeros((1, 5, 12)),
+            num_steps=4, n_frames=f, encoder_reuse=2)
+        assert np.isfinite(np.asarray(out.latents)).all()

@@ -94,6 +94,8 @@ def build():
 
     diffusion = prior_lib.PriorDiffusion.create(scfg.prior_steps)
 
+    enc_reuse = int(os.environ.get("BENCH_ENC_REUSE", "1"))
+
     @jax.jit
     def stage3(prior_params, unet2d_params, vae_params, key, brain_tokens):
         def net_apply(p, image_embed, times, brain_embed, **kw):
@@ -106,10 +108,13 @@ def build():
             diffusion, net_apply, prior_params, k1,
             brain_tokens.shape, brain_tokens)
 
-        def unet_apply(p, x, t, crossattn, vector):
-            return unet2d.apply({"params": p}, x.astype(DTYPE), t,
-                                crossattn.astype(DTYPE),
-                                vector.astype(DTYPE)).astype(jnp.float32)
+        def unet_apply(p, x, t, crossattn, vector, **kw):
+            out = unet2d.apply({"params": p}, x.astype(DTYPE), t,
+                               crossattn.astype(DTYPE),
+                               vector.astype(DTYPE), **kw)
+            if isinstance(out, tuple):
+                return out[0].astype(jnp.float32), out[1]
+            return out.astype(jnp.float32)
 
         def vae_decode(z):
             return vae.apply(vae_params, z.astype(DTYPE),
@@ -118,15 +123,18 @@ def build():
         return unclip_sample(unet_apply, unet2d_params, vae_decode, k2,
                              prior_out, num_steps=scfg.unclip_steps,
                              cfg_scale=scfg.unclip_cfg_scale,
-                             latent_hw=96), prior_out
+                             latent_hw=96,
+                             encoder_reuse=enc_reuse), prior_out
 
     @jax.jit
     def stage5(unet3d_params, cn_params, vae_params, key, blurry, keyframe,
                text_emb):
-        def u3(p, x, t, ctx, down, mid):
-            return unet3d.apply({"params": p}, x.astype(DTYPE), t,
-                                ctx.astype(DTYPE), down,
-                                mid).astype(jnp.float32)
+        def u3(p, x, t, ctx, down, mid, **kw):
+            out = unet3d.apply({"params": p}, x.astype(DTYPE), t,
+                               ctx.astype(DTYPE), down, mid, **kw)
+            if isinstance(out, tuple):
+                return out[0].astype(jnp.float32), out[1]
+            return out.astype(jnp.float32)
 
         def cna(p, x, t, ctx, cond, mask, scale):
             return cn.apply({"params": p}, x.astype(DTYPE), t,
@@ -148,7 +156,7 @@ def build():
             num_steps=scfg.video_steps,
             guidance_scale=scfg.video_cfg_scale,
             low_strength=scfg.low_strength,
-            n_frames=n_frames).video
+            n_frames=n_frames, encoder_reuse=enc_reuse).video
 
     params = dict(prior=prior_params, unet2d=unet2d_params, vae=vae_params,
                   unet3d=unet3d_params, cn=cn_params)
@@ -173,7 +181,7 @@ def run_once(stage3, stage5, params, key, batch):
 def main():
     stage3, stage5, params = build()
     key = jax.random.PRNGKey(0)
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
     # warmup / compile
     run_once(stage3, stage5, params, key, batch)
     n_iters = int(os.environ.get("BENCH_ITERS", "3"))

@@ -178,10 +178,18 @@ def reconstruct_video(
             step, (latents, cache0),
             (jnp.arange(sched.timesteps.shape[0]), sched.timesteps))
 
-    # --- decode (reference pipeline_neuroclips.py:242-255) ---
+    # --- decode (reference pipeline_neuroclips.py:242-255 decodes
+    # frame-by-frame; we map over frame chunks to bound decoder
+    # activations while keeping the MXU fed) ---
     lat_f = latents.transpose(0, 2, 1, 3, 4).reshape(
         b * n_frames, *latents.shape[1:2] + latents.shape[3:])
-    frames = vae_decode(lat_f / latent_scale)
+    chunk = max(1, min(8, b * n_frames))
+    if (b * n_frames) % chunk == 0 and b * n_frames > chunk:
+        lat_c = lat_f.reshape(b * n_frames // chunk, chunk, *lat_f.shape[1:])
+        frames = jax.lax.map(lambda z: vae_decode(z / latent_scale), lat_c)
+        frames = frames.reshape(b * n_frames, *frames.shape[2:])
+    else:
+        frames = vae_decode(lat_f / latent_scale)
     frames = jnp.clip(frames / 2 + 0.5, 0.0, 1.0)
     video = frames.reshape(b, n_frames, *frames.shape[1:])
     return VideoPipelineOutputs(latents=latents, video=video)

@@ -167,21 +167,30 @@ def run_once(stage3, stage5, params, key, batch):
     """One batched pass: `batch` clips amortize the fixed sampler
     overheads exactly as the reference batches stage 3 (batch 20,
     reference recon_keyframe_neurons.py:350)."""
+    verbose = os.environ.get("BENCH_VERBOSE") == "1"
     brain_tokens = jax.random.normal(key, (batch, 256, 1664)) * 0.5
+    t0 = time.perf_counter()
     kf, prior_out = stage3(params["prior"], params["unet2d"], params["vae"],
                            key, brain_tokens)
+    if verbose:
+        jax.block_until_ready(kf)
+        print(f"  stage3: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
     keyframe = jax.image.resize(kf, (batch, 3, 256, 256), "linear")
     blurry = jax.random.uniform(key, (batch, 6, 3, 256, 256))
     text = jax.random.normal(key, (batch, 77, 768)) * 0.1
+    t1 = time.perf_counter()
     video = stage5(params["unet3d"], params["cn"], params["vae"], key,
                    blurry, keyframe, text)
-    return jax.block_until_ready(video)
+    out = jax.block_until_ready(video)
+    if verbose:
+        print(f"  stage5: {time.perf_counter() - t1:.2f}s", file=sys.stderr)
+    return out
 
 
 def main():
     stage3, stage5, params = build()
     key = jax.random.PRNGKey(0)
-    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     # warmup / compile
     run_once(stage3, stage5, params, key, batch)
     n_iters = int(os.environ.get("BENCH_ITERS", "3"))

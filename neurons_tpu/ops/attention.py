@@ -75,6 +75,41 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _flash_kernel_smallkv(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                          kv_len: int, block_k: int):
+    """Whole-KV variant: K/V resident in VMEM, online softmax in
+    registers via fori_loop — faster than the streaming grid when the
+    padded KV fits the VMEM budget (the UNet's 576-2304-token attention)."""
+    q = q_ref[...].astype(jnp.float32) * scale          # [Bq, D]
+    bq, d = q.shape
+    tk = k_ref.shape[0]
+    num_kb = tk // block_k
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+
+    def body(i, carry):
+        acc, m, l = carry
+        kb = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   scale: float, kv_len: int, block_k: int, num_kb: int):
     """Streaming flash attention: grid (bh, q_blocks, kv_blocks); the kv
@@ -146,6 +181,28 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     vf = vp.reshape(b * h, tk_p, d_p)
 
     num_kb = tk_p // block_k
+    # whole-KV kernel while K+V (bf16) fit ~4 MB of VMEM; streaming grid
+    # with scratch accumulators beyond that (e.g. the 9216-token VAE
+    # mid-attention, whose whole-KV residency blew the 16 MB scoped cap)
+    smallkv = tk_p * d_p * 2 * 2 <= 4 * 1024 * 1024
+    if smallkv:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_smallkv, scale=scale,
+                              kv_len=tk, block_k=block_k),
+            grid=(b * h, tq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((None, block_q, d_p),
+                             lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((None, tk_p, d_p), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((None, tk_p, d_p), lambda bh, qi: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((None, block_q, d_p),
+                                   lambda bh, qi: (bh, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(b, h, tq_p, d_p)[:, :, :tq, :d]
+
     grid = (b * h, tq_p // block_q, num_kb)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=tk,

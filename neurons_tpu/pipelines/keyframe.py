@@ -124,12 +124,16 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
         samples_z = sample_euler_encoder_reuse(
             denoise_full, denoise_cached, x, sigmas, encoder_reuse,
             prepare=False)
-    # per-sample VAE decode: at 768x768 the decoder activations are ~GBs
-    # per sample, so map over the batch instead of decoding it at once —
-    # the reference also decodes sample-by-sample (unclip batch 1,
-    # recon_keyframe_neurons.py:429-494)
-    samples_x = jax.lax.map(
-        lambda zi: vae_decode(zi[None])[0], samples_z / scale_factor)
+    # per-sample VAE decode for batch > 1: at 768x768 the decoder
+    # activations are ~GBs per sample, so map over the batch instead of
+    # decoding it at once (the reference also decodes sample-by-sample,
+    # recon_keyframe_neurons.py:429-494); single-sample batches decode
+    # directly (a lax.map wrapper costs ~0.5 s/clip of lost fusion)
+    if b > 1:
+        samples_x = jax.lax.map(
+            lambda zi: vae_decode(zi[None])[0], samples_z / scale_factor)
+    else:
+        samples_x = vae_decode(samples_z / scale_factor)
     return jnp.clip(samples_x * 0.8 + 0.2, 0.0, 1.0)
 
 

@@ -183,7 +183,7 @@ def reconstruct_video(
     # activations while keeping the MXU fed) ---
     lat_f = latents.transpose(0, 2, 1, 3, 4).reshape(
         b * n_frames, *latents.shape[1:2] + latents.shape[3:])
-    chunk = max(1, min(8, b * n_frames))
+    chunk = max(1, min(16, b * n_frames))
     if (b * n_frames) % chunk == 0 and b * n_frames > chunk:
         lat_c = lat_f.reshape(b * n_frames // chunk, chunk, *lat_f.shape[1:])
         frames = jax.lax.map(lambda z: vae_decode(z / latent_scale), lat_c)

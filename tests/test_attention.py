@@ -53,3 +53,14 @@ class TestFlashAttention:
         out = dot_product_attention(q, k, v, bias=bias)
         ref = xla_attention(q, k, v, bias=bias)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+class TestStreamingPath:
+    def test_long_kv_routes_to_streaming_and_matches(self, rng):
+        # 9216 tokens @ 512 dims exceeds the whole-KV VMEM budget -> the
+        # streaming grid kernel (the VAE mid-attention forcing case)
+        q, k, v = _qkv(rng, 1, 1, 256, 9216, 512)
+        ref = xla_attention(q, k, v)
+        got = flash_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-5, atol=5e-5)

@@ -241,14 +241,27 @@ def cmd_recon(args):
               f"({len(unused)} unused keys) ---")
 
     unet = UNetModel(ucfg)
-    x0 = jnp.zeros((1, 4, latent_hw, latent_hw))
-    unet_params = unet.init(key, x0, jnp.zeros((1,)),
-                            jnp.zeros((1, bcfg.clip_seq_dim,
-                                       bcfg.clip_emb_dim)),
-                            jnp.zeros((1, ucfg.adm_in_channels)))["params"]
     vae = AutoencoderKL(vcfg)
-    img_hw = latent_hw * 2 ** (len(vcfg.block_out_channels) - 1)
-    vae_params = vae.init(key, jnp.zeros((1, 3, img_hw, img_hw)))
+    unclip_ckpt = os.path.join(args.weights_dir,
+                               "unclip6_epoch0_step110000.ckpt")
+    if os.path.exists(unclip_ckpt):
+        # the reference's released unclip engine (README.md:89), EMA-swapped
+        from neurons_tpu.interop.load_weights import load_unclip_engine
+        up, vp, rep = load_unclip_engine(unclip_ckpt, ucfg, vcfg)
+        unet_params, vae_params = up, {"params": vp}
+        print(f"--- loaded unclip engine ({rep.get('ema_swapped', 0)} EMA "
+              f"tensors swapped, {len(rep['unet_unused'])} unused) ---")
+    else:
+        if not (args.tiny or args.synthetic):
+            raise FileNotFoundError(f"{unclip_ckpt} missing")
+        x0 = jnp.zeros((1, 4, latent_hw, latent_hw))
+        unet_params = unet.init(key, x0, jnp.zeros((1,)),
+                                jnp.zeros((1, bcfg.clip_seq_dim,
+                                           bcfg.clip_emb_dim)),
+                                jnp.zeros((1, ucfg.adm_in_channels))
+                                )["params"]
+        img_hw = latent_hw * 2 ** (len(vcfg.block_out_channels) - 1)
+        vae_params = vae.init(key, jnp.zeros((1, 3, img_hw, img_hw)))
 
     def dec_apply(p, method, *a, **kw):
         return model.apply({"params": p}, *a, method=method, **kw)
@@ -381,13 +394,40 @@ def cmd_video(args):
     ctx_dim = u3.cross_attention_dim
     x0 = jnp.zeros((1, 4, n_frames, lat_hw, lat_hw))
     ctx0 = jnp.zeros((1, 5 if args.tiny else 77, ctx_dim))
-    uparams = unet.init(key, x0, jnp.zeros((1,)), ctx0)["params"]
     cn = SparseControlNetModel(u3, n_frames=n_frames)
-    cparams = cn.init(key, x0, jnp.zeros((1,)), ctx0,
-                      jnp.zeros((1, 4, n_frames, lat_hw, lat_hw)),
-                      jnp.zeros((1, 1, n_frames, lat_hw, lat_hw)))["params"]
     vae = AutoencoderKL(vcfg)
-    vparams = vae.init(key, jnp.zeros((1, 3, hw, hw)))
+
+    # the reference's stage-5 weight bundle (configs/NeuroClips/
+    # control.yaml:1-23): DreamBooth base + motion module + adapter LoRA
+    # + SparseCtrl ckpt
+    w = lambda f: os.path.join(args.weights_dir, f)
+    mm_path = w("v3_sd15_mm.ckpt")
+    if os.path.exists(mm_path):
+        from neurons_tpu.interop.load_weights import (
+            load_animatediff_unet3d, load_sd_vae, load_sparse_controlnet)
+        base = w("realisticVisionV60B1_v51VAE.safetensors")
+        if not os.path.exists(base):
+            base = w("sd-v1-5.ckpt")
+        lora = w("v3_sd15_adapter.ckpt")
+        uparams, rep = load_animatediff_unet3d(
+            base, mm_path, u3,
+            lora_path=lora if os.path.exists(lora) else None)
+        print(f"--- loaded AnimateDiff UNet3D "
+              f"({len(rep['spatial_unused'])}+{len(rep['motion_unused'])} "
+              f"unused) ---")
+        cparams, _ = load_sparse_controlnet(
+            w("v3_sd15_sparsectrl_rgb.ckpt"), u3)
+        vparams_p, _ = load_sd_vae(base, vcfg)
+        vparams = {"params": vparams_p}
+    else:
+        if not (args.tiny or args.synthetic):
+            raise FileNotFoundError(f"{mm_path} missing")
+        uparams = unet.init(key, x0, jnp.zeros((1,)), ctx0)["params"]
+        cparams = cn.init(key, x0, jnp.zeros((1,)), ctx0,
+                          jnp.zeros((1, 4, n_frames, lat_hw, lat_hw)),
+                          jnp.zeros((1, 1, n_frames, lat_hw, lat_hw))
+                          )["params"]
+        vparams = vae.init(key, jnp.zeros((1, 3, hw, hw)))
 
     # stage-3 artifacts (blurry videos + keyframes); synthetic fallback
     st3 = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)

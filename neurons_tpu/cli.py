@@ -266,10 +266,21 @@ def cmd_recon(args):
     def dec_apply(p, method, *a, **kw):
         return model.apply({"params": p}, *a, method=method, **kw)
 
-    class_embeds = jnp.asarray(np.random.default_rng(0).normal(
-        size=(dcfg.num_classes, dcfg.clip_txt_emb_dim)).astype(np.float32))
+    # class-name CLIP text embeds: precomputed table if present
+    # (neurons precompute -> class_text_embeds.npy), random in smoke mode
+    class_table = os.path.join(args.root_dir, "class_text_embeds.npy")
+    if os.path.exists(class_table):
+        class_embeds = jnp.asarray(np.load(class_table), jnp.float32)
+        print("--- using precomputed class text embeds ---")
+    else:
+        if not (args.tiny or args.synthetic):
+            raise FileNotFoundError(
+                f"{class_table} missing; run `neurons precompute` first")
+        class_embeds = jnp.asarray(np.random.default_rng(0).normal(
+            size=(dcfg.num_classes, dcfg.clip_txt_emb_dim)
+        ).astype(np.float32))
 
-    bs = 4
+    bs = 4 if (args.tiny or args.synthetic) else args.batch_size
     voxel = jnp.asarray(test_split.voxel[:bs, :1], jnp.float32)
     out = reconstruct_keyframes(
         decoupler_apply=dec_apply, decoupler_params=dec_params,
@@ -454,9 +465,43 @@ def cmd_video(args):
                                  (keyframes.shape[0], 3, hw, hw), "linear")
     blurry = jnp.asarray(g.uniform(size=(keyframes.shape[0], 6, 3, hw, hw)),
                          jnp.float32)
-    text = jnp.asarray(g.normal(size=(keyframes.shape[0],
-                                      ctx0.shape[1], ctx_dim)) * 0.1,
-                       jnp.float32)
+
+    # caption embeddings: the reference embeds the stage-3/4 captions with
+    # the SD-1.5 CLIP text encoder (scripts/neuroclips_video.py:95-117 +
+    # :254-260); here via our CLIPTextTower with weights from the base ckpt
+    text = None
+    base = os.path.join(args.weights_dir,
+                        "realisticVisionV60B1_v51VAE.safetensors")
+    if not os.path.exists(base):
+        base = os.path.join(args.weights_dir, "sd-v1-5.ckpt")
+    try:
+        captions = art.get("captions", []) if not args.synthetic else []
+    except NameError:
+        captions = []
+    if captions and os.path.exists(base) and not args.tiny:
+        from neurons_tpu.data.clip_tokenizer import tokenize
+        from neurons_tpu.interop.load_weights import load_sd_text_encoder
+        from neurons_tpu.models.clip import CLIPTextConfig, CLIPTextTower
+        tcfg_clip = CLIPTextConfig.sd15()
+        tparams, _ = load_sd_text_encoder(base, tcfg_clip.layers)
+        tower = CLIPTextTower(tcfg_clip)
+        # SD's text encoder has no text_projection; overlay the imported
+        # weights onto an init tree (the unused pooled path keeps its init)
+        from neurons_tpu.utils.checkpoint import restore_into
+        init_p = tower.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4), jnp.int32))["params"]
+        tparams = restore_into(init_p, tparams)
+        toks = np.zeros((len(sel), 77), np.int32)
+        for i, c in enumerate([captions[int(s)] for s in sel]):
+            t = tokenize([c], context_length=77)[0]
+            toks[i, :len(t)] = t
+        last, _ = tower.apply({"params": tparams}, jnp.asarray(toks))
+        text = jnp.asarray(last, jnp.float32)
+        print("--- caption text embeddings from SD CLIP text encoder ---")
+    if text is None:
+        text = jnp.asarray(g.normal(size=(keyframes.shape[0],
+                                          ctx0.shape[1], ctx_dim)) * 0.1,
+                           jnp.float32)
 
     out = reconstruct_video(
         unet3d_apply=lambda p, x, t, c, d, m: unet.apply(

@@ -78,6 +78,12 @@ class CLIPTextConfig(NamedTuple):
         return CLIPTextConfig()
 
     @staticmethod
+    def sd15() -> "CLIPTextConfig":
+        """SD-1.5's text encoder (openai CLIP ViT-L/14: QuickGELU)."""
+        return CLIPTextConfig(width=768, layers=12, heads=12,
+                              output_dim=768, quick_gelu=True)
+
+    @staticmethod
     def tiny() -> "CLIPTextConfig":
         return CLIPTextConfig(vocab_size=128, context_length=16, width=32,
                               layers=2, heads=4, output_dim=24)
@@ -93,7 +99,7 @@ class _Block(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         b, t, d = x.shape
-        h = nn.LayerNorm(name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         qkv = nn.Dense(3 * d, name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = d // self.heads
@@ -112,7 +118,7 @@ class _Block(nn.Module):
             out = dot_product_attention(split(q), split(k), split(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.Dense(d, name="out_proj")(out)
-        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(int(d * self.mlp_ratio), name="mlp_fc")(h)
         # OpenAI CLIP towers use QuickGELU; open_clip bigG uses exact GELU
         h = h * jax.nn.sigmoid(1.702 * h) if self.quick_gelu else nn.gelu(
@@ -145,11 +151,11 @@ class CLIPVisionTower(nn.Module):
                          nn.initializers.normal(0.02),
                          (1 + gh * gw, d))
         x = x + pos[None]
-        x = nn.LayerNorm(name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
         for i in range(c.layers):
             x = _Block(c.width, c.heads, c.mlp_ratio,
                        quick_gelu=c.quick_gelu, name=f"resblock_{i}")(x)
-        x = nn.LayerNorm(name="ln_post")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x)
         pooled, tokens = x[:, 0], x[:, 1:]
         proj = self.param("proj", nn.initializers.normal(d ** -0.5),
                           (d, c.output_dim))
@@ -183,7 +189,7 @@ class CLIPTextTower(nn.Module):
         for i in range(c.layers):
             x = _Block(c.width, c.heads, 4.0, causal=True,
                        quick_gelu=c.quick_gelu, name=f"resblock_{i}")(x)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         proj = self.param("text_projection",
                           nn.initializers.normal(c.width ** -0.5),
                           (c.width, c.output_dim))

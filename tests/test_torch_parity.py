@@ -130,3 +130,40 @@ class TestMotionModuleFilter:
         out = filter_motion_module(sd)
         assert list(out.keys()) == [
             "down_blocks.0.motion_modules.0.proj_in.weight"]
+
+
+class TestHFCLIPTextParity:
+    """import_hf_clip_text vs a tiny random HF CLIPTextModel (the SD-1.5
+    text encoder layout, QuickGELU)."""
+
+    def test_last_hidden_matches(self):
+        import torch
+        from transformers import CLIPTextConfig as HFTextConfig
+        from transformers import CLIPTextModel
+        from neurons_tpu.interop.torch_import import import_hf_clip_text
+        from neurons_tpu.models.clip import CLIPTextConfig, CLIPTextTower
+        from neurons_tpu.utils.checkpoint import restore_into
+
+        torch.manual_seed(0)
+        hf = CLIPTextModel(HFTextConfig(
+            vocab_size=120, hidden_size=24, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=16, hidden_act="quick_gelu")).eval()
+        params, unused = import_hf_clip_text(hf.state_dict(), layers=2)
+        assert unused == [], unused
+
+        cfg = CLIPTextConfig(vocab_size=120, context_length=16, width=24,
+                             layers=2, heads=4, output_dim=24,
+                             quick_gelu=True)
+        tower = CLIPTextTower(cfg)
+        init_p = tower.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4), jnp.int32))["params"]
+        params = restore_into(init_p, params)
+
+        ids = np.random.RandomState(0).randint(1, 119, (2, 9))
+        ids[:, -1] = 119  # highest id = EOT position
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).last_hidden_state.numpy()
+        last, _ = tower.apply({"params": params}, jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(last), ref, rtol=3e-4,
+                                   atol=3e-4)

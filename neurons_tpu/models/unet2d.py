@@ -129,12 +129,12 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         x = CrossAttention(self.dim, self.heads, self.dim_head,
-                           name="attn1")(nn.LayerNorm(name="norm1")(x)) + x
+                           name="attn1")(nn.LayerNorm(epsilon=1e-5, name="norm1")(x)) + x
         x = CrossAttention(self.dim, self.heads, self.dim_head,
                            context_dim=self.context_dim, name="attn2")(
-                               nn.LayerNorm(name="norm2")(x), context) + x
+                               nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context) + x
         x = GEGLUFeedForward(self.dim, name="ff")(
-            nn.LayerNorm(name="norm3")(x)) + x
+            nn.LayerNorm(epsilon=1e-5, name="norm3")(x)) + x
         return x
 
 

@@ -126,7 +126,7 @@ class MotionModule(nn.Module):
         for blk in range(self.num_blocks):
             for ai, att_type in enumerate(self.attention_block_types):
                 name = f"block_{blk}_attn_{ai}"
-                t = nn.LayerNorm(name=f"{name}_norm")(tokens)
+                t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm")(tokens)
                 t = to_temporal(t) + pe[None]
                 is_cross = att_type.endswith("Cross") and context is not None
                 ctx = None
@@ -134,7 +134,7 @@ class MotionModule(nn.Module):
                     ctx = jnp.repeat(context, d, axis=0)
                 t = MHAttention(c, self.heads, name=name)(t, ctx)
                 tokens = from_temporal(t) + tokens
-            t = nn.LayerNorm(name=f"block_{blk}_ff_norm")(tokens)
+            t = nn.LayerNorm(epsilon=1e-5, name=f"block_{blk}_ff_norm")(tokens)
             tokens = GEGLU_FF(c, name=f"block_{blk}_ff")(t) + tokens
         out = nn.Dense(c, kernel_init=zero_init(), name="proj_out")(tokens)
         return out.reshape(bf, hh, ww, c) + residual
@@ -187,12 +187,12 @@ class Transformer3D(nn.Module):
         ctx = jnp.repeat(context, self.n_frames, axis=0)  # [B*F, 77, Ctx]
         for i in range(self.depth):
             name = f"block_{i}"
-            t = nn.LayerNorm(name=f"{name}_norm1")(tokens)
+            t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm1")(tokens)
             tokens = MHAttention(c, self.heads, name=f"{name}_attn1")(t) + tokens
-            t = nn.LayerNorm(name=f"{name}_norm2")(tokens)
+            t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm2")(tokens)
             tokens = MHAttention(c, self.heads, context_dim=self.context_dim,
                                  name=f"{name}_attn2")(t, ctx) + tokens
-            t = nn.LayerNorm(name=f"{name}_norm3")(tokens)
+            t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm3")(tokens)
             tokens = GEGLU_FF(c, name=f"{name}_ff")(t) + tokens
         tokens = nn.Dense(c, name="proj_out")(tokens)
         return tokens.reshape(bf, hh, ww, c) + residual

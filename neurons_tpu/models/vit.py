@@ -57,7 +57,7 @@ class _EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, t, d = x.shape
-        h = nn.LayerNorm(name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-12, name="ln_1")(x)
         q = nn.Dense(d, name="q")(h)
         k = nn.Dense(d, name="k")(h)
         v = nn.Dense(d, name="v")(h)
@@ -69,7 +69,7 @@ class _EncoderBlock(nn.Module):
         out = dot_product_attention(split(q), split(k), split(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.Dense(d, name="attn_out")(out)
-        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-12, name="ln_2")(x)
         h = nn.gelu(nn.Dense(int(self.mlp_ratio * d), name="mlp_fc")(h),
                     approximate=False)
         return x + nn.Dense(d, name="mlp_proj")(h)
@@ -118,8 +118,8 @@ class ViTClassifier(nn.Module):
                                    name=f"block_{i}")(tokens)
         if c.pool == "cls":
             # HF ViTForImageClassification: LN over the sequence, take CLS
-            pooled = nn.LayerNorm(name="ln_post")(tokens)[:, 0]
+            pooled = nn.LayerNorm(epsilon=1e-12, name="ln_post")(tokens)[:, 0]
         else:
             # HF VideoMAE use_mean_pooling: mean-pool FIRST, then fc_norm
-            pooled = nn.LayerNorm(name="ln_post")(tokens.mean(axis=1))
+            pooled = nn.LayerNorm(epsilon=1e-12, name="ln_post")(tokens.mean(axis=1))
         return nn.Dense(c.num_classes, name="head")(pooled)

@@ -114,13 +114,14 @@ def select_key_objects_for_all_videos(masks: Dict, num_videos: int,
 
 def build_key_object_files(mask_dir: str, masks_json_path: str,
                            out_dir: str, mode: str,
-                           num_videos: int = 4320) -> None:
+                           num_videos: int = 4320, n_frames: int = 6,
+                           hw: int = 224) -> None:
     """The reference's __main__ (find_key_obj.py:402-434): writes
     key_objects_info_{mode}.json + key_objects_masks_{mode}.npz."""
     json_data = json.load(open(masks_json_path))
     masks = load_masks_from_png(mask_dir, json_data)
     key_objects, all_masks = select_key_objects_for_all_videos(
-        masks, num_videos)
+        masks, num_videos, n_frames=n_frames, hw=hw)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, f"key_objects_info_{mode}.json"),
               "w") as f:

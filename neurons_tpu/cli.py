@@ -293,12 +293,22 @@ def cmd_recon(args):
         sampler_cfg=scfg, n_frames=dcfg.n_frames, latent_hw=latent_hw,
         enhance=args.enhance, caption_len=12 if args.tiny else 60)
 
+    # decode the blurry latents to pixel video — the artifact contract is
+    # pixel space (reference recon_keyframe_neurons.py:323-333 decodes
+    # before saving recon_videos.pt; stage 5 consumes pixels)
+    blurry_px = vae.apply(vae_params, jnp.asarray(out.blurry_latents),
+                          method=AutoencoderKL.decode)
+    blurry_px = jnp.clip(blurry_px / 2 + 0.5, 0.0, 1.0)
+    f = dcfg.n_frames
+    blurry_px = np.asarray(blurry_px).reshape(
+        bs, f, *blurry_px.shape[1:])
+
     out_dir = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
     io.save_stage3_artifacts(
         out_dir, args.subj, all_recons=np.asarray(out.keyframes),
         all_gts=np.asarray(test_split.images[:bs, 2]),
         captions=[f"tokens:{list(map(int, c[:8]))}" for c in out.captions],
-        blurry_videos=np.asarray(out.blurry_latents))
+        blurry_videos=blurry_px)
     print(f"=== stage 3 finished -> {out_dir} ===")
 
 
@@ -446,6 +456,7 @@ def cmd_video(args):
     # round-robin clip scattering: this process handles clips
     # shard, shard+num_shards, ... (reference org_idx = rank + i * N)
     shard, num_shards = args.shard, args.num_shards
+    blurry = None
     try:
         art = io.load_stage3_artifacts(st3, args.subj)
         sel = np.arange(shard, len(art["all_recons"]), num_shards)
@@ -453,7 +464,13 @@ def cmd_video(args):
             sel = sel[:2]
         keyframes = jnp.asarray(art["all_recons"][sel], jnp.float32)
         gts = art["all_gts"][sel]
-        blurry = None  # blurry latents need VAE decode; use GT-shaped noise
+        bv = art["blurry_videos"]
+        if bv.ndim == 5 and bv.shape[2] == 3:  # pixel video [N, F, 3, H, W]
+            blurry = jnp.asarray(bv[sel], jnp.float32)
+            if blurry.shape[-1] != hw:
+                n_sel, f_sel = blurry.shape[:2]
+                blurry = jax.image.resize(
+                    blurry, (n_sel, f_sel, 3, hw, hw), "linear")
     except FileNotFoundError:
         if not args.synthetic:
             raise
@@ -463,8 +480,13 @@ def cmd_video(args):
         gts = g.uniform(size=(2, 6, 3, hw, hw)).astype(np.float32)
     keyframes = jax.image.resize(keyframes,
                                  (keyframes.shape[0], 3, hw, hw), "linear")
-    blurry = jnp.asarray(g.uniform(size=(keyframes.shape[0], 6, 3, hw, hw)),
-                         jnp.float32)
+    if blurry is None:
+        if not (args.tiny or args.synthetic):
+            raise RuntimeError(
+                "stage-3 blurry videos missing/malformed in "
+                f"{st3}/recon_videos.npz — rerun stage 3")
+        blurry = jnp.asarray(
+            g.uniform(size=(keyframes.shape[0], 6, 3, hw, hw)), jnp.float32)
 
     # caption embeddings: the reference embeds the stage-3/4 captions with
     # the SD-1.5 CLIP text encoder (scripts/neuroclips_video.py:95-117 +

@@ -798,14 +798,12 @@ def import_neurons_ensemble(state_dict: Dict, n_blocks: int = 4,
 
     gpt2_sd = {k[len("text_dec.decoder."):]: sd[k] for k in list(sd.keys())
                if k.startswith("text_dec.decoder.")}
-    gpt2_params, _ = import_gpt2(gpt2_sd, gpt2_layers)
-    # mark gpt2 keys consumed on the tracker
-    for k in list(sd.keys()):
-        if k.startswith("text_dec.decoder."):
-            _ = sd[k]
+    gpt2_params, gpt2_unused = import_gpt2(gpt2_sd, gpt2_layers)
     gpt2_params["clip_project"] = linear(sd, "text_dec.clip_project.model.0")
     p["text_dec"] = gpt2_params
-    return p, sd.unused()
+    # re-prefix the GPT-2 sub-importer's unused keys into the report
+    unused = sd.unused() + [f"text_dec.decoder.{k}" for k in gpt2_unused]
+    return p, sorted(unused)
 
 
 # ---------------------------------------------------------------------------

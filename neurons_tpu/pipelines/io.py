@@ -82,7 +82,12 @@ def save_video_grid(videos: np.ndarray, path: str, fps: int = 8,
             fh.write(data)
         return
     import imageio
-    imageio.mimsave(path, frames, duration=1000 / fps, loop=0)
+
+    # imageio >= 2.28 interprets GIF `duration` in ms; the legacy Pillow
+    # plugin used seconds — convert per installed version
+    ver = tuple(int(x) for x in imageio.__version__.split(".")[:2])
+    duration = 1000 / fps if ver >= (2, 28) else 1 / fps
+    imageio.mimsave(path, frames, duration=duration, loop=0)
 
 
 def load_gif(path: str) -> np.ndarray:

@@ -164,6 +164,9 @@ def reconstruct_keyframes(
     reference recon_keyframe_neurons_enhance.py:377-402)."""
     from neurons_tpu.models.neurons import NeuronsDecoupler as ND
 
+    if enhance and class_text_embeds is None:
+        raise ValueError("enhance=True requires class_text_embeds "
+                         "(the [51, 1280] class-name CLIP table)")
     k_prior, k_unclip = jax.random.split(key)
     b = voxel.shape[0]
 

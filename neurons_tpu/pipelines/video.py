@@ -85,9 +85,13 @@ def reconstruct_video(
     lat = lat.reshape(b, n_frames, *lat.shape[1:])
     latents = lat.transpose(0, 2, 1, 3, 4)               # [B, 4, F, h, w]
 
-    # partial-noise init (reference pipeline_neuroclips.py:408-423)
+    # partial-noise init (reference pipeline_neuroclips.py:408-423).
+    # NOTE: the reference's `timesteps[:t_start][:1]` is timesteps[0] for
+    # every t_start >= 1, i.e. low_strength has no effect below ~0.96 —
+    # reproduced faithfully; the clamp below only prevents the empty-slice
+    # crash the reference would also hit at low_strength >= 1.
     init_timestep = min(int(num_steps * low_strength), num_steps)
-    t_start = max(num_steps - init_timestep, 0)
+    t_start = max(num_steps - init_timestep, 1)
     latent_timestep = sched.timesteps[:t_start][:1]
     noise = jax.random.normal(key, latents.shape, latents.dtype)
     latents = sched.add_noise(latents, noise,
@@ -183,11 +187,15 @@ def reconstruct_video(
     # activations while keeping the MXU fed) ---
     lat_f = latents.transpose(0, 2, 1, 3, 4).reshape(
         b * n_frames, *latents.shape[1:2] + latents.shape[3:])
-    chunk = max(1, min(16, b * n_frames))
-    if (b * n_frames) % chunk == 0 and b * n_frames > chunk:
-        lat_c = lat_f.reshape(b * n_frames // chunk, chunk, *lat_f.shape[1:])
+    # chunk = the largest divisor of b*F that is <= 16, so the chunked
+    # path ALWAYS applies (no silent whole-batch fallback that could OOM)
+    n_total = b * n_frames
+    chunk = next(c for c in range(min(16, n_total), 0, -1)
+                 if n_total % c == 0)
+    if n_total > chunk:
+        lat_c = lat_f.reshape(n_total // chunk, chunk, *lat_f.shape[1:])
         frames = jax.lax.map(lambda z: vae_decode(z / latent_scale), lat_c)
-        frames = frames.reshape(b * n_frames, *frames.shape[2:])
+        frames = frames.reshape(n_total, *frames.shape[2:])
     else:
         frames = vae_decode(lat_f / latent_scale)
     frames = jnp.clip(frames / 2 + 0.5, 0.0, 1.0)

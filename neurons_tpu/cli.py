@@ -178,10 +178,18 @@ def cmd_train_decoupler(args):
     else:
         builder = synthetic_stage2_batch_builder(bcfg, dcfg, gcfg.vocab_size,
                                                  args.seed)
+    # best-metric checkpoint gating needs the test split + CLIP table
+    test_split = clip_targets_test = None
+    ct_test_path = os.path.join(args.root_dir, "clip_targets_test.npy")
+    if not args.synthetic and os.path.exists(ct_test_path):
+        import numpy as np
+        test_split = _load_data(args, bcfg, tcfg, train=False)
+        clip_targets_test = np.load(ct_test_path, mmap_mode="r")
     os.makedirs(ckpt_dir, exist_ok=True)
     run_stage2(bcfg, pcfg, dcfg, tcfg, gcfg, mesh, train_split, builder,
                core_params=core_params, ckpt_dir=ckpt_dir,
-               resume=args.resume_from_ckpt)
+               resume=args.resume_from_ckpt, test_split=test_split,
+               clip_targets_test=clip_targets_test)
     print("=== stage 2 finished ===")
 
 
@@ -626,7 +634,13 @@ def cmd_eval(args):
     from neurons_tpu.evaluation.runner import build_metric_classifiers
 
     data_path = io.video_dir(args.exp_dir, args.exp, args.subj, args.mode)
-    classifiers = build_metric_classifiers(args.weights_dir)
+    n_frames = 6
+    gifs = sorted(f for f in os.listdir(data_path)
+                  if f.endswith(".gif")) if os.path.isdir(data_path) else []
+    if gifs:
+        n_frames = io.load_gif(os.path.join(data_path, gifs[0])).shape[0]
+    classifiers = build_metric_classifiers(args.weights_dir,
+                                           num_frames=n_frames)
     if classifiers is not None:
         print("--- semantic metrics enabled (imported classifiers) ---")
     report = run_metrics(data_path, classifiers=classifiers)

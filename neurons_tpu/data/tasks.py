@@ -129,6 +129,12 @@ def build_key_object_files(mask_dir: str, masks_json_path: str,
                    sorted(key_objects.items())}, f, indent=4)
     np.savez(os.path.join(out_dir, f"key_objects_masks_{mode}.npz"),
              masks=all_masks)
+    # ALSO write the .pt the training loader consumes (cc2017.load_split
+    # reads masks/key_objects_masks_train.pt, matching the reference's
+    # torch.save output, find_key_obj.py:434)
+    import torch
+    torch.save(torch.from_numpy(all_masks),
+               os.path.join(out_dir, f"key_objects_masks_{mode}.pt"))
 
 
 def gen_caption_embeds(captions: Sequence[str],

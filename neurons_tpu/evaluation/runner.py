@@ -31,12 +31,16 @@ class MetricClassifiers:
     clip_embed_fn: Optional[Callable] = None   # frames -> [F, D]
 
 
-def build_metric_classifiers(weights_dir: str) -> Optional[MetricClassifiers]:
+def build_metric_classifiers(weights_dir: str, num_frames: int = 6
+                             ) -> Optional[MetricClassifiers]:
     """Assemble the semantic-metric networks from downloaded HF state
     dicts (reference run_metrics.py loads google/vit-base-patch16-224,
     MCG-NJU/videomae-base-finetuned-kinetics and CLIP ViT-L from the hub).
     Expects `vit_base.pt`, `videomae_kinetics.pt`, `clip_vit_l.pt` under
-    weights_dir; returns None (pixel-metrics-only mode) when absent."""
+    weights_dir; returns None (pixel-metrics-only mode) when absent.
+    `num_frames` must match the evaluated clips (the reference sizes
+    VideoMAE by gt_list.shape[1], run_metrics.py:65); all fns take raw
+    uint8 HWC frames and apply the processor-equivalent preprocessing."""
     import jax
     import jax.numpy as jnp
 
@@ -55,6 +59,26 @@ def build_metric_classifiers(weights_dir: str) -> Optional[MetricClassifiers]:
         sd = torch.load(path, map_location="cpu")
         return sd.get("state_dict", sd)
 
+    def _prep(frames_hwc, size, mean, std):
+        """uint8 [..., H, W, 3] -> float [..., 3, size, size], normalized
+        (the processor-equivalents of ViTImageProcessor /
+        VideoMAEImageProcessor / CLIPProcessor the reference applies,
+        eval_metrics.py:99-100,134-135)."""
+        x = jnp.asarray(frames_hwc, jnp.float32) / 255.0
+        x = jnp.moveaxis(x, -1, -3)                       # channels first
+        lead = x.shape[:-3]
+        x = x.reshape((-1,) + x.shape[-3:])
+        x = jax.image.resize(x, (x.shape[0], 3, size, size), "bilinear")
+        m = jnp.asarray(mean).reshape(1, 3, 1, 1)
+        s = jnp.asarray(std).reshape(1, 3, 1, 1)
+        x = (x - m) / s
+        return x.reshape(lead + (3, size, size))
+
+    IMAGENET = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+    HALF = ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))  # ViTImageProcessor default
+    CLIP_NORM = ((0.48145466, 0.4578275, 0.40821073),
+                 (0.26862954, 0.26130258, 0.27577711))
+
     out = MetricClassifiers()
     if os.path.exists(paths["vit"]):
         cfg = ViTConfig.vit_base_224()
@@ -62,33 +86,39 @@ def build_metric_classifiers(weights_dir: str) -> Optional[MetricClassifiers]:
                                                 cfg.layers)
         m = ViTClassifier(cfg)
         logits = jax.jit(lambda x: m.apply({"params": params}, x))
-        out.img_logits_fn = lambda x: np.asarray(
-            logits(jnp.asarray(x[None], jnp.float32)))[0]
-        out.img_probs_fn = lambda x: np.asarray(jax.nn.softmax(
-            logits(jnp.asarray(x[None], jnp.float32))))[0]
+
+        def _img_logits(frame_hwc):
+            x = _prep(frame_hwc, 224, *HALF)[None]
+            return np.asarray(logits(x))[0]
+
+        out.img_logits_fn = _img_logits
+        out.img_probs_fn = lambda f: np.asarray(
+            jax.nn.softmax(jnp.asarray(_img_logits(f))))
     if os.path.exists(paths["videomae"]):
-        cfg = ViTConfig.videomae_kinetics()
+        cfg = ViTConfig.videomae_kinetics(num_frames=num_frames)
         n_tok = (cfg.num_frames // cfg.tubelet_size) * \
             (cfg.image_size // cfg.patch_size) ** 2
         params, _ = TI.import_videomae_classifier(_sd(paths["videomae"]),
                                                   cfg.layers, n_tok)
         m = ViTClassifier(cfg)
         logits = jax.jit(lambda x: m.apply({"params": params}, x))
-        out.video_logits_fn = lambda x: np.asarray(
-            logits(jnp.asarray(x[None], jnp.float32)))[0]
-        out.video_probs_fn = lambda x: np.asarray(jax.nn.softmax(
-            logits(jnp.asarray(x[None], jnp.float32))))[0]
+
+        def _vid_logits(frames_fhwc):
+            x = _prep(frames_fhwc, 224, *IMAGENET)[None]  # [1, F, 3, H, W]
+            return np.asarray(logits(x))[0]
+
+        out.video_logits_fn = _vid_logits
+        out.video_probs_fn = lambda f: np.asarray(
+            jax.nn.softmax(jnp.asarray(_vid_logits(f))))
     if os.path.exists(paths["clip"]):
         from neurons_tpu.models.clip import (CLIPVisionConfig,
-                                             CLIPVisionTower,
-                                             preprocess_images)
+                                             CLIPVisionTower)
         cfg = CLIPVisionConfig.vit_l14()
         params, _ = TI.import_hf_clip_vision(_sd(paths["clip"]), cfg.layers)
         tower = CLIPVisionTower(cfg)
-        feats = jax.jit(lambda x: tower.apply(
-            {"params": params}, preprocess_images(x, cfg.image_size))[0])
-        out.clip_embed_fn = lambda frames: np.asarray(
-            feats(jnp.asarray(frames, jnp.float32)))
+        feats = jax.jit(lambda x: tower.apply({"params": params}, x)[0])
+        out.clip_embed_fn = lambda frames: np.asarray(feats(
+            _prep(frames, cfg.image_size, *CLIP_NORM)))
     return out
 
 

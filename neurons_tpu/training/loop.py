@@ -100,14 +100,26 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                 _log(f"epoch {epoch} it {it}: loss={float(metrics['loss']):.4f}")
         ep_losses = [float(x) for x in ep_losses]
 
-        # epoch-end eval (reference :557-626)
-        ev = eval_fn(state.params,
-                     jnp.asarray(test_split.voxel[:, :1]),
-                     jnp.asarray(clip_targets_test[:, 2]),
-                     jnp.asarray(test_split.text_emb))
-        fwd = float(ev["test_fwd_percent_correct"])
-        bwd = float(ev["test_bwd_percent_correct"])
-        txt = float(ev["text_fwd_percent_correct"])
+        # epoch-end eval in retrieval batches of 100 (the reference's
+        # test_dl batch_size=100, train_neurons.py:119 — retrieval top-1
+        # is a 99-distractor task, NOT full-test-set retrieval)
+        eval_bs = min(100, len(test_split))
+        sums = {"test_fwd_percent_correct": 0.0,
+                "test_bwd_percent_correct": 0.0,
+                "text_fwd_percent_correct": 0.0}
+        nb = 0
+        for start in range(0, len(test_split) - eval_bs + 1, eval_bs):
+            sl = slice(start, start + eval_bs)
+            ev = eval_fn(state.params,
+                         jnp.asarray(test_split.voxel[sl, :1]),
+                         jnp.asarray(clip_targets_test[sl, 2]),
+                         jnp.asarray(test_split.text_emb[sl]))
+            for k in sums:
+                sums[k] += float(ev[k])
+            nb += 1
+        fwd = sums["test_fwd_percent_correct"] / nb
+        bwd = sums["test_bwd_percent_correct"] / nb
+        txt = sums["text_fwd_percent_correct"] / nb
         metric = fwd + bwd + txt
         _log(f"epoch {epoch}: mean_loss={np.mean(ep_losses):.4f} fwd={fwd:.3f} "
              f"bwd={bwd:.3f} txt={txt:.3f} ({time.time() - t0:.1f}s)")
@@ -136,10 +148,17 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                batch_builder: Callable[[Dict, int], Dict],
                core_params=None, ckpt_dir: Optional[str] = None,
                log_every: int = 50, logger=None,
-               resume: bool = False) -> train_brain.TrainState:
+               resume: bool = False,
+               test_split: Optional[cc2017.CC2017Split] = None,
+               clip_targets_test: Optional[np.ndarray] = None
+               ) -> train_brain.TrainState:
     """Stage-2 training (reference `--neurons_decoupler` branch).
     `batch_builder(batch, epoch)` assembles the precomputed-table fields
-    (clip targets, class text embeds, VAE latents) for a raw batch."""
+    (clip targets, class text embeds, VAE latents) for a raw batch.
+    With `test_split` + `clip_targets_test`, the per-epoch
+    `brain_model_prior` save is gated on the best retrieval metric
+    (reference train_neurons.py:629-641); otherwise it saves every
+    epoch."""
     if logger is None:
         from neurons_tpu.utils.metrics_log import MetricLogger
         logger = MetricLogger(log_dir=ckpt_dir)
@@ -161,6 +180,13 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
             ckpt_dir, "brain_model_prior_last", state,
             train_decoupler.TrainState)
         _log(f"--- resumed brain_model_prior_last at epoch {start_epoch} ---")
+
+    core_eval = None
+    if test_split is not None and clip_targets_test is not None:
+        from neurons_tpu.models.neurons import NeuronsCore
+        core_eval = train_brain.make_stage1_eval_step(
+            NeuronsCore(bcfg))
+    best_metric = -np.inf
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
@@ -185,11 +211,34 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
         ep_losses = [float(x) for x in ep_losses]
         _log(f"epoch {epoch}: mean_loss={np.mean(ep_losses):.4f} "
              f"({time.time() - t0:.1f}s)")
+        metric = None
+        if core_eval is not None:
+            eval_bs = min(100, len(test_split))
+            acc = [0.0, 0.0, 0.0]
+            nb = 0
+            for start in range(0, len(test_split) - eval_bs + 1, eval_bs):
+                sl = slice(start, start + eval_bs)
+                ev = core_eval(state.params["core"],
+                               jnp.asarray(test_split.voxel[sl, :1]),
+                               jnp.asarray(clip_targets_test[sl, 2]),
+                               jnp.asarray(test_split.text_emb[sl]))
+                acc[0] += float(ev["test_fwd_percent_correct"])
+                acc[1] += float(ev["test_bwd_percent_correct"])
+                acc[2] += float(ev["text_fwd_percent_correct"])
+                nb += 1
+            metric = sum(a / nb for a in acc)
+            _log(f"epoch {epoch}: eval metric {metric:.3f}")
         logger.log_metrics({"epoch": epoch,
                             "train/mean_loss": float(np.mean(ep_losses)),
+                            **({"test/retrieval_metric": metric}
+                               if metric is not None else {}),
                             "epoch_seconds": time.time() - t0},
                            step=int(state.step))
-        if ckpt_dir:
+        if ckpt_dir and (metric is None or metric > best_metric):
+            if metric is not None:
+                best_metric = metric
+                _log(f"  new best metric {metric:.3f} -> "
+                     f"saved brain_model_prior")
             ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior",
                                params=state.params, step=int(state.step),
                                epoch=epoch)

@@ -342,7 +342,6 @@ int gif_encode(const uint8_t* frames, int n, int h, int w, int delay_ms,
   size_t total = fpx * size_t(n);
   int stride = int(std::max<size_t>(1, total / 65536));
   median_cut(frames, total, stride, palette, &n_colors);
-  static thread_local std::vector<uint8_t> lut_storage;
   std::vector<uint8_t> lut(32768);
   build_lut(palette, n_colors, lut.data());
 
@@ -474,6 +473,16 @@ int gif_decode(const uint8_t* data, int64_t len, int* n, int* h, int* w,
     }
     if (pos >= size_t(len)) return 1;
     int mcs = data[pos++];
+    if (!out) {  // counting pass: walk the sub-blocks, skip the LZW work
+      (void)mcs;
+      while (pos < size_t(len)) {
+        uint8_t blen = data[pos++];
+        if (blen == 0) break;
+        pos += blen;
+      }
+      ++frame;
+      continue;
+    }
     std::vector<uint8_t> idx;
     idx.reserve(size_t(iw) * ih);
     if (!lzw_decode(data, size_t(len), &pos, mcs, &idx)) return 1;
@@ -490,10 +499,7 @@ int gif_decode(const uint8_t* data, int64_t len, int* n, int* h, int* w,
         dst[1] = pal[v][1];
         dst[2] = pal[v][2];
       }
-    if (out) {
-      memcpy(out + size_t(frame) * W * H * 3, canvas.data(),
-             canvas.size());
-    }
+    memcpy(out + size_t(frame) * W * H * 3, canvas.data(), canvas.size());
     ++frame;
   }
   *n = frame;

@@ -104,6 +104,32 @@ def _configs(args, stage2: bool = False):
     return bcfg, pcfg, dcfg, tcfg
 
 
+def _load_decoupler_params(args, params, bcfg, pcfg, gcfg):
+    """Overlay the trained decoupler weights: our Orbax checkpoint if
+    present, else the reference's released torch ensemble."""
+    from neurons_tpu.utils import checkpoint as ckpt_lib
+
+    ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
+    torch_ckpt = os.path.join(args.weights_dir,
+                              "brain_model_prior_last.pth")
+    if ckpt_lib.exists(ckpt_dir, "brain_model_prior_last"):
+        loaded = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_prior_last")
+        params = ckpt_lib.restore_into(params, loaded["params"])
+        print("--- loaded brain_model_prior_last ---")
+    elif os.path.exists(torch_ckpt):
+        import torch
+        from neurons_tpu.interop.torch_import import import_neurons_ensemble
+        sd = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
+        sd = sd.get("model_state_dict", sd.get("state_dict", sd))
+        imported, unused = import_neurons_ensemble(
+            sd, n_blocks=bcfg.n_blocks, prior_depth=pcfg.depth,
+            gpt2_layers=gcfg.n_layer)
+        params = ckpt_lib.restore_into(params, imported)
+        print(f"--- imported reference torch ensemble "
+              f"({len(unused)} unused keys) ---")
+    return params
+
+
 def _load_data(args, bcfg, tcfg, train=True):
     from neurons_tpu.data import cc2017
 
@@ -228,25 +254,7 @@ def cmd_recon(args):
     voxel0 = jnp.zeros((1, 1, bcfg.voxel_counts[0]))
     dec_params = model.init(key, voxel0, jnp.zeros((1, 8), jnp.int32))["params"]
 
-    from neurons_tpu.utils import checkpoint as ckpt_lib
-    ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
-    torch_ckpt = os.path.join(args.weights_dir, "brain_model_prior_last.pth")
-    if ckpt_lib.exists(ckpt_dir, "brain_model_prior_last"):
-        loaded = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_prior_last")
-        dec_params = ckpt_lib.restore_into(dec_params, loaded["params"])
-        print("--- loaded brain_model_prior_last ---")
-    elif os.path.exists(torch_ckpt):
-        # the reference's released torch ensemble checkpoint
-        import torch
-        from neurons_tpu.interop.torch_import import import_neurons_ensemble
-        sd = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
-        sd = sd.get("model_state_dict", sd.get("state_dict", sd))
-        imported, unused = import_neurons_ensemble(
-            sd, n_blocks=bcfg.n_blocks, prior_depth=pcfg.depth,
-            gpt2_layers=gcfg.n_layer)
-        dec_params = ckpt_lib.restore_into(dec_params, imported)
-        print(f"--- imported reference torch ensemble "
-              f"({len(unused)} unused keys) ---")
+    dec_params = _load_decoupler_params(args, dec_params, bcfg, pcfg, gcfg)
 
     unet = UNetModel(ucfg)
     vae = AutoencoderKL(vcfg)
@@ -580,35 +588,32 @@ def cmd_decoupled_eval(args):
     bcfg, pcfg, dcfg, tcfg = _configs(args, stage2=True)
     gcfg = tiny_gpt2_config() if args.tiny else GPT2Config()
     test_split = _load_data(args, bcfg, tcfg, train=False)
-    # stage-e uses train-style GT masks on the test set when available
-    gt_split = _load_data(args, bcfg, tcfg, train=True)
 
     key = jax.random.PRNGKey(args.seed)
     model = NeuronsDecoupler(bcfg, pcfg, dcfg, gcfg)
     voxel0 = jnp.zeros((1, 1, bcfg.voxel_counts[0]))
     params = model.init(key, voxel0, jnp.zeros((1, 8), jnp.int32))["params"]
-    ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
-    torch_ckpt = os.path.join(args.weights_dir, "brain_model_prior_last.pth")
-    if ckpt_lib.exists(ckpt_dir, "brain_model_prior_last"):
-        loaded = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_prior_last")
-        params = ckpt_lib.restore_into(params, loaded["params"])
-        print("--- loaded brain_model_prior_last (strict) ---")
-    elif os.path.exists(torch_ckpt):
-        import torch
-        from neurons_tpu.interop.torch_import import import_neurons_ensemble
-        sd = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
-        sd = sd.get("model_state_dict", sd.get("state_dict", sd))
-        imported, unused = import_neurons_ensemble(
-            sd, n_blocks=bcfg.n_blocks, prior_depth=pcfg.depth,
-            gpt2_layers=gcfg.n_layer)
-        params = ckpt_lib.restore_into(params, imported)
-        print(f"--- imported reference torch ensemble "
-              f"({len(unused)} unused keys) ---")
+    params = _load_decoupler_params(args, params, bcfg, pcfg, gcfg)
 
-    bs = 4
+    bs = 4 if (args.tiny or args.synthetic) else args.batch_size
+    # stage-e compares against the TEST set's GT masks (reference
+    # gen_decoupled_outputs.py:228-231); synthetic splits carry masks only
+    # on the train side, so smoke mode borrows those stand-ins
+    gt_masks = test_split.key_obj_masks
+    if gt_masks is None:
+        if not (args.tiny or args.synthetic):
+            raise FileNotFoundError(
+                "masks/key_objects_masks_qwen_test.pt missing — stage-e "
+                "needs the test GT masks")
+        gt_masks = _load_data(args, bcfg, tcfg, train=True).key_obj_masks
     g = np.random.default_rng(0)
-    class_embeds = jnp.asarray(g.normal(
-        size=(dcfg.num_classes, dcfg.clip_txt_emb_dim)).astype(np.float32))
+    class_table = os.path.join(args.root_dir, "class_text_embeds.npy")
+    if os.path.exists(class_table):
+        class_embeds = jnp.asarray(np.load(class_table), jnp.float32)
+    else:
+        class_embeds = jnp.asarray(g.normal(
+            size=(dcfg.num_classes, dcfg.clip_txt_emb_dim)
+        ).astype(np.float32))
     out = generate_decoupled_outputs(
         decoupler_apply=lambda p, m, *a, **kw: model.apply(
             {"params": p}, *a, method=m, **kw),
@@ -617,7 +622,7 @@ def cmd_decoupled_eval(args):
         class_text_embeds=class_embeds, n_frames=dcfg.n_frames,
         prior_steps=4 if args.tiny else 100,
         caption_len=12 if args.tiny else 60,
-        gt_masks=jnp.asarray(gt_split.key_obj_masks[:bs, :dcfg.n_frames]),
+        gt_masks=jnp.asarray(gt_masks[:bs, :dcfg.n_frames]),
         gt_cls=jnp.asarray(test_split.cls_label[:bs]))
     print(f"Dice: {float(out.dice):.4f}")
     print(f"cls accuracy: {float(out.cls_accuracy):.4f} "
@@ -633,7 +638,11 @@ def cmd_eval(args):
 
     from neurons_tpu.evaluation.runner import build_metric_classifiers
 
-    data_path = io.video_dir(args.exp_dir, args.exp, args.subj, args.mode)
+    # mode must match what stage 5 wrote (mode mismatch crashed
+    # default-flag pipelines before)
+    mode = args.mode or ("enhance" if getattr(args, "enhance", False)
+                         else "motion")
+    data_path = io.video_dir(args.exp_dir, args.exp, args.subj, mode)
     n_frames = 6
     gifs = sorted(f for f in os.listdir(data_path)
                   if f.endswith(".gif")) if os.path.isdir(data_path) else []
@@ -645,7 +654,7 @@ def cmd_eval(args):
         print("--- semantic metrics enabled (imported classifiers) ---")
     report = run_metrics(data_path, classifiers=classifiers)
     out = os.path.join(io.exp_dir(args.exp_dir, args.exp, args.subj),
-                       f"metrics_{args.mode}.json")
+                       f"metrics_{mode}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"=== stage 6 finished -> {out} ===")
@@ -797,7 +806,10 @@ def main(argv=None):
 
     p = sub.add_parser("eval", help="stage 6")
     _add_common(p)
-    p.add_argument("--mode", type=str, default="enhance")
+    p.add_argument("--mode", type=str, default=None,
+                   help="gen_videos_{mode} to score; defaults to "
+                        "'enhance' with --enhance else 'motion'")
+    p.add_argument("--enhance", action="store_true")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("precompute", help="build frozen-encoder tables "
@@ -814,7 +826,7 @@ def main(argv=None):
     _add_common(p)
     _add_train_args(p)
     p.add_argument("--enhance", action="store_true")
-    p.add_argument("--mode", type=str, default="enhance")
+    p.add_argument("--mode", type=str, default=None)
     p.add_argument("--shard", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
     p.set_defaults(fn=cmd_pipeline)

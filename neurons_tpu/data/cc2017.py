@@ -84,10 +84,19 @@ def load_split(root_dir: str, subj: int, train: bool) -> CC2017Split:
 
     kw = {}
     if train:
-        masks = _load(os.path.join("masks", "key_objects_masks_train.pt"))
+        mask_name, info_name = ("key_objects_masks_train.pt",
+                                "key_objects_info_train.json")
+    else:
+        # stage-e evaluates against dedicated TEST masks (reference
+        # gen_decoupled_outputs.py:228-231 loads
+        # key_objects_masks_qwen_test.pt); optional for plain eval runs
+        mask_name, info_name = ("key_objects_masks_qwen_test.pt",
+                                "key_objects_info_qwen_test.json")
+    mask_path = os.path.join(root_dir, "masks", mask_name)
+    if train or os.path.exists(mask_path):
+        masks = _load(os.path.join("masks", mask_name))
         masks = (masks.numpy() > 0).astype(np.float32)
-        info = json.load(open(os.path.join(
-            root_dir, "masks", "key_objects_info_train.json")))
+        info = json.load(open(os.path.join(root_dir, "masks", info_name)))
         from neurons_tpu.data.categories import CLS_DICT
         name_to_id = {v: k for k, v in CLS_DICT.items()}
         key_cls = np.array([name_to_id.get(info[str(i)]["category"], 0)

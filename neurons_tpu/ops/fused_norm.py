@@ -65,22 +65,25 @@ def group_norm_silu_reference(x: jax.Array, scale: jax.Array,
 def _kernel(x_ref, scale_ref, bias_ref, assign_ref, o_ref, *, eps: float,
             inv_count: float):
     x = x_ref[...].astype(jnp.float32)          # [HW, C] (None dim squeezed)
-    s = jnp.sum(x, axis=0, keepdims=True)       # [1, C]
-    s2 = jnp.sum(x * x, axis=0, keepdims=True)
     assign = assign_ref[...]                    # [C, G] one-hot
+    s = jnp.sum(x, axis=0, keepdims=True)       # [1, C]
     gsum = jax.lax.dot_general(s, assign, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    gsum2 = jax.lax.dot_general(s2, assign, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
     mean = gsum * inv_count                     # [1, G]
-    var = gsum2 * inv_count - mean * mean
-    inv = jax.lax.rsqrt(var + eps)
-    # broadcast group stats back to channels: [1, G] @ [G, C]
+    # broadcast group means back to channels: [1, G] @ [G, C]
     mean_c = jax.lax.dot_general(mean, assign.T, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+    # two-pass variance on the CENTERED values (x stays VMEM-resident, so
+    # the second pass is free of HBM traffic): the single-pass
+    # E[x^2]-mean^2 form cancels catastrophically for large-mean channels
+    xc = x - mean_c
+    s2 = jnp.sum(xc * xc, axis=0, keepdims=True)
+    gvar = jax.lax.dot_general(s2, assign, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(gvar * inv_count + eps)
     inv_c = jax.lax.dot_general(inv, assign.T, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    y = (x - mean_c) * inv_c * scale_ref[...] + bias_ref[...]
+    y = xc * inv_c * scale_ref[...] + bias_ref[...]
     o_ref[...] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 

@@ -51,3 +51,17 @@ def test_gradients_flow(rng):
     gx2 = jax.grad(loss_ref)(x, scale, bias)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx2), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_pallas_kernel_large_mean_stability(rng):
+    """Large-mean channels (|mean| >> std) catastrophically cancel under
+    single-pass E[x^2]-mean^2 variance; the kernel must use the two-pass
+    centered form."""
+    x = jax.random.normal(rng, (1, 8, 8, 16)) * 0.05 + 50.0
+    scale = jnp.ones((16,))
+    bias = jnp.zeros((16,))
+    ref = F.group_norm_silu_reference(x, scale, bias, groups=4)
+    got = F._pallas_gn_silu(x, scale, bias, groups=4, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

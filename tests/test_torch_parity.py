@@ -167,3 +167,31 @@ class TestHFCLIPTextParity:
         last, _ = tower.apply({"params": params}, jnp.asarray(ids))
         np.testing.assert_allclose(np.asarray(last), ref, rtol=3e-4,
                                    atol=3e-4)
+
+
+class TestMotionProjParity:
+    """The (c f) channel-major split + grid routing is parity-critical
+    (a silent (f c) transpose would pass every shape/behavior test)."""
+
+    def test_matches_reference_rearranges(self):
+        import torch
+        import torch.nn as tnn
+        from neurons_tpu.models.brain import MotionProj
+
+        c, f, n = 8, 3, 16
+        torch.manual_seed(0)
+        lin = tnn.Linear(c, c * f)
+        x = torch.randn(2, n, c)
+        with torch.no_grad():
+            m = lin(x)
+            # reference :127-138: b n (c f) -> b c f n -> b c f h w ->
+            # b f (h w) c
+            m = m.reshape(2, n, c, f).permute(0, 2, 3, 1)
+            ref = m.permute(0, 2, 3, 1).numpy()
+
+        jm = MotionProj(n_frames=f, clip_size=c)
+        params = {"motion_proj": {"kernel": lin.weight.detach().numpy().T,
+                                  "bias": lin.bias.detach().numpy()}}
+        got = jm.apply({"params": params}, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5,
+                                   atol=1e-6)

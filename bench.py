@@ -95,6 +95,17 @@ def build():
     diffusion = prior_lib.PriorDiffusion.create(scfg.prior_steps)
 
     enc_reuse = int(os.environ.get("BENCH_ENC_REUSE", "1"))
+    tgate_step = int(os.environ.get("BENCH_TGATE", "0"))
+    tgate_video = int(os.environ.get("BENCH_TGATE_VIDEO", "0"))
+    hoist_kv = os.environ.get("BENCH_HOIST_KV", "1") == "1"
+
+    if hoist_kv:
+        from neurons_tpu.models.unet2d import precompute_context_kv
+
+        def kv_fn(p, ctx):
+            return precompute_context_kv(p, ctx.astype(DTYPE), ucfg)
+    else:
+        kv_fn = None
 
     @jax.jit
     def stage3(prior_params, unet2d_params, vae_params, key, brain_tokens):
@@ -124,7 +135,9 @@ def build():
                              prior_out, num_steps=scfg.unclip_steps,
                              cfg_scale=scfg.unclip_cfg_scale,
                              latent_hw=96,
-                             encoder_reuse=enc_reuse), prior_out
+                             encoder_reuse=enc_reuse,
+                             precompute_kv=kv_fn,
+                             tgate_step=tgate_step), prior_out
 
     @jax.jit
     def stage5(unet3d_params, cn_params, vae_params, key, blurry, keyframe,
@@ -156,7 +169,8 @@ def build():
             num_steps=scfg.video_steps,
             guidance_scale=scfg.video_cfg_scale,
             low_strength=scfg.low_strength,
-            n_frames=n_frames, encoder_reuse=enc_reuse).video
+            n_frames=n_frames, encoder_reuse=enc_reuse,
+            tgate_step=tgate_video).video
 
     params = dict(prior=prior_params, unet2d=unet2d_params, vae=vae_params,
                   unet3d=unet3d_params, cn=cn_params)

@@ -301,6 +301,52 @@ def make_linear_prediction_denoiser(denoiser, network, cond: Dict, uc: Dict,
     return denoise
 
 
+def sample_euler_tgate(denoise_full: DenoiseFn, denoise_capture: Callable,
+                       denoise_gated: Callable, x: jax.Array,
+                       sigmas: jax.Array, gate_step: int,
+                       prepare: bool = True) -> jax.Array:
+    """Euler with temporal cross-attention gating (TGATE, arXiv 2404.02747;
+    PAPERS.md). CFG's cond/uncond branches share the latent x, so once the
+    cross-attention outputs are frozen to a cached (half-averaged) value the
+    two branches are *identical* — the gated phase runs a single-batch UNet
+    with every cross-attn site skipped:
+
+      steps [0, gate_step):   `denoise_full(x, s)` — normal CFG, 2B batch
+      step  gate_step-1:      `denoise_capture(x, s) -> (denoised, cache)`
+                              — also records each site's cross-attn output
+      steps [gate_step, n):   `denoise_gated(x, s, cache)` — B batch,
+                              cross-attn replaced by cache
+
+    `gate_step` is static; gate_step >= n degenerates to exact Euler."""
+    if prepare:
+        x = prepare_noise(x, sigmas)
+    n = sigmas.shape[0] - 1
+    m = min(max(int(gate_step), 1), n)
+
+    def euler(x, denoised, sigma, sigma_next):
+        d = (x - denoised) / jnp.maximum(sigma, 1e-9)
+        return x + (sigma_next - sigma) * d
+
+    def step_full(x, args):
+        sigma, sigma_next = args
+        return euler(x, denoise_full(x, _bshape(sigma, x)), sigma,
+                     sigma_next), None
+
+    if m > 1:
+        x, _ = jax.lax.scan(step_full, x, (sigmas[:m - 1], sigmas[1:m]))
+    denoised, cache = denoise_capture(x, _bshape(sigmas[m - 1], x))
+    x = euler(x, denoised, sigmas[m - 1], sigmas[m])
+
+    def step_gated(x, args):
+        sigma, sigma_next = args
+        return euler(x, denoise_gated(x, _bshape(sigma, x), cache), sigma,
+                     sigma_next), None
+
+    if m < n:
+        x, _ = jax.lax.scan(step_gated, x, (sigmas[m:-1], sigmas[m + 1:]))
+    return x
+
+
 def sample_euler_encoder_reuse(denoise_full: Callable,
                                denoise_cached: Callable,
                                x: jax.Array, sigmas: jax.Array,

@@ -49,6 +49,48 @@ def zero_init():
     return nn.initializers.zeros
 
 
+def cross_attn_sites(cfg: UNet2DConfig):
+    """[(site_name, transformer_depth)] in call order — the SpatialTransformer
+    sites of `UNetModel.__call__` (must mirror its loop structure)."""
+    sites = []
+    ds = 1
+    for level in range(len(cfg.channel_mult)):
+        for i in range(cfg.num_res_blocks):
+            if ds in cfg.attention_resolutions:
+                sites.append((f"down_{level}_attn_{i}",
+                              cfg.transformer_depth[level]))
+        if level != len(cfg.channel_mult) - 1:
+            ds *= 2
+    sites.append(("mid_attn", cfg.transformer_depth[-1]))
+    for level in reversed(range(len(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            if ds in cfg.attention_resolutions:
+                sites.append((f"up_{level}_attn_{i}",
+                              cfg.transformer_depth[level]))
+            if level and i == cfg.num_res_blocks:
+                ds //= 2
+    return sites
+
+
+def precompute_context_kv(params, context: jax.Array, cfg: UNet2DConfig):
+    """Hoist every cross-attn site's K/V projection of `context` out of the
+    sampling loop (exact — the context is constant across steps, so
+    k = ctx @ W_k is step-invariant). Returns {site: (k, v)} with k/v of
+    shape [depth, B, Tk, inner]; feed as `UNetModel.__call__(ctx_kv=...)`.
+
+    `params` is the UNet "params" tree (same names as the module tree)."""
+    out = {}
+    for name, depth in cross_attn_sites(cfg):
+        site = params[name]
+        ks, vs = [], []
+        for j in range(depth):
+            attn = site[f"block_{j}"]["attn2"]
+            ks.append(context @ attn["to_k"]["kernel"])
+            vs.append(context @ attn["to_v"]["kernel"])
+        out[name] = (jnp.stack(ks), jnp.stack(vs))
+    return out
+
+
 class ResBlock(nn.Module):
     """GN32 -> SiLU -> conv; + time-emb; GN32 -> SiLU -> zero-conv; skip."""
 
@@ -77,7 +119,12 @@ class ResBlock(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Multi-head attention, optionally cross (context != None)."""
+    """Multi-head attention, optionally cross (context != None).
+
+    `kv`: optional precomputed (k, v) projections of the context, each
+    [B, Tk, inner] — the cross-attn context is constant over all sampler
+    steps, so its K/V projections can be hoisted out of the sampling
+    `lax.scan` (exact; see `precompute_context_kv`)."""
 
     query_dim: int
     heads: int
@@ -85,12 +132,15 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, kv=None):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        if kv is not None:
+            k, v = kv
+        else:
+            k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
         b, tq, _ = q.shape
         tk = k.shape[1]
 
@@ -119,7 +169,12 @@ class GEGLUFeedForward(nn.Module):
 
 class BasicTransformerBlock(nn.Module):
     """self-attn -> cross-attn(context) -> FF, each pre-norm residual
-    (reference sgm/modules/attention.py:456-618 BasicTransformerBlock)."""
+    (reference sgm/modules/attention.py:456-618 BasicTransformerBlock).
+
+    Cross-attn caching hooks (TGATE, arXiv 2404.02747 — see PAPERS.md):
+    `xattn_cached` replaces the cross-attn residual branch with a cached
+    tensor (the whole norm2+attn2 computation is skipped); `capture=True`
+    additionally returns that residual branch so a sampler can cache it."""
 
     dim: int
     heads: int
@@ -127,14 +182,21 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, kv=None, xattn_cached=None,
+                 capture: bool = False):
         x = CrossAttention(self.dim, self.heads, self.dim_head,
                            name="attn1")(nn.LayerNorm(epsilon=1e-5, name="norm1")(x)) + x
-        x = CrossAttention(self.dim, self.heads, self.dim_head,
-                           context_dim=self.context_dim, name="attn2")(
-                               nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context) + x
+        if xattn_cached is not None:
+            xattn = xattn_cached
+        else:
+            xattn = CrossAttention(self.dim, self.heads, self.dim_head,
+                                   context_dim=self.context_dim, name="attn2")(
+                nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context, kv=kv)
+        x = xattn + x
         x = GEGLUFeedForward(self.dim, name="ff")(
             nn.LayerNorm(epsilon=1e-5, name="norm3")(x)) + x
+        if capture:
+            return x, xattn
         return x
 
 
@@ -151,18 +213,31 @@ class SpatialTransformer(nn.Module):
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, ctx_kv=None, xattn_cached=None,
+                 capture: bool = False):
         b, h, w, c = x.shape
         residual = x
         t = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          name="norm")(x).reshape(b, h * w, c)
         t = nn.Dense(c, name="proj_in")(t)
+        captured = []
         for i in range(self.depth):
-            t = BasicTransformerBlock(c, self.heads, self.dim_head,
-                                      self.context_dim,
-                                      name=f"block_{i}")(t, context)
+            kv = None if ctx_kv is None else (ctx_kv[0][i], ctx_kv[1][i])
+            cached = None if xattn_cached is None else xattn_cached[i]
+            out = BasicTransformerBlock(c, self.heads, self.dim_head,
+                                        self.context_dim,
+                                        name=f"block_{i}")(
+                t, context, kv=kv, xattn_cached=cached, capture=capture)
+            if capture:
+                t, xa = out
+                captured.append(xa)
+            else:
+                t = out
         t = nn.Dense(c, kernel_init=zero_init(), name="proj_out")(t)
-        return t.reshape(b, h, w, c) + residual
+        out = t.reshape(b, h, w, c) + residual
+        if capture:
+            return out, jnp.stack(captured)
+        return out
 
 
 class Downsample2D(nn.Module):
@@ -200,9 +275,31 @@ class UNetModel(nn.Module):
     @nn.compact
     def __call__(self, x, timesteps, context, y=None,
                  deterministic: bool = True, cached=None,
-                 return_cache: bool = False):
+                 return_cache: bool = False, ctx_kv=None,
+                 xattn_cached=None, capture_xattn: bool = False):
         c = self.cfg
         time_embed_dim = c.model_channels * 4
+        xattn_out = {}
+
+        def attn_site(name, h, ch):
+            """SpatialTransformer site with the caching hooks threaded."""
+            res = SpatialTransformer(
+                ch, heads_of(ch), c.num_head_channels,
+                c.transformer_depth[_level_of(name)], c.context_dim,
+                groups=groups, name=name)(
+                    h, context,
+                    ctx_kv=None if ctx_kv is None else ctx_kv[name],
+                    xattn_cached=(None if xattn_cached is None
+                                  else xattn_cached[name]),
+                    capture=capture_xattn)
+            if capture_xattn:
+                res, xattn_out[name] = res
+            return res
+
+        def _level_of(name):
+            if name == "mid_attn":
+                return -1
+            return int(name.split("_")[1])
 
         emb = timestep_embedding(timesteps, c.model_channels)
         emb = nn.Dense(time_embed_dim, name="time_embed_0")(emb)
@@ -229,11 +326,7 @@ class UNetModel(nn.Module):
                                  name=f"down_{level}_res_{i}")(
                         h, emb, deterministic)
                     if ds in c.attention_resolutions:
-                        h = SpatialTransformer(
-                            ch, heads_of(ch), c.num_head_channels,
-                            c.transformer_depth[level], c.context_dim,
-                            groups=groups,
-                            name=f"down_{level}_attn_{i}")(h, context)
+                        h = attn_site(f"down_{level}_attn_{i}", h, ch)
                     skips.append(h)
                 if level != len(c.channel_mult) - 1:
                     h = Downsample2D(ch, name=f"down_{level}_downsample")(h)
@@ -248,9 +341,7 @@ class UNetModel(nn.Module):
         # --- middle ---
         ch = c.model_channels * c.channel_mult[-1]
         h = ResBlock(ch, groups=groups, name="mid_res_0")(h, emb, deterministic)
-        h = SpatialTransformer(ch, heads_of(ch), c.num_head_channels,
-                               c.transformer_depth[-1], c.context_dim,
-                               groups=groups, name="mid_attn")(h, context)
+        h = attn_site("mid_attn", h, ch)
         h = ResBlock(ch, groups=groups, name="mid_res_1")(h, emb, deterministic)
 
         # --- output blocks ---
@@ -261,11 +352,7 @@ class UNetModel(nn.Module):
                 h = ResBlock(ch, groups=groups,
                              name=f"up_{level}_res_{i}")(h, emb, deterministic)
                 if ds in c.attention_resolutions:
-                    h = SpatialTransformer(
-                        ch, heads_of(ch), c.num_head_channels,
-                        c.transformer_depth[level], c.context_dim,
-                        groups=groups,
-                        name=f"up_{level}_attn_{i}")(h, context)
+                    h = attn_site(f"up_{level}_attn_{i}", h, ch)
                 if level and i == c.num_res_blocks:
                     h = UpsampleConv(ch, name=f"up_{level}_upsample")(h)
                     ds //= 2
@@ -275,6 +362,11 @@ class UNetModel(nn.Module):
         h = nn.Conv(c.out_channels, (3, 3), padding=1,
                     kernel_init=zero_init(), name="out_conv")(h)
         out = h.transpose(0, 3, 1, 2)  # -> NCHW
+        extras = ()
         if return_cache:
-            return out, cache
+            extras += (cache,)
+        if capture_xattn:
+            extras += (xattn_out,)
+        if extras:
+            return (out,) + extras
         return out

@@ -177,7 +177,7 @@ class Transformer3D(nn.Module):
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, xattn_cached=None, capture: bool = False):
         bf, hh, ww, c = x.shape
         residual = x
         h = nn.GroupNorm(num_groups=min(self.groups, c), epsilon=1e-6,
@@ -185,23 +185,59 @@ class Transformer3D(nn.Module):
         tokens = h.reshape(bf, hh * ww, c)
         tokens = nn.Dense(c, name="proj_in")(tokens)
         ctx = jnp.repeat(context, self.n_frames, axis=0)  # [B*F, 77, Ctx]
+        captured = []
         for i in range(self.depth):
             name = f"block_{i}"
             t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm1")(tokens)
             tokens = MHAttention(c, self.heads, name=f"{name}_attn1")(t) + tokens
-            t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm2")(tokens)
-            tokens = MHAttention(c, self.heads, context_dim=self.context_dim,
-                                 name=f"{name}_attn2")(t, ctx) + tokens
+            # cross-attn residual gating (TGATE, arXiv 2404.02747): the
+            # text context is the ONLY thing that distinguishes the CFG
+            # halves, so freezing this branch lets the sampler collapse
+            # the doubled batch (see pipelines/video.py tgate_step)
+            if xattn_cached is not None:
+                xattn = xattn_cached[i]
+            else:
+                t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm2")(tokens)
+                xattn = MHAttention(c, self.heads,
+                                    context_dim=self.context_dim,
+                                    name=f"{name}_attn2")(t, ctx)
+            if capture:
+                captured.append(xattn)
+            tokens = xattn + tokens
             t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm3")(tokens)
             tokens = GEGLU_FF(c, name=f"{name}_ff")(t) + tokens
         tokens = nn.Dense(c, name="proj_out")(tokens)
-        return tokens.reshape(bf, hh, ww, c) + residual
+        out = tokens.reshape(bf, hh, ww, c) + residual
+        if capture:
+            return out, jnp.stack(captured)
+        return out
+
+
+def video_cross_attn_sites(cfg: UNet3DConfig):
+    """[(site_name, depth)] of every Transformer3D (text cross-attn) site
+    in `UNet3DModel.__call__` order — mirrors its loop structure."""
+    sites = []
+    for i, btype in enumerate(cfg.down_block_types):
+        if btype.startswith("CrossAttn"):
+            for j in range(cfg.layers_per_block):
+                sites.append((f"down_{i}_attn_{j}", 1))
+    sites.append(("mid_attn", 1))
+    for i, btype in enumerate(cfg.up_block_types):
+        if btype.startswith("CrossAttn"):
+            for j in range(cfg.layers_per_block + 1):
+                sites.append((f"up_{i}_attn_{j}", 1))
+    return sites
 
 
 class UNet3DModel(nn.Module):
     """Inputs (reference contract): sample [B, 4, F, H, W], timesteps [B],
     encoder_hidden_states [B, 77, ctx]; optional controlnet residuals
-    (reference unet.py:422-439). Returns eps prediction [B, 4, F, H, W]."""
+    (reference unet.py:422-439). Returns eps prediction [B, 4, F, H, W].
+
+    TGATE hooks (arXiv 2404.02747; PAPERS.md): `capture_xattn=True` also
+    returns {site: [depth, (B F), tokens, C]} of cross-attn residuals;
+    `xattn_cached` replaces each site's cross-attn with the cached values
+    (the text context becomes unused)."""
 
     cfg: UNet3DConfig
     n_frames: int = 16
@@ -209,7 +245,8 @@ class UNet3DModel(nn.Module):
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  down_block_residuals=None, mid_block_residual=None,
-                 cached=None, return_cache: bool = False):
+                 cached=None, return_cache: bool = False,
+                 xattn_cached=None, capture_xattn: bool = False):
         c = self.cfg
         f = self.n_frames
         b = sample.shape[0]
@@ -230,6 +267,22 @@ class UNet3DModel(nn.Module):
                                 max_seq_len=c.motion_max_seq_length,
                                 groups=g, name=name)
 
+        xattn_out = {}
+
+        def spatial_attn(name, h, ch):
+            r = Transformer3D(ch, ch // c.attention_head_dim
+                              if c.attention_head_dim > 8 else
+                              c.attention_head_dim,
+                              c.cross_attention_dim, f, groups=g,
+                              name=name)(
+                h, encoder_hidden_states,
+                xattn_cached=(None if xattn_cached is None
+                              else xattn_cached[name]),
+                capture=capture_xattn)
+            if capture_xattn:
+                r, xattn_out[name] = r
+            return r
+
         if cached is not None:
             # Faster-Diffusion encoder propagation (PAPERS.md, arXiv
             # 2312.09608): reuse the down-path features, run mid+decoder
@@ -239,7 +292,9 @@ class UNet3DModel(nn.Module):
             return self._decode(h, skips, temb_f, encoder_hidden_states,
                                 down_block_residuals, mid_block_residual,
                                 b, f, res, motion, return_cache=False,
-                                cache=None)
+                                cache=None, spatial_attn=spatial_attn,
+                                capture_xattn=capture_xattn,
+                                xattn_out=xattn_out)
 
         # [B, C, F, H, W] -> [(B F), H, W, C]
         h = sample.transpose(0, 2, 3, 4, 1).reshape(
@@ -257,12 +312,7 @@ class UNet3DModel(nn.Module):
                 h = ResnetBlock3D(ch, groups=g,
                                   name=f"down_{i}_res_{j}")(h, temb_f)
                 if is_cross:
-                    h = Transformer3D(ch, ch // c.attention_head_dim
-                                      if c.attention_head_dim > 8 else
-                                      c.attention_head_dim,
-                                      c.cross_attention_dim, f, groups=g,
-                                      name=f"down_{i}_attn_{j}")(
-                                          h, encoder_hidden_states)
+                    h = spatial_attn(f"down_{i}_attn_{j}", h, ch)
                 mm = motion(ch, res, f"down_{i}_motion_{j}")
                 if mm is not None:
                     h = mm(h)
@@ -276,11 +326,15 @@ class UNet3DModel(nn.Module):
         return self._decode(h, skips, temb_f, encoder_hidden_states,
                             down_block_residuals, mid_block_residual,
                             b, f, res, motion, return_cache=return_cache,
-                            cache=(h, tuple(skips)))
+                            cache=(h, tuple(skips)),
+                            spatial_attn=spatial_attn,
+                            capture_xattn=capture_xattn,
+                            xattn_out=xattn_out)
 
     def _decode(self, h, skips, temb_f, encoder_hidden_states,
                 down_block_residuals, mid_block_residual, b, f, res,
-                motion, return_cache, cache):
+                motion, return_cache, cache, spatial_attn,
+                capture_xattn=False, xattn_out=None):
         """Mid + up + out (plain helper inside the compact scope; all
         submodules carry explicit names so the cached path addresses the
         same parameters)."""
@@ -289,10 +343,7 @@ class UNet3DModel(nn.Module):
         # --- mid ---
         ch = c.block_out_channels[-1]
         h = ResnetBlock3D(ch, groups=g, name="mid_res_0")(h, temb_f)
-        h = Transformer3D(ch, ch // c.attention_head_dim
-                          if c.attention_head_dim > 8 else c.attention_head_dim,
-                          c.cross_attention_dim, f, groups=g,
-                          name="mid_attn")(h, encoder_hidden_states)
+        h = spatial_attn("mid_attn", h, ch)
         # v3: motion_module_mid_block false — no mid motion module
         h = ResnetBlock3D(ch, groups=g, name="mid_res_1")(h, temb_f)
 
@@ -311,12 +362,7 @@ class UNet3DModel(nn.Module):
                 h = ResnetBlock3D(ch, groups=g,
                                   name=f"up_{i}_res_{j}")(h, temb_f)
                 if is_cross:
-                    h = Transformer3D(ch, ch // c.attention_head_dim
-                                      if c.attention_head_dim > 8 else
-                                      c.attention_head_dim,
-                                      c.cross_attention_dim, f, groups=g,
-                                      name=f"up_{i}_attn_{j}")(
-                                          h, encoder_hidden_states)
+                    h = spatial_attn(f"up_{i}_attn_{j}", h, ch)
                 mm = motion(ch, res, f"up_{i}_motion_{j}")
                 if mm is not None:
                     h = mm(h)
@@ -335,6 +381,11 @@ class UNet3DModel(nn.Module):
         # [(B F), H, W, C] -> [B, C, F, H, W]
         h = h.reshape(b, f, h.shape[1], h.shape[2], h.shape[3])
         out = h.transpose(0, 4, 1, 2, 3)
+        extras = ()
         if return_cache:
-            return out, cache
+            extras += (cache,)
+        if capture_xattn:
+            extras += (xattn_out,)
+        if extras:
+            return (out,) + extras
         return out

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from neurons_tpu.config import SamplerConfig, UNet2DConfig
 from neurons_tpu.diffusion import prior as prior_lib
 from neurons_tpu.diffusion.denoiser import DiscreteDenoiser
-from neurons_tpu.diffusion.samplers import make_cfg_denoiser, sample_euler
+from neurons_tpu.diffusion.samplers import sample_euler
 from neurons_tpu.diffusion.schedule import sd_sigmas
 from neurons_tpu.models.conditioner import unclip_vector_suffix
 
@@ -44,7 +44,9 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
                   num_steps: int = 38, cfg_scale: float = 5.0,
                   offset_noise_level: float = 0.04,
                   latent_hw: int = 96, scale_factor: float = 0.13025,
-                  encoder_reuse: int = 1) -> jax.Array:
+                  encoder_reuse: int = 1,
+                  precompute_kv: Optional[Callable] = None,
+                  tgate_step: int = 0) -> jax.Array:
     """The reference's `unclip_recon` (reference utils.py:302-350), batched.
 
     clip_tokens: [B, 256, 1664] CLIP image tokens (from the prior).
@@ -60,7 +62,21 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
     `encoder_reuse`-th step and its features are reused in between —
     requires `unet_apply` to forward `cached`/`return_cache` kwargs to
     UNetModel. 1 (default) = exact sampling.
+
+    precompute_kv(params, context) -> ctx_kv hoists each cross-attn site's
+    K/V projection of the (step-invariant) CFG-doubled context out of the
+    sampling scan (models.unet2d.precompute_context_kv) — EXACT, same
+    numerics as the per-step projections.
+
+    tgate_step > 0 enables TGATE cross-attn gating (PAPERS.md, arXiv
+    2404.02747): steps >= tgate_step reuse the half-averaged cross-attn
+    outputs captured at step tgate_step-1, which collapses the CFG pair
+    into a single-batch UNet forward. Approximate; mutually exclusive with
+    encoder_reuse > 1.
     """
+    if tgate_step > 0 and encoder_reuse > 1:
+        raise ValueError("tgate_step and encoder_reuse>1 are mutually "
+                         "exclusive")
     b = clip_tokens.shape[0]
     k_z, k_noise, k_offset, k_uc = jax.random.split(key, 4)
     z = jax.random.normal(k_z, (b, 4, latent_hw, latent_hw))
@@ -81,48 +97,76 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
     def network(x, t_cond, crossattn, vector, **kw):
         return unet_apply(unet_params, x, t_cond, crossattn, vector, **kw)
 
-    if encoder_reuse <= 1:
-        denoise = make_cfg_denoiser(
-            denoiser, network,
-            cond={"crossattn": clip_tokens, "vector": vector},
-            uc={"crossattn": uc_tokens, "vector": vector},
-            scale=cfg_scale)
-        samples_z = sample_euler(denoise, x, sigmas, prepare=False)
+    ctx2 = jnp.concatenate([uc_tokens, clip_tokens], axis=0)
+    vec2 = jnp.concatenate([vector, vector], axis=0)
+    kv2 = precompute_kv(unet_params, ctx2) if precompute_kv else None
+    kv_kw = {} if kv2 is None else {"ctx_kv": kv2}
+
+    def _precondition(x2, s2):
+        idx = denoiser.sigma_to_idx(s2)
+        sq = denoiser.sigmas[idx].reshape(-1, 1, 1, 1)
+        c_skip, c_out, c_in, _ = denoiser.scaling(sq)
+        return idx.astype(jnp.float32), c_in, c_out, c_skip
+
+    def _combine(out, x2, c_out, c_skip):
+        d = out * c_out + x2 * c_skip
+        d_u, d_c = jnp.split(d, 2, axis=0)
+        return d_u + cfg_scale * (d_c - d_u)
+
+    def denoise_full(xs, s):
+        x2 = jnp.concatenate([xs, xs], axis=0)
+        s2 = jnp.concatenate([s, s], axis=0)
+        t, c_in, c_out, c_skip = _precondition(x2, s2)
+        out = network(x2 * c_in, t, ctx2, vec2, **kv_kw)
+        return _combine(out, x2, c_out, c_skip)
+
+    if tgate_step > 0:
+        from neurons_tpu.diffusion.samplers import sample_euler_tgate
+
+        def denoise_capture(xs, s):
+            x2 = jnp.concatenate([xs, xs], axis=0)
+            s2 = jnp.concatenate([s, s], axis=0)
+            t, c_in, c_out, c_skip = _precondition(x2, s2)
+            out, xattn = network(x2 * c_in, t, ctx2, vec2,
+                                 capture_xattn=True, **kv_kw)
+            # TGATE: cache the mean of the uncond/cond halves per site
+            # ([depth, 2B, tq, ch] -> [depth, B, tq, ch])
+            cache = jax.tree_util.tree_map(
+                lambda a: 0.5 * (a[:, :b] + a[:, b:]), xattn)
+            return _combine(out, x2, c_out, c_skip), cache
+
+        def denoise_gated(xs, s, cache):
+            t, c_in, c_out, c_skip = _precondition(xs, s)
+            out = network(xs * c_in, t, clip_tokens, vector,
+                          xattn_cached=cache)
+            return out * c_out + xs * c_skip
+
+        samples_z = sample_euler_tgate(denoise_full, denoise_capture,
+                                       denoise_gated, x, sigmas,
+                                       tgate_step, prepare=False)
+    elif encoder_reuse <= 1:
+        samples_z = sample_euler(denoise_full, x, sigmas, prepare=False)
     else:
         from neurons_tpu.diffusion.samplers import \
             sample_euler_encoder_reuse
 
-        ctx2 = jnp.concatenate([uc_tokens, clip_tokens], axis=0)
-        vec2 = jnp.concatenate([vector, vector], axis=0)
-
-        def _precondition(x2, s2):
-            idx = denoiser.sigma_to_idx(s2)
-            sq = denoiser.sigmas[idx].reshape(-1, 1, 1, 1)
-            c_skip, c_out, c_in, _ = denoiser.scaling(sq)
-            return idx.astype(jnp.float32), c_in, c_out, c_skip
-
-        def _combine(out, x2, c_out, c_skip):
-            d = out * c_out + x2 * c_skip
-            d_u, d_c = jnp.split(d, 2, axis=0)
-            return d_u + cfg_scale * (d_c - d_u)
-
-        def denoise_full(xs, s):
+        def denoise_full_cache(xs, s):
             x2 = jnp.concatenate([xs, xs], axis=0)
             s2 = jnp.concatenate([s, s], axis=0)
             t, c_in, c_out, c_skip = _precondition(x2, s2)
             out, cache = network(x2 * c_in, t, ctx2, vec2,
-                                 return_cache=True)
+                                 return_cache=True, **kv_kw)
             return _combine(out, x2, c_out, c_skip), cache
 
         def denoise_cached(xs, s, cache):
             x2 = jnp.concatenate([xs, xs], axis=0)
             s2 = jnp.concatenate([s, s], axis=0)
             t, c_in, c_out, c_skip = _precondition(x2, s2)
-            out = network(x2 * c_in, t, ctx2, vec2, cached=cache)
+            out = network(x2 * c_in, t, ctx2, vec2, cached=cache, **kv_kw)
             return _combine(out, x2, c_out, c_skip)
 
         samples_z = sample_euler_encoder_reuse(
-            denoise_full, denoise_cached, x, sigmas, encoder_reuse,
+            denoise_full_cache, denoise_cached, x, sigmas, encoder_reuse,
             prepare=False)
     # per-sample VAE decode for batch > 1: at 768x768 the decoder
     # activations are ~GBs per sample, so map over the batch instead of

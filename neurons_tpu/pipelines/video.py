@@ -72,9 +72,20 @@ def reconstruct_video(
     low_strength: float = 0.3, n_frames: int = 16,
     controlnet_scale: float = 1.0, latent_scale: float = 0.18215,
     use_simplified_cond: bool = True, encoder_reuse: int = 1,
+    tgate_step: int = 0,
 ) -> VideoPipelineOutputs:
     """One batched stage-5 reconstruction (reference
-    scripts/neuroclips_video.py:243-330 per-clip loop, batched)."""
+    scripts/neuroclips_video.py:243-330 per-clip loop, batched).
+
+    tgate_step > 0 enables TGATE gating (PAPERS.md, arXiv 2404.02747):
+    the CFG halves share the same latents, so freezing (half-averaging)
+    the text cross-attn residuals and the controlnet residuals at step
+    tgate_step-1 makes the halves identical — steps >= tgate_step run a
+    single-batch UNet with the controlnet skipped. Approximate; mutually
+    exclusive with encoder_reuse > 1."""
+    if tgate_step > 0 and encoder_reuse > 1:
+        raise ValueError("tgate_step and encoder_reuse>1 are mutually "
+                         "exclusive")
     b = blurry_video.shape[0]
     sched = DDIMScheduler.create(num_steps)
 
@@ -126,7 +137,61 @@ def reconstruct_video(
         return controlnet_apply(controlnet_params, x2, t2, text2, cond2,
                                 mask2, controlnet_scale)
 
-    if encoder_reuse <= 1:
+    if tgate_step > 0:
+        bf = b * n_frames
+
+        def _half_avg(a):
+            # folded [(2B F), ...] rows are batch-major: first B*F = uncond
+            if a is None:
+                return None
+            if a.ndim >= 2 and a.shape[0] == 2 * bf:
+                return 0.5 * (a[:bf] + a[bf:])
+            return 0.5 * (a[:, :bf] + a[:, bf:])  # stacked [depth, 2BF,...]
+
+        def full_step(latents, t):
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.full((2 * b,), t, jnp.float32)
+            down_res, mid_res = _residuals(x2, t2)
+            eps = unet3d_apply(unet3d_params, x2, t2, text2, down_res,
+                               mid_res)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            return eps_u + guidance_scale * (eps_c - eps_u)
+
+        def capture_step(latents, t):
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.full((2 * b,), t, jnp.float32)
+            down_res, mid_res = _residuals(x2, t2)
+            eps, xattn = unet3d_apply(unet3d_params, x2, t2, text2,
+                                      down_res, mid_res, capture_xattn=True)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            cache = (jax.tree_util.tree_map(_half_avg, xattn),
+                     None if down_res is None else
+                     tuple(_half_avg(r) for r in down_res),
+                     _half_avg(mid_res))
+            return eps, cache
+
+        def gated_step(latents, t, cache):
+            xattn, down_res, mid_res = cache
+            t1 = jnp.full((b,), t, jnp.float32)
+            return unet3d_apply(unet3d_params, latents, t1,
+                                text_embeddings, down_res, mid_res,
+                                xattn_cached=xattn)
+
+        n = sched.timesteps.shape[0]
+        m = min(max(int(tgate_step), 1), n)
+        if m > 1:
+            latents, _ = jax.lax.scan(
+                lambda l, t: (sched.step(full_step(l, t), t, l), None),
+                latents, sched.timesteps[:m - 1])
+        eps, cache = capture_step(latents, sched.timesteps[m - 1])
+        latents = sched.step(eps, sched.timesteps[m - 1], latents)
+        if m < n:
+            latents, _ = jax.lax.scan(
+                lambda l, t: (sched.step(gated_step(l, t, cache), t, l),
+                              None),
+                latents, sched.timesteps[m:])
+    elif encoder_reuse <= 1:
         def step(latents, t):
             x2 = jnp.concatenate([latents, latents], axis=0)
             t2 = jnp.full((2 * b,), t, jnp.float32)

@@ -268,3 +268,131 @@ class TestEncoderReuse:
         assert np.isfinite(np.asarray(fast)).all()
         # the approximation changes the trajectory (but stays bounded)
         assert not np.allclose(np.asarray(fast), np.asarray(base))
+
+
+class TestCrossAttnHoistingAndTGate:
+    """Exact K/V hoisting (step-invariant context) and TGATE cross-attn
+    gating (PAPERS.md, arXiv 2404.02747)."""
+
+    def _setup(self):
+        m, params, cfg = TestEncoderReuse._setup(self)
+        # SpatialTransformer proj_out is zero-init (standard SD), which
+        # makes every attention site a no-op in a fresh net — randomize
+        # them so cross-attn actually influences the output
+        from neurons_tpu.models.unet2d import cross_attn_sites
+        params = jax.tree_util.tree_map(lambda x: x, params)  # deep copy
+        for i, (name, _) in enumerate(cross_attn_sites(cfg)):
+            po = params[name]["proj_out"]
+            po["kernel"] = jax.random.normal(
+                jax.random.PRNGKey(100 + i), po["kernel"].shape) * 0.2
+        return m, params, cfg
+
+    def test_ctx_kv_forward_exact(self, rng):
+        from neurons_tpu.models.unet2d import precompute_context_kv
+
+        m, params, cfg = self._setup()
+        x = jax.random.normal(rng, (2, 4, 8, 8))
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (2, 5, 12))
+        y = jax.random.normal(jax.random.fold_in(rng, 2), (2, 8))
+        t = jnp.full((2,), 3.0)
+        base = m.apply({"params": params}, x, t, ctx, y)
+        kv = precompute_context_kv(params, ctx, cfg)
+        hoisted = m.apply({"params": params}, x, t, ctx, y, ctx_kv=kv)
+        np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_capture_then_cached_matches_full(self, rng):
+        m, params, cfg = self._setup()
+        x = jax.random.normal(rng, (2, 4, 8, 8))
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (2, 5, 12))
+        y = jax.random.normal(jax.random.fold_in(rng, 2), (2, 8))
+        t = jnp.full((2,), 3.0)
+        base = m.apply({"params": params}, x, t, ctx, y)
+        out_cap, xattn = m.apply({"params": params}, x, t, ctx, y,
+                                 capture_xattn=True)
+        np.testing.assert_allclose(np.asarray(out_cap), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+        # replaying the captured cross-attn outputs reproduces the full
+        # forward (context becomes unused)
+        out_cached = m.apply({"params": params}, x, t,
+                             jnp.zeros_like(ctx), y, xattn_cached=xattn)
+        np.testing.assert_allclose(np.asarray(out_cached), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_unclip_precompute_kv_exact(self, rng):
+        from neurons_tpu.models.unet2d import precompute_context_kv
+        from neurons_tpu.pipelines.keyframe import unclip_sample
+
+        m, params, cfg = self._setup()
+
+        def unet_apply(p, x, t, crossattn, vector, **kw):
+            return m.apply({"params": p}, x, t, crossattn, vector, **kw)
+
+        vae_decode = lambda z: jnp.tile(z[:, :3], (1, 1, 2, 2))
+        tokens = jax.random.normal(rng, (2, 5, 12)) * 0.1
+        vec = jnp.zeros((2, 8))
+        base = unclip_sample(unet_apply, params, vae_decode,
+                             jax.random.PRNGKey(3), tokens, vector=vec,
+                             num_steps=4, latent_hw=8)
+        hoisted = unclip_sample(
+            unet_apply, params, vae_decode, jax.random.PRNGKey(3), tokens,
+            vector=vec, num_steps=4, latent_hw=8,
+            precompute_kv=lambda p, c: precompute_context_kv(p, c, cfg))
+        np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_tgate_full_gate_equals_exact_and_early_gate_runs(self, rng):
+        from neurons_tpu.pipelines.keyframe import unclip_sample
+
+        m, params, cfg = self._setup()
+
+        def unet_apply(p, x, t, crossattn, vector, **kw):
+            return m.apply({"params": p}, x, t, crossattn, vector, **kw)
+
+        vae_decode = lambda z: jnp.tile(z[:, :3], (1, 1, 2, 2))
+        tokens = jax.random.normal(rng, (2, 5, 12)) * 0.1
+        vec = jnp.zeros((2, 8))
+        base = unclip_sample(unet_apply, params, vae_decode,
+                             jax.random.PRNGKey(3), tokens, vector=vec,
+                             num_steps=4, latent_hw=8)
+        # gate_step >= num_steps -> the gated phase is empty -> exact up to
+        # compile-graph reassociation (the capture step is unrolled out of
+        # the scan, so fusions differ at the 1e-6 level)
+        full_gate = unclip_sample(unet_apply, params, vae_decode,
+                                  jax.random.PRNGKey(3), tokens, vector=vec,
+                                  num_steps=4, latent_hw=8, tgate_step=4)
+        np.testing.assert_allclose(np.asarray(full_gate), np.asarray(base),
+                                   rtol=1e-4, atol=1e-4)
+        fast = unclip_sample(unet_apply, params, vae_decode,
+                             jax.random.PRNGKey(3), tokens, vector=vec,
+                             num_steps=4, latent_hw=8, tgate_step=2)
+        f = np.asarray(fast)
+        assert np.isfinite(f).all() and f.min() >= 0 and f.max() <= 1
+        assert not np.allclose(f, np.asarray(base))
+
+    def test_tgate_excludes_encoder_reuse(self, rng):
+        from neurons_tpu.pipelines.keyframe import unclip_sample
+
+        m, params, cfg = self._setup()
+
+        def unet_apply(p, x, t, crossattn, vector, **kw):
+            return m.apply({"params": p}, x, t, crossattn, vector, **kw)
+
+        with pytest.raises(ValueError):
+            unclip_sample(unet_apply, params, lambda z: z,
+                          jax.random.PRNGKey(0),
+                          jnp.zeros((1, 5, 12)), vector=jnp.zeros((1, 8)),
+                          num_steps=4, latent_hw=8, tgate_step=2,
+                          encoder_reuse=2)
+
+    def test_cross_attn_sites_match_param_tree(self):
+        from neurons_tpu.models.unet2d import cross_attn_sites
+
+        m, params, cfg = self._setup()
+        for name, depth in cross_attn_sites(cfg):
+            site = params[name]
+            for j in range(depth):
+                assert "attn2" in site[f"block_{j}"], (name, j)
+        n_sites = sum(1 for k in params
+                      if "_attn_" in k or k == "mid_attn")
+        assert len(cross_attn_sites(cfg)) == n_sites

@@ -253,3 +253,158 @@ class TestVideoEncoderReuse:
             uncond_embeddings=jnp.zeros((1, 5, 12)),
             num_steps=4, n_frames=f, encoder_reuse=2)
         assert np.isfinite(np.asarray(out.latents)).all()
+
+
+class TestVideoTGate:
+    """TGATE gating for the stage-5 DDIM loop (PAPERS.md, arXiv
+    2404.02747): cross-attn residual capture/replay + CFG collapse."""
+
+    def _setup(self, f=4):
+        from neurons_tpu.config import UNet3DConfig
+        from neurons_tpu.models.unet3d import UNet3DModel
+
+        cfg = UNet3DConfig(block_out_channels=(8, 16), layers_per_block=1,
+                           down_block_types=("CrossAttnDownBlock3D",
+                                             "DownBlock3D"),
+                           up_block_types=("UpBlock3D",
+                                           "CrossAttnUpBlock3D"),
+                           cross_attention_dim=12, attention_head_dim=4,
+                           norm_num_groups=4, motion_num_attention_heads=2,
+                           motion_max_seq_length=8)
+        m = UNet3DModel(cfg, n_frames=f)
+        x0 = jnp.zeros((1, 4, f, 8, 8))
+        ctx0 = jnp.zeros((1, 5, 12))
+        params = m.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)),
+                        ctx0)["params"]
+        # conv_out is zero-init -> eps == 0 would hide any approximation;
+        # randomize it so trajectories respond to the network
+        params = dict(params)
+        params["conv_out"] = {
+            "kernel": jax.random.normal(
+                jax.random.PRNGKey(7),
+                params["conv_out"]["kernel"].shape) * 0.05,
+            "bias": params["conv_out"]["bias"]}
+        return m, params, cfg
+
+    def test_capture_then_cached_matches_full(self, rng):
+        m, params, cfg = self._setup(f=2)
+        x = jax.random.normal(rng, (1, 4, 2, 8, 8))
+        t = jnp.ones((1,)) * 5
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (1, 5, 12))
+        base = m.apply({"params": params}, x, t, ctx)
+        out_cap, xattn = m.apply({"params": params}, x, t, ctx,
+                                 capture_xattn=True)
+        np.testing.assert_allclose(np.asarray(out_cap), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+        out_cached = m.apply({"params": params}, x, t,
+                             jnp.zeros_like(ctx), xattn_cached=xattn)
+        np.testing.assert_allclose(np.asarray(out_cached), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sites_helper_matches_params(self):
+        from neurons_tpu.models.unet3d import video_cross_attn_sites
+
+        m, params, cfg = self._setup(f=2)
+        for name, depth in video_cross_attn_sites(cfg):
+            assert name in params, name
+            for j in range(depth):
+                assert f"block_{j}_attn2" in {
+                    k.rsplit("/", 0)[0] for k in params[name]} or \
+                    f"block_{j}_attn2" in params[name], (name, j)
+
+    def _run(self, m, params, cfg, f, **kw):
+        from neurons_tpu.pipelines.video import reconstruct_video
+
+        def unet_apply(p, x, t, c, down, mid, **k):
+            return m.apply({"params": p}, x, t, c, down, mid, **k)
+
+        def pool_encode(x):
+            n, c, h, w = x.shape
+            p = x.reshape(n, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
+            return jnp.concatenate([p, p[:, :1]], axis=1)
+
+        return reconstruct_video(
+            unet3d_apply=unet_apply, unet3d_params=params,
+            controlnet_apply=None, controlnet_params=None,
+            vae_encode_mode=pool_encode,
+            vae_decode=lambda z: jnp.zeros((z.shape[0], 3, 16, 16)),
+            key=jax.random.PRNGKey(1),
+            blurry_video=jax.random.uniform(jax.random.PRNGKey(2),
+                                            (1, 6, 3, 16, 16)),
+            keyframe=jnp.zeros((1, 3, 16, 16)),
+            text_embeddings=jax.random.normal(jax.random.PRNGKey(5),
+                                              (1, 5, 12)),
+            uncond_embeddings=jnp.zeros((1, 5, 12)),
+            num_steps=4, n_frames=f, **kw)
+
+    def test_tgate_full_gate_equals_exact_and_early_gate_runs(self):
+        m, params, cfg = self._setup()
+        base = self._run(m, params, cfg, 4)
+        full_gate = self._run(m, params, cfg, 4, tgate_step=4)
+        np.testing.assert_allclose(np.asarray(full_gate.latents),
+                                   np.asarray(base.latents),
+                                   rtol=1e-4, atol=1e-4)
+        fast = self._run(m, params, cfg, 4, tgate_step=2)
+        l = np.asarray(fast.latents)
+        assert np.isfinite(l).all()
+        assert not np.allclose(l, np.asarray(base.latents))
+
+    def test_tgate_excludes_encoder_reuse(self):
+        m, params, cfg = self._setup()
+        with pytest.raises(ValueError):
+            self._run(m, params, cfg, 4, tgate_step=2, encoder_reuse=2)
+
+
+class TestVideoTGateControlnet:
+    def test_tgate_with_controlnet_residual_freeze(self, rng):
+        """TGATE with SparseCtrl: the gated phase reuses half-averaged
+        controlnet residuals and skips the controlnet entirely."""
+        from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
+        from neurons_tpu.pipelines.video import reconstruct_video
+
+        unet = UNet3DModel(U3, n_frames=F)
+        x0 = jnp.zeros((1, 4, F, 8, 8))
+        ctx0 = jnp.zeros((1, 5, 12))
+        uparams = unet.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)),
+                            ctx0)
+        uparams = {"params": dict(uparams["params"])}
+        uparams["params"]["conv_out"] = {
+            "kernel": jax.random.normal(
+                jax.random.PRNGKey(7),
+                uparams["params"]["conv_out"]["kernel"].shape) * 0.05,
+            "bias": uparams["params"]["conv_out"]["bias"]}
+
+        cn = SparseControlNetModel(U3, n_frames=F)
+        cparams = cn.init(jax.random.PRNGKey(3), x0, jnp.zeros((1,)),
+                          ctx0, jnp.zeros((1, 4, F, 8, 8)),
+                          jnp.zeros((1, 1, F, 8, 8)))
+
+        def pool_encode(x):
+            n, c, h, w = x.shape
+            p = x.reshape(n, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
+            return jnp.concatenate([p, p[:, :1]], axis=1)
+
+        common = dict(
+            unet3d_apply=lambda p, x, t, c, down, mid, **k:
+                unet.apply(p, x, t, c, down, mid, **k),
+            unet3d_params=uparams,
+            controlnet_apply=lambda p, x, t, c, cond, mask, s:
+                cn.apply(p, x, t, c, cond, mask, s),
+            controlnet_params=cparams,
+            vae_encode_mode=pool_encode,
+            vae_decode=lambda z: jnp.zeros((z.shape[0], 3, 16, 16)),
+            key=jax.random.PRNGKey(4),
+            blurry_video=jax.random.uniform(jax.random.PRNGKey(2),
+                                            (1, 6, 3, 16, 16)),
+            keyframe=jnp.full((1, 3, 16, 16), 0.5),
+            text_embeddings=jax.random.normal(jax.random.PRNGKey(5),
+                                              (1, 5, 12)),
+            uncond_embeddings=jnp.zeros((1, 5, 12)),
+            num_steps=4, n_frames=F)
+        base = reconstruct_video(**common)
+        full_gate = reconstruct_video(**common, tgate_step=4)
+        np.testing.assert_allclose(np.asarray(full_gate.latents),
+                                   np.asarray(base.latents),
+                                   rtol=1e-4, atol=1e-4)
+        fast = reconstruct_video(**common, tgate_step=2)
+        assert np.isfinite(np.asarray(fast.latents)).all()

@@ -129,7 +129,11 @@ def apply_rotary(pos: jax.Array, t: jax.Array) -> jax.Array:
     """Apply rotary embedding to the first pos.shape[-1] dims of t."""
     rot_dim = pos.shape[-1]
     t_rot, t_pass = t[..., :rot_dim], t[..., rot_dim:]
-    t_rot = t_rot * jnp.cos(pos) + _rotate_half(t_rot) * jnp.sin(pos)
+    # cos/sin evaluated on f32 angles, applied in the activation dtype
+    # (an f32 rotary would promote the whole bf16 attention to f32)
+    cos = jnp.cos(pos).astype(t.dtype)
+    sin = jnp.sin(pos).astype(t.dtype)
+    t_rot = t_rot * cos + _rotate_half(t_rot) * sin
     return jnp.concatenate([t_rot, t_pass], axis=-1)
 
 
@@ -286,6 +290,8 @@ class PriorNetwork(nn.Module):
 
         time_embed = TimeMLP(c.dim, name="time_mlp")(
             SinusoidalPosEmb(c.dim)(times.astype(jnp.float32)))[:, None]
+        # keep the f32 sinusoid from promoting the bf16 transformer
+        time_embed = time_embed.astype(image_embed.dtype)
 
         # pos_emb learned-query mode: add learned positional embedding to the
         # image tokens (reference :608-611)

@@ -57,7 +57,9 @@ class SparseControlNetModel(nn.Module):
         temb = nn.Dense(c.block_out_channels[0] * 4, name="time_emb_1")(temb)
         temb = nn.Dense(c.block_out_channels[0] * 4,
                         name="time_emb_2")(nn.silu(temb))
-        temb_f = jnp.repeat(temb, f, axis=0)
+        # cast: keep the f32 timestep embedding from promoting the whole
+        # bf16 controlnet to f32 (2x MXU cost — profiled on v5e)
+        temb_f = jnp.repeat(temb, f, axis=0).astype(sample.dtype)
 
         def fold(x):  # [B, C, F, H, W] -> [(B F), H, W, C]
             return x.transpose(0, 2, 3, 4, 1).reshape(

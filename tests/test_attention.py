@@ -23,6 +23,9 @@ class TestFlashAttention:
         (256, 77, 64),     # cross with padded kv
         (150, 300, 52),    # nothing aligned (prior head dim 52)
         (513, 513, 52),    # the prior's sequence
+        (576, 576, 64),    # unCLIP mid-stage (divisor block 192, no pad)
+        (576, 256, 64),    # unCLIP mid cross-attn
+        (2304, 2304, 64),  # unCLIP ds2 self-attn (block 256 divides)
     ])
     def test_matches_xla(self, rng, tq, tk, d):
         q, k, v = _qkv(rng, 2, 3, tq, tk, d)

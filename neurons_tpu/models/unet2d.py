@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from neurons_tpu.config import UNet2DConfig
 from neurons_tpu.ops.attention import dot_product_attention
-from neurons_tpu.ops.fused_norm import GroupNormSiLU
+from neurons_tpu.ops.fused_norm import GroupNorm, GroupNormSiLU
 
 
 def timestep_embedding(t: jax.Array, dim: int,
@@ -217,8 +217,8 @@ class SpatialTransformer(nn.Module):
                  capture: bool = False):
         b, h, w, c = x.shape
         residual = x
-        t = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         name="norm")(x).reshape(b, h * w, c)
+        t = GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                      name="norm")(x).reshape(b, h * w, c)
         t = nn.Dense(c, name="proj_in")(t)
         captured = []
         for i in range(self.depth):

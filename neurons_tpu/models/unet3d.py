@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from neurons_tpu.config import UNet3DConfig
 from neurons_tpu.models.unet2d import timestep_embedding, zero_init
 from neurons_tpu.ops.attention import dot_product_attention
-from neurons_tpu.ops.fused_norm import GroupNormSiLU
+from neurons_tpu.ops.fused_norm import GroupNorm, GroupNormSiLU
 
 
 def temporal_pos_encoding(max_len: int, dim: int) -> jnp.ndarray:
@@ -146,8 +146,8 @@ class MotionModule(nn.Module):
         f = self.n_frames
         b = bf // f
         residual = x
-        h = nn.GroupNorm(num_groups=min(self.groups, c), epsilon=1e-6,
-                         name="norm")(x)
+        h = GroupNorm(num_groups=min(self.groups, c), epsilon=1e-6,
+                      name="norm")(x)
         tokens = h.reshape(bf, hh * ww, c)
         tokens = nn.Dense(c, name="proj_in")(tokens)
         # (b f) d c -> (b d) f c
@@ -229,8 +229,8 @@ class Transformer3D(nn.Module):
     def __call__(self, x, context, xattn_cached=None, capture: bool = False):
         bf, hh, ww, c = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=min(self.groups, c), epsilon=1e-6,
-                         name="norm")(x)
+        h = GroupNorm(num_groups=min(self.groups, c), epsilon=1e-6,
+                      name="norm")(x)
         tokens = h.reshape(bf, hh * ww, c)
         tokens = nn.Dense(c, name="proj_in")(tokens)
         ctx = jnp.repeat(context, self.n_frames, axis=0)  # [B*F, 77, Ctx]
@@ -424,8 +424,8 @@ class UNet3DModel(nn.Module):
                             name=f"up_{i}_upsample")(h)
                 res //= 2
 
-        h = nn.GroupNorm(num_groups=min(g, h.shape[-1]),
-                         name="conv_norm_out")(h)
+        h = GroupNorm(num_groups=min(g, h.shape[-1]),
+                      name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(c.out_channels, (3, 3), padding=1,
                     kernel_init=zero_init(), name="conv_out")(h)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from neurons_tpu.config import VAEConfig
 from neurons_tpu.ops.attention import dot_product_attention
-from neurons_tpu.ops.fused_norm import GroupNormSiLU
+from neurons_tpu.ops.fused_norm import GroupNorm, GroupNormSiLU
 
 
 class VAEResnetBlock(nn.Module):
@@ -62,8 +62,8 @@ class VAEAttnBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        t = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         name="norm")(x).reshape(b, h * w, c)
+        t = GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                      name="norm")(x).reshape(b, h * w, c)
         q = nn.Dense(c, name="q")(t)[:, None]  # [B, 1(head), T, C]
         k = nn.Dense(c, name="k")(t)[:, None]
         v = nn.Dense(c, name="v")(t)[:, None]

@@ -181,14 +181,27 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, h, tq, d = q.shape
     tk = k.shape[2]
 
-    block_q = _pick_block(tq, block_q)
-    block_k = _pick_block(tk, block_k)
-    tq_p = _round_up(tq, block_q)
-    tk_p = _round_up(tk, block_k)
     # d=64 (the SD UNets' head dim) stays unpadded: Mosaic tiles the
     # 64-lane minor dim in VMEM for free, while an explicit pad to 128
     # materializes padded q/k/v copies in HBM
     d_p = d if d % 64 == 0 else _round_up(d, 128)
+    # whole-KV sites are launch/loop-overhead bound at small blocks
+    # (34 us of math took 250 us at 3x192 on the 576-token mid stage) —
+    # grow blocks until the f32 logits tile hits the VMEM budget
+    smallkv_hint = _round_up(tk, 128) * d_p * 2 * 2 <= 4 * 1024 * 1024
+    if smallkv_hint:
+        cap_q, cap_k = block_q, block_k
+        while cap_q < min(tq, 2048) and _pick_block(tq, cap_q * 2) * \
+                _pick_block(tk, cap_k) * 4 <= 4 * 1024 * 1024:
+            cap_q *= 2
+        while cap_k < min(tk, 2048) and _pick_block(tq, cap_q) * \
+                _pick_block(tk, cap_k * 2) * 4 <= 4 * 1024 * 1024:
+            cap_k *= 2
+        block_q, block_k = cap_q, cap_k
+    block_q = _pick_block(tq, block_q)
+    block_k = _pick_block(tk, block_k)
+    tq_p = _round_up(tq, block_q)
+    tk_p = _round_up(tk, block_k)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, d_p - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d)))

@@ -52,13 +52,28 @@ def _on_tpu() -> bool:
 def group_norm_silu_reference(x: jax.Array, scale: jax.Array,
                               bias: jax.Array, groups: int,
                               eps: float = 1e-5) -> jax.Array:
-    """XLA composite: GroupNorm over (H, W, C/G) then SiLU. x [N, H, W, C]."""
+    """XLA composite: GroupNorm over (H, W, C/G) then SiLU. x [N, H, W, C].
+
+    Statistics are reduced channel-wise FIRST ([N, C], tiny) and only then
+    group-summed, so the full activation is never viewed as
+    [N, HW, G, C/G] — that grouped reshape forced XLA into layout-change
+    copies of the whole tensor around every ResBlock norm (profiled on
+    v5e: ~0.4 s/clip of 'data formatting'). Variance stays two-pass on
+    centered values (single-pass E[x^2]-mean^2 cancels catastrophically)."""
     n, h, w, c = x.shape
-    xg = x.reshape(n, h * w, groups, c // groups).astype(jnp.float32)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(n, h, w, c) * scale[None, None, None] + bias[None, None, None]
+    cg = c // groups
+    xf = x.astype(jnp.float32)
+    inv_count = 1.0 / (h * w * cg)
+
+    def per_group(v_c):  # [N, C] channel sums -> [N, C] per-group broadcast
+        v_g = v_c.reshape(n, groups, cg).sum(axis=-1)
+        return jnp.repeat(v_g, cg, axis=-1)
+
+    mean_c = per_group(xf.sum(axis=(1, 2))) * inv_count       # [N, C]
+    xc = xf - mean_c[:, None, None]
+    var_c = per_group((xc * xc).sum(axis=(1, 2))) * inv_count
+    inv_c = jax.lax.rsqrt(var_c + eps)
+    xn = xc * (inv_c * scale)[:, None, None] + bias[None, None, None]
     return (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
 
 
@@ -150,6 +165,50 @@ def _bwd(groups, eps, res, g):
 
 
 group_norm_silu.defvjp(_fwd, _bwd)
+
+
+def group_norm_reference(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                         groups: int, eps: float = 1e-5) -> jax.Array:
+    """Reshape-free GroupNorm (no activation), same stats scheme as
+    `group_norm_silu_reference`. x [N, H, W, C]."""
+    n, h, w, c = x.shape
+    cg = c // groups
+    xf = x.astype(jnp.float32)
+    inv_count = 1.0 / (h * w * cg)
+
+    def per_group(v_c):
+        v_g = v_c.reshape(n, groups, cg).sum(axis=-1)
+        return jnp.repeat(v_g, cg, axis=-1)
+
+    mean_c = per_group(xf.sum(axis=(1, 2))) * inv_count
+    xc = xf - mean_c[:, None, None]
+    var_c = per_group((xc * xc).sum(axis=(1, 2))) * inv_count
+    inv_c = jax.lax.rsqrt(var_c + eps)
+    xn = xc * (inv_c * scale)[:, None, None] + bias[None, None, None]
+    return xn.astype(x.dtype)
+
+
+class GroupNorm(flax_nn.Module):
+    """Drop-in for flax `nn.GroupNorm` (identical scale/bias param tree)
+    built on the reshape-free composite — avoids the [N, HW, G, C/G]
+    grouped view that forces whole-tensor layout copies on TPU."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @flax_nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", flax_nn.initializers.ones, (c,))
+        bias = self.param("bias", flax_nn.initializers.zeros, (c,))
+        if x.ndim == 4:
+            return group_norm_reference(x, scale, bias, self.num_groups,
+                                        self.epsilon)
+        orig = x.shape
+        x4 = x.reshape((orig[0], 1, -1, c))
+        y = group_norm_reference(x4, scale, bias, self.num_groups,
+                                 self.epsilon)
+        return y.reshape(orig)
 
 
 class GroupNormSiLU(flax_nn.Module):

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from neurons_tpu.ops.attention import dot_product_attention
-from neurons_tpu.ops.fused_norm import GroupNormSiLU
+from neurons_tpu.ops.fused_norm import GroupNorm, GroupNormSiLU
 
 
 class ResnetBlock2D(nn.Module):
@@ -85,8 +85,8 @@ class AttnBlock(nn.Module):
         hd = self.head_dim or self.channels
         heads = max(1, self.channels // hd)
         residual = tokens
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="group_norm")(tokens)
+        h = GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                      name="group_norm")(tokens)
         q = nn.Dense(self.channels, name="to_q")(h)
         k = nn.Dense(self.channels, name="to_k")(h)
         v = nn.Dense(self.channels, name="to_v")(h)
@@ -201,9 +201,8 @@ class DecoderVideo(nn.Module):
                                  add_upsample=not is_final,
                                  groups=self.norm_num_groups,
                                  name=f"up_block_{i}")(x, time, deterministic)
-        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
-                         name="conv_norm_out")(x)
-        return nn.silu(x)
+        return GroupNormSiLU(num_groups=self.norm_num_groups, epsilon=1e-6,
+                            name="conv_norm_out")(x)
 
 
 class TextDrivenDecoder(nn.Module):
@@ -251,15 +250,15 @@ class TextDrivenDecoder(nn.Module):
 
         # maps_projector: 1x1 convs 1280 -> 512 -> 128 -> 64 with GN(1)+ReLU
         x = nn.Conv(512, (1, 1), use_bias=False, name="maps_0")(x)
-        x = nn.GroupNorm(num_groups=1, name="maps_gn_0")(x)
+        x = GroupNorm(num_groups=1, epsilon=1e-5, name="maps_gn_0")(x)
         x = nn.relu(x)
         x = nn.Conv(128, (1, 1), use_bias=False, name="maps_1")(x)
-        x = nn.GroupNorm(num_groups=1, name="maps_gn_1")(x)
+        x = GroupNorm(num_groups=1, epsilon=1e-5, name="maps_gn_1")(x)
         x = nn.relu(x)
         x = nn.Conv(64, (1, 1), use_bias=True, name="maps_2")(x)
 
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = nn.GroupNorm(num_groups=1, name="norm")(x)
+        x = GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
 
         groups = min(32, min(self.decoder_block_out_channels))
         x = DecoderVideo(self.decoder_block_out_channels,

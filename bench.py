@@ -109,10 +109,14 @@ def build():
 
     @jax.jit
     def stage3(prior_params, unet2d_params, vae_params, key, brain_tokens):
+        # step-invariant rel-pos bias hoisted out of the 100-step scan
+        from neurons_tpu.models.prior import prior_attn_bias
+        bias = prior_attn_bias(prior_params, pcfg.num_tokens)
+
         def net_apply(p, image_embed, times, brain_embed, **kw):
             return prior.apply({"params": p}, image_embed.astype(DTYPE),
                                times, brain_embed.astype(DTYPE),
-                               **kw).astype(jnp.float32)
+                               attn_bias=bias, **kw).astype(jnp.float32)
 
         k1, k2 = jax.random.split(key)
         prior_out = prior_lib.p_sample_loop(

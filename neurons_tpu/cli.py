@@ -227,6 +227,7 @@ def cmd_recon(args):
     from neurons_tpu.config import SamplerConfig, UNet2DConfig, VAEConfig
     from neurons_tpu.models.gpt2 import tiny_gpt2_config, GPT2Config
     from neurons_tpu.models.neurons import NeuronsDecoupler
+    from neurons_tpu.models.prior import prior_attn_bias
     from neurons_tpu.models.unet2d import UNetModel
     from neurons_tpu.models.vae import AutoencoderKL
     from neurons_tpu.pipelines import io
@@ -307,7 +308,9 @@ def cmd_recon(args):
                                        method=AutoencoderKL.decode),
         key=key, voxel=voxel, class_text_embeds=class_embeds,
         sampler_cfg=scfg, n_frames=dcfg.n_frames, latent_hw=latent_hw,
-        enhance=args.enhance, caption_len=12 if args.tiny else 60)
+        enhance=args.enhance, caption_len=12 if args.tiny else 60,
+        prior_bias=prior_attn_bias(dec_params["prior_net"],
+                                   pcfg.num_tokens))
 
     # decode the blurry latents to pixel video — the artifact contract is
     # pixel space (reference recon_keyframe_neurons.py:323-333 decodes

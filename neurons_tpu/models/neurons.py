@@ -124,11 +124,11 @@ class NeuronsDecoupler(nn.Module):
     def prior_apply(self, image_embed, times, brain_embed,
                     brain_cond_drop_prob: float = 0.0,
                     image_cond_drop_prob: float = 0.0,
-                    rng: Optional[jax.Array] = None):
+                    rng: Optional[jax.Array] = None, attn_bias=None):
         return self.prior_net(image_embed, times, brain_embed,
                               brain_cond_drop_prob=brain_cond_drop_prob,
                               image_cond_drop_prob=image_cond_drop_prob,
-                              rng=rng)
+                              rng=rng, attn_bias=attn_bias)
 
     def motion(self, prior_out):
         return self.motion_proj(prior_out)

@@ -95,27 +95,51 @@ class RelPosBias(nn.Module):
     num_buckets: int = 32
     max_distance: int = 128
 
-    def _bucket(self, rel_pos):
-        n = jnp.maximum(-rel_pos, 0)
-        max_exact = self.num_buckets // 2
-        is_small = n < max_exact
-        val_large = max_exact + (
-            jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
-            / math.log(self.max_distance / max_exact)
-            * (self.num_buckets - max_exact)
-        ).astype(jnp.int32)
-        val_large = jnp.minimum(val_large, self.num_buckets - 1)
-        return jnp.where(is_small, n, val_large)
-
     @nn.compact
     def __call__(self, qlen: int, klen: int):
         table = self.param("rel_bias", nn.initializers.normal(1.0),
                            (self.num_buckets, self.heads))
-        q_pos = jnp.arange(qlen)[:, None]
-        k_pos = jnp.arange(klen)[None, :]
-        buckets = self._bucket(k_pos - q_pos)
-        values = jnp.take(jnp.asarray(table), buckets, axis=0)  # [q, k, h]
-        return jnp.transpose(values, (2, 0, 1))       # [h, q, k]
+        return rel_pos_bias_from_table(table, qlen, klen, self.num_buckets,
+                                       self.max_distance)
+
+
+def _rel_pos_bucket(rel_pos, num_buckets: int, max_distance: int):
+    n = jnp.maximum(-rel_pos, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, num_buckets - 1)
+    return jnp.where(is_small, n, val_large)
+
+
+def rel_pos_bias_from_table(table: jax.Array, qlen: int, klen: int,
+                            num_buckets: int = 32,
+                            max_distance: int = 128) -> jax.Array:
+    """[num_buckets, H] table -> [H, qlen, klen] bias. Pure function so the
+    (step-invariant) bias can be hoisted out of the 100-step prior scan —
+    XLA declines to LICM the 17 MB gather, costing ~0.4 ms/step otherwise
+    (profiled on v5e). See `prior_attn_bias`."""
+    q_pos = jnp.arange(qlen)[:, None]
+    k_pos = jnp.arange(klen)[None, :]
+    buckets = _rel_pos_bucket(k_pos - q_pos, num_buckets, max_distance)
+    values = jnp.take(jnp.asarray(table), buckets, axis=0)  # [q, k, h]
+    return jnp.transpose(values, (2, 0, 1))       # [h, q, k]
+
+
+def prior_attn_bias(params, num_image_tokens: int, num_buckets: int = 32,
+                    max_distance: int = 128) -> jax.Array:
+    """Precompute the PriorTransformer rel-pos bias from a PriorNetwork
+    param tree (params['transformer']['rel_pos_bias']['rel_bias']). The
+    token count is 2*N + 1 (brain ++ time ++ image, reference
+    BrainModel_neurons.py:618-623); keys gain the learned null token."""
+    n = 2 * num_image_tokens + 1
+    table = params["transformer"]["rel_pos_bias"]["rel_bias"]
+    return rel_pos_bias_from_table(table, n, n + 1, num_buckets,
+                                   max_distance)
 
 
 def _rotate_half(x):
@@ -226,10 +250,12 @@ class PriorTransformer(nn.Module):
     cfg: PriorConfig
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, attn_bias=None):
         c = self.cfg
         n = x.shape[1]
-        attn_bias = RelPosBias(heads=c.heads, name="rel_pos_bias")(n, n + 1)
+        if attn_bias is None:
+            attn_bias = RelPosBias(heads=c.heads, name="rel_pos_bias")(
+                n, n + 1)
         for i in range(c.depth):
             x = MultiQueryAttention(
                 dim=c.dim, dim_head=c.dim_head, heads=c.heads,
@@ -261,7 +287,8 @@ class PriorNetwork(nn.Module):
                  brain_cond_drop_prob: float = 0.0,
                  image_cond_drop_prob: float = 0.0,
                  rng: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 attn_bias: Optional[jax.Array] = None) -> jax.Array:
         c = self.cfg
         b, n, d = image_embed.shape
         assert n == c.num_tokens and d == c.dim
@@ -303,7 +330,7 @@ class PriorNetwork(nn.Module):
 
         tokens = jnp.concatenate([brain_embed, time_embed, image_embed], axis=1)
         tokens = PriorTransformer(c, name="transformer")(
-            tokens, deterministic=deterministic)
+            tokens, deterministic=deterministic, attn_bias=attn_bias)
         return tokens[:, -c.num_tokens:]
 
     def forward_with_cond_scale(self, image_embed, times, brain_embed,

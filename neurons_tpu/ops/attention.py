@@ -181,10 +181,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, h, tq, d = q.shape
     tk = k.shape[2]
 
-    # d=64 (the SD UNets' head dim) stays unpadded: Mosaic tiles the
-    # 64-lane minor dim in VMEM for free, while an explicit pad to 128
-    # materializes padded q/k/v copies in HBM
-    d_p = d if d % 64 == 0 else _round_up(d, 128)
+    # sublane-aligned head dims (64 in the unCLIP UNet, 40/80/160 in the
+    # video UNet) stay unpadded: Mosaic tiles the short minor dim in VMEM
+    # for free, while an explicit pad to 128 materializes padded q/k/v
+    # copies in HBM (and 1.6x-2x dead MXU work)
+    d_p = d if d % 8 == 0 else _round_up(d, 128)
     # whole-KV sites are launch/loop-overhead bound at small blocks
     # (34 us of math took 250 us at 3x192 on the 576-token mid stage) —
     # grow blocks until the f32 logits tile hits the VMEM budget

@@ -201,6 +201,7 @@ def reconstruct_keyframes(
     scale_factor: float = 0.13025, enhance: bool = False,
     caption_len: int = 60, vae_latent_scale: float = 0.18215,
     mask_latent_hw: Optional[int] = None,
+    prior_bias: Optional[jax.Array] = None,
 ) -> KeyframeOutputs:
     """Full stage-3 forward for one batch. `decoupler_apply(params, method,
     *args, **kw)` dispatches NeuronsDecoupler methods; `class_text_embeds`
@@ -220,9 +221,11 @@ def reconstruct_keyframes(
     # 100-step DDPM prior (reference :364-366)
     diffusion = prior_lib.PriorDiffusion.create(sampler_cfg.prior_steps)
 
+    # prior_bias: step-invariant rel-pos bias precomputed by the caller
+    # (models.prior.prior_attn_bias) and hoisted out of the 100-step scan
     def net_apply(p, image_embed, times, brain_embed, **kw):
         return decoupler_apply(p, ND.prior_apply, image_embed, times,
-                               brain_embed, **kw)
+                               brain_embed, attn_bias=prior_bias, **kw)
 
     prior_out = prior_lib.p_sample_loop(
         diffusion, net_apply, decoupler_params, k_prior,

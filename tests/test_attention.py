@@ -26,6 +26,8 @@ class TestFlashAttention:
         (576, 576, 64),    # unCLIP mid-stage (divisor block 192, no pad)
         (576, 256, 64),    # unCLIP mid cross-attn
         (2304, 2304, 64),  # unCLIP ds2 self-attn (block 256 divides)
+        (1024, 1024, 80),  # video UNet spatial (unpadded d=80)
+        (1024, 1024, 40),  # video UNet level-0 spatial (d=40)
     ])
     def test_matches_xla(self, rng, tq, tk, d):
         q, k, v = _qkv(rng, 2, 3, tq, tk, d)

@@ -127,3 +127,26 @@ def test_full_voxel_to_clip_path(rng):
     _, clip_embed = backbone.apply(bp, hidden)
     assert clip_embed.shape == (4, 16, 32)
     assert np.isfinite(np.asarray(clip_embed)).all()
+
+
+class TestPriorAttnBiasHoist:
+    def test_precomputed_bias_matches_default(self, rng):
+        """prior_attn_bias (hoisted out of the sampling scan) reproduces
+        the in-module RelPosBias exactly."""
+        from neurons_tpu.config import PriorConfig
+        from neurons_tpu.models.prior import PriorNetwork, prior_attn_bias
+
+        cfg = PriorConfig(num_tokens=6, dim=16, depth=1, dim_head=8,
+                          heads=2)
+        net = PriorNetwork(cfg)
+        x = jax.random.normal(rng, (2, 6, 16))
+        t = jnp.array([3, 7])
+        brain = jax.random.normal(jax.random.fold_in(rng, 1), (2, 6, 16))
+        params = net.init(jax.random.PRNGKey(0), x, t, brain)["params"]
+        base = net.apply({"params": params}, x, t, brain)
+        bias = prior_attn_bias(params, cfg.num_tokens)
+        assert bias.shape == (cfg.heads, 13, 14)
+        hoisted = net.apply({"params": params}, x, t, brain,
+                            attn_bias=bias)
+        np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)

@@ -281,11 +281,11 @@ class UNetModel(nn.Module):
         time_embed_dim = c.model_channels * 4
         xattn_out = {}
 
-        def attn_site(name, h, ch):
+        def attn_site(name, h, ch, depth):
             """SpatialTransformer site with the caching hooks threaded."""
             res = SpatialTransformer(
                 ch, heads_of(ch), c.num_head_channels,
-                c.transformer_depth[_level_of(name)], c.context_dim,
+                depth, c.context_dim,
                 groups=groups, name=name)(
                     h, context,
                     ctx_kv=None if ctx_kv is None else ctx_kv[name],
@@ -295,11 +295,6 @@ class UNetModel(nn.Module):
             if capture_xattn:
                 res, xattn_out[name] = res
             return res
-
-        def _level_of(name):
-            if name == "mid_attn":
-                return -1
-            return int(name.split("_")[1])
 
         emb = timestep_embedding(timesteps, c.model_channels)
         emb = nn.Dense(time_embed_dim, name="time_embed_0")(emb)
@@ -330,7 +325,8 @@ class UNetModel(nn.Module):
                                  name=f"down_{level}_res_{i}")(
                         h, emb, deterministic)
                     if ds in c.attention_resolutions:
-                        h = attn_site(f"down_{level}_attn_{i}", h, ch)
+                        h = attn_site(f"down_{level}_attn_{i}", h, ch,
+                                      c.transformer_depth[level])
                     skips.append(h)
                 if level != len(c.channel_mult) - 1:
                     h = Downsample2D(ch, name=f"down_{level}_downsample")(h)
@@ -345,7 +341,7 @@ class UNetModel(nn.Module):
         # --- middle ---
         ch = c.model_channels * c.channel_mult[-1]
         h = ResBlock(ch, groups=groups, name="mid_res_0")(h, emb, deterministic)
-        h = attn_site("mid_attn", h, ch)
+        h = attn_site("mid_attn", h, ch, c.transformer_depth[-1])
         h = ResBlock(ch, groups=groups, name="mid_res_1")(h, emb, deterministic)
 
         # --- output blocks ---
@@ -356,7 +352,8 @@ class UNetModel(nn.Module):
                 h = ResBlock(ch, groups=groups,
                              name=f"up_{level}_res_{i}")(h, emb, deterministic)
                 if ds in c.attention_resolutions:
-                    h = attn_site(f"up_{level}_attn_{i}", h, ch)
+                    h = attn_site(f"up_{level}_attn_{i}", h, ch,
+                                  c.transformer_depth[level])
                 if level and i == c.num_res_blocks:
                     h = UpsampleConv(ch, name=f"up_{level}_upsample")(h)
                     ds //= 2

@@ -424,7 +424,9 @@ class UNet3DModel(nn.Module):
                             name=f"up_{i}_upsample")(h)
                 res //= 2
 
-        h = GroupNorm(num_groups=min(g, h.shape[-1]),
+        # reference AnimateDiff UNet norm_eps=1e-5 (animatediff/models/
+        # unet.py:70,245-247), unlike the 1e-6 transformer entry norms
+        h = GroupNorm(num_groups=min(g, h.shape[-1]), epsilon=1e-5,
                       name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(c.out_channels, (3, 3), padding=1,

@@ -26,6 +26,7 @@ already optimal at those sizes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -76,15 +77,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_block(t: int, cap: int) -> int:
-    """Largest divisor of `t` that is <= cap and a multiple of 16 (bf16
-    sublane tile) — a divisor block means ZERO padding. Falls back to the
-    padded power-of-two scheme when no such divisor exists.
+    """Largest divisor of `t` that is <= cap, a multiple of 16 (bf16
+    sublane tile) and >= 128 — a divisor block means ZERO padding, and the
+    128 floor keeps awkward lengths (e.g. 4624 = 2^4*17^2, whose only
+    small divisors are 16s) on the padded scheme instead of a degenerate
+    launch-bound 16-row grid. Falls back to padding when no such divisor
+    exists.
 
     Motivation (profiled on v5e): the unCLIP mid-stage attends over
     576 tokens; rounding 576 up to 2x256 blocks padded q AND kv to 768,
     inflating the attention matmuls by 78%. 576 = 2x288 runs unpadded."""
     if t % 16 == 0:
-        for b in range(min(cap, t), 15, -16):
+        for b in range(min(cap, t), 127, -16):
             if t % b == 0:
                 return b
     return min(cap, _round_up(t, 128))
@@ -272,7 +276,6 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     enough rows to fill tiles; otherwise the XLA path (which XLA fuses well
     at small sizes, and which supports bias/mask).
     """
-    import os
     use_pallas = (
         _HAS_PALLAS and _on_tpu() and bias is None and mask is None
         and q.shape[-2] >= 128 and k.shape[-2] >= 128

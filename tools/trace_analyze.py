@@ -39,8 +39,10 @@ def main():
     dev = [p for p, n in pids.items() if "TPU" in n or "device" in n]
     tids = {(e["pid"], e["tid"]): e["args"]["name"] for e in ev
             if e.get("ph") == "M" and e.get("name") == "thread_name"}
-    ops_tracks = {k for k, n in tids.items() if n == "XLA Ops"}
-    mod_tracks = {k for k, n in tids.items() if n == "XLA Modules"}
+    ops_tracks = {k for k, n in tids.items()
+                  if n == "XLA Ops" and k[0] in dev}
+    mod_tracks = {k for k, n in tids.items()
+                  if n == "XLA Modules" and k[0] in dev}
 
     wins = []
     for e in ev:

@@ -211,6 +211,49 @@ class UNet3DConfig:
 
 
 @dataclass(frozen=True)
+class VideoUNetConfig:
+    """SVD spatiotemporal UNet (reference sgm/modules/diffusionmodules/
+    video_model.py:84-493 `VideoUNet` + sgm/modules/video_attention.py
+    `SpatialVideoTransformer`). Defaults follow the SVD img2vid shape:
+    every spatial transformer is paired with a temporal mix stack and
+    every res block with a temporal (3,1,1)-conv res stack, blended by a
+    learned-with-images alpha."""
+
+    in_channels: int = 8  # latent ++ conditioning frame concat
+    out_channels: int = 4
+    model_channels: int = 320
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    transformer_depth: Tuple[int, ...] = (1, 1, 1, 1)
+    num_head_channels: int = 64
+    context_dim: int = 1024  # CLIP-H image embedding
+    adm_in_channels: int = 768  # fps/motion-bucket/aug ConcatTimestepEmbedderND
+    time_context_dim: int = 0  # 0 -> use_spatial_context
+    video_kernel_size: Tuple[int, int, int] = (3, 1, 1)
+    merge_strategy: str = "learned_with_images"
+    merge_factor: float = 0.5
+    extra_ff_mix_layer: bool = True
+    use_spatial_context: bool = True
+    disable_temporal_crossattention: bool = False
+    max_ddpm_temb_period: int = 10000
+
+
+@dataclass(frozen=True)
+class VideoDecoderConfig:
+    """SVD temporal VAE decoder (reference sgm/modules/autoencoding/
+    temporal_ae.py:293-349 `VideoDecoder`): the SD VAE decoder with a
+    temporal res stack on every resnet block, a 3-D time-mix conv on
+    conv_out, and (time_mode='all') temporal attention at the mid block."""
+
+    vae: VAEConfig = field(default_factory=VAEConfig)
+    video_kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    alpha: float = 0.0
+    merge_strategy: str = "learned"
+    time_mode: str = "conv-only"  # all | conv-only | attn-only
+
+
+@dataclass(frozen=True)
 class SamplerConfig:
     """Sampler shapes (reference recon_keyframe_neurons.py:244, unclip6.yaml:141-144,
     configs/NeuroClips/control.yaml:13-14)."""

@@ -835,6 +835,11 @@ def main(argv=None):
     p.set_defaults(fn=cmd_pipeline)
 
     args = parser.parse_args(argv)
+    # join a multi-host process group when the env asks for one (the
+    # reference's `accelerate launch` rendezvous, train_neurons.sh:3,92;
+    # single-process runs are a no-op)
+    from neurons_tpu.parallel.distributed import initialize
+    initialize()
     if getattr(args, "profile", None):
         import jax
         os.makedirs(args.profile, exist_ok=True)

@@ -118,3 +118,44 @@ class TestFsdpSharding:
         p2, o2 = step(params, opt_state)
         assert np.isfinite(np.asarray(p2["w"])).all()
         assert float(jnp.abs(p2["w"] - params["w"]).max()) > 0
+
+
+# ---------------------------------------------------------------------------
+# multi-host glue (parallel/distributed.py) — single-process semantics
+# ---------------------------------------------------------------------------
+
+class TestDistributedGlue:
+    def test_initialize_noop_without_env(self, monkeypatch):
+        from neurons_tpu.parallel import distributed as D
+        for var in ("JAX_COORDINATOR_ADDRESS", "MASTER_ADDR", "RANK",
+                    "WORLD_SIZE"):
+            monkeypatch.delenv(var, raising=False)
+        assert D.initialize() is False
+
+    def test_initialize_noop_world_size_one(self, monkeypatch):
+        from neurons_tpu.parallel import distributed as D
+        monkeypatch.setenv("MASTER_ADDR", "127.0.0.1")
+        monkeypatch.setenv("WORLD_SIZE", "1")
+        assert D.initialize() is False
+
+    def test_single_process_barrier_and_broadcast(self):
+        from neurons_tpu.parallel import distributed as D
+        D.barrier("test")  # no-op, must not raise
+        tree = {"a": np.arange(3)}
+        out = D.broadcast_from_host0(tree)
+        np.testing.assert_array_equal(out["a"], tree["a"])
+        assert D.is_main_process()
+
+    def test_process_allgather_adds_axis(self):
+        from neurons_tpu.parallel import distributed as D
+        out = D.process_allgather({"x": np.ones((2, 3))})
+        assert out["x"].shape == (1, 2, 3)
+
+    def test_round_robin_matches_reference_split(self):
+        from neurons_tpu.parallel import distributed as D
+        # reference scripts/neuroclips_video.py:39-40: rank + i*N
+        idx = D.round_robin_indices(10, shard=1, num_shards=4)
+        np.testing.assert_array_equal(idx, [1, 5, 9])
+        all_idx = np.sort(np.concatenate(
+            [D.round_robin_indices(10, s, 4) for s in range(4)]))
+        np.testing.assert_array_equal(all_idx, np.arange(10))

@@ -62,6 +62,34 @@ def diagonal_gaussian_regularizer(z: jax.Array,
     return out, {"kl_loss": jnp.sum(kl) / kl.shape[0]}
 
 
+def remap_to_used(inds: jax.Array, used: jax.Array,
+                  unknown_index="random",
+                  key: Optional[jax.Array] = None,
+                  re_embed: Optional[int] = None) -> jax.Array:
+    """Map full-codebook indices onto positions in the `used` subset
+    (reference regularizers/base.py AbstractQuantizer.remap_to_used,
+    quantize.py:26-41). Unknown codes go to a random used slot
+    (`unknown_index='random'`, needs `key`) or a fixed index."""
+    used = jnp.asarray(used)
+    match = inds[..., None] == used[(None,) * inds.ndim]
+    new = jnp.argmax(match, axis=-1)
+    unknown = ~match.any(axis=-1)
+    if unknown_index == "random":
+        assert key is not None, "unknown_index='random' needs a PRNG key"
+        rnd = jax.random.randint(key, inds.shape, 0,
+                                 re_embed or used.shape[0])
+        return jnp.where(unknown, rnd, new)
+    return jnp.where(unknown, jnp.asarray(unknown_index, new.dtype), new)
+
+
+def unmap_to_all(inds: jax.Array, used: jax.Array) -> jax.Array:
+    """Inverse of remap_to_used (reference quantize.py:43-52); extra
+    tokens (index >= len(used)) collapse to code 0."""
+    used = jnp.asarray(used)
+    inds = jnp.where(inds >= used.shape[0], 0, inds)
+    return jnp.take(used, inds, axis=0)
+
+
 def _nearest_codes(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
     """argmin_j ||z - e_j||^2 via z^2 + e^2 - 2 z·e (one MXU matmul)."""
     d = (jnp.sum(z_flat ** 2, axis=1, keepdims=True)

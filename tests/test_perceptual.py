@@ -337,3 +337,28 @@ class TestRegularizers:
         zq, out = m.apply({"params": params}, z)
         assert zq.shape == z.shape
         assert jnp.isfinite(out["loss/vq"])
+
+
+class TestRemap:
+    def test_remap_and_unmap_roundtrip(self):
+        used = jnp.asarray([2, 5, 7])
+        inds = jnp.asarray([[2, 5], [7, 2]])
+        mapped = VQ.remap_to_used(inds, used, unknown_index=0)
+        np.testing.assert_array_equal(np.asarray(mapped), [[0, 1], [2, 0]])
+        back = VQ.unmap_to_all(mapped, used)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(inds))
+
+    def test_unknown_fixed_and_random(self):
+        used = jnp.asarray([2, 5])
+        inds = jnp.asarray([[3, 5]])  # 3 is unknown
+        fixed = VQ.remap_to_used(inds, used, unknown_index=1)
+        np.testing.assert_array_equal(np.asarray(fixed), [[1, 1]])
+        rnd = VQ.remap_to_used(inds, used, unknown_index="random",
+                               key=jax.random.PRNGKey(0))
+        assert 0 <= int(rnd[0, 0]) < 2
+        assert int(rnd[0, 1]) == 1  # known index unaffected
+
+    def test_extra_token_collapses_to_zero(self):
+        used = jnp.asarray([4, 9])
+        back = VQ.unmap_to_all(jnp.asarray([[0, 1, 2]]), used)
+        np.testing.assert_array_equal(np.asarray(back), [[4, 9, 4]])

@@ -482,3 +482,49 @@ class TestVideoDecoderParity:
 
     def test_all_time_attention(self):
         self._run("all")
+
+
+class TestLoadSVD:
+    def test_assemble_from_checkpoint(self, tmp_path):
+        """Full SVD ckpt assembly (interop/load_weights.py:load_svd) from
+        a key-exact fake Lightning file: model.diffusion_model VideoUNet,
+        first_stage_model Encoder + temporal decoder."""
+        import dataclasses
+
+        import torch as _torch
+
+        from neurons_tpu.interop.load_weights import load_svd
+        from test_importers_structural import TLDMVAE
+
+        cfg = dataclasses.replace(TINY_VDEC, time_mode="conv-only")
+        tu = TVideoUNet(TINY_SVD).eval()
+        td = TVideoDecoder(cfg, "conv-only").eval()
+        tv = TLDMVAE(cfg.vae).eval()
+
+        sd = {}
+        for k, v in tu.state_dict().items():
+            sd[f"model.diffusion_model.{k}"] = v
+        for k, v in td.state_dict().items():
+            sd[f"first_stage_model.decoder.{k}"] = v
+        for k, v in tv.state_dict().items():
+            if k.startswith("encoder."):
+                sd[f"first_stage_model.{k}"] = v
+        sd["conditioner.embedders.0.dummy"] = _torch.zeros(1)
+        path = tmp_path / "svd.ckpt"
+        _torch.save({"state_dict": sd}, path)
+
+        up, dp, ep, report = load_svd(str(path), TINY_SVD, cfg)
+        assert report["unet_unused"] == []
+        assert report["decoder_unused"] == []
+        assert report["encoder_unused"] == []
+        assert report["conditioner_keys_skipped"] == 1
+
+        # imported UNet params actually drive the flax model
+        from neurons_tpu.models.video_unet import VideoUNet
+        B, T = 1, 2
+        x = np.random.RandomState(0).randn(B * T, 4, 8, 8).astype(np.float32)
+        out = VideoUNet(TINY_SVD).apply(
+            {"params": up}, jnp.asarray(x),
+            jnp.full((B * T,), 3.0), jnp.zeros((B * T, 5, 12)),
+            jnp.zeros((B * T, 6)), num_frames=T)
+        assert np.isfinite(np.asarray(out)).all()

@@ -97,6 +97,13 @@ def build():
     enc_reuse = int(os.environ.get("BENCH_ENC_REUSE", "1"))
     tgate_step = int(os.environ.get("BENCH_TGATE", "0"))
     tgate_video = int(os.environ.get("BENCH_TGATE_VIDEO", "0"))
+    # Pyramid Attention Broadcast (arXiv 2408.12588): BENCH_PAB="2,4,8"
+    # (spatial,temporal,cross intervals), BENCH_PAB_RANGE="2,23"
+    pab = tuple(int(v) for v in os.environ["BENCH_PAB"].split(",")) \
+        if os.environ.get("BENCH_PAB") else None
+    pab_range = tuple(int(v) for v in
+                      os.environ["BENCH_PAB_RANGE"].split(",")) \
+        if os.environ.get("BENCH_PAB_RANGE") else None
     hoist_kv = os.environ.get("BENCH_HOIST_KV", "1") == "1"
 
     if hoist_kv:
@@ -150,7 +157,7 @@ def build():
             out = unet3d.apply({"params": p}, x.astype(DTYPE), t,
                                ctx.astype(DTYPE), down, mid, **kw)
             if isinstance(out, tuple):
-                return out[0].astype(jnp.float32), out[1]
+                return (out[0].astype(jnp.float32),) + out[1:]
             return out.astype(jnp.float32)
 
         def cna(p, x, t, ctx, cond, mask, scale):
@@ -174,7 +181,7 @@ def build():
             guidance_scale=scfg.video_cfg_scale,
             low_strength=scfg.low_strength,
             n_frames=n_frames, encoder_reuse=enc_reuse,
-            tgate_step=tgate_video).video
+            tgate_step=tgate_video, pab=pab, pab_range=pab_range).video
 
     params = dict(prior=prior_params, unet2d=unet2d_params, vae=vae_params,
                   unet3d=unet3d_params, cn=cn_params)

@@ -545,8 +545,8 @@ def cmd_video(args):
                            jnp.float32)
 
     out = reconstruct_video(
-        unet3d_apply=lambda p, x, t, c, d, m: unet.apply(
-            {"params": p}, x, t, c, d, m),
+        unet3d_apply=lambda p, x, t, c, d, m, **kw: unet.apply(
+            {"params": p}, x, t, c, d, m, **kw),
         unet3d_params=uparams,
         controlnet_apply=lambda p, x, t, c, cond, mask, s: cn.apply(
             {"params": p}, x, t, c, cond, mask, s),

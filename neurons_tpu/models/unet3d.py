@@ -141,11 +141,14 @@ class MotionModule(nn.Module):
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, tattn_cached=None,
+                 capture_tattn: bool = False):
         bf, hh, ww, c = x.shape
         f = self.n_frames
         b = bf // f
         residual = x
+        captured_t = []
+        t_idx = 0
         h = GroupNorm(num_groups=min(self.groups, c), epsilon=1e-6,
                       name="norm")(x)
         tokens = h.reshape(bf, hh * ww, c)
@@ -167,26 +170,40 @@ class MotionModule(nn.Module):
         for blk in range(self.num_blocks):
             for ai, att_type in enumerate(self.attention_block_types):
                 name = f"block_{blk}_attn_{ai}"
-                t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm")(tokens)
                 is_cross = att_type.endswith("Cross") and context is not None
+                # temporal attention residual broadcast (PAB, arXiv
+                # 2408.12588): reuse the residual across adjacent steps
+                if tattn_cached is not None:
+                    tokens = tattn_cached[t_idx] + tokens
+                    if capture_tattn:
+                        captured_t.append(tattn_cached[t_idx])
+                    t_idx += 1
+                    continue
+                t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm")(tokens)
                 if is_cross:
                     # cross-attn over external context: keep the explicit
                     # temporal rearrange (reference motion_module.py:275)
                     t = to_temporal(t) + pe[None]
                     ctx = jnp.repeat(context, d, axis=0)
                     t = MHAttention(c, self.heads, name=name)(t, ctx)
-                    tokens = from_temporal(t) + tokens
+                    tattn = from_temporal(t)
                 else:
                     # pe[frame] added in the folded layout (same values the
                     # [(b d), f, c] layout would see)
                     t = (t.reshape(b, f, d, c)
                          + pe[None, :, None, :]).reshape(bf, d, c)
-                    t = TemporalMHA(c, self.heads, f, name=name)(t)
-                    tokens = t + tokens
+                    tattn = TemporalMHA(c, self.heads, f, name=name)(t)
+                if capture_tattn:
+                    captured_t.append(tattn)
+                t_idx += 1
+                tokens = tattn + tokens
             t = nn.LayerNorm(epsilon=1e-5, name=f"block_{blk}_ff_norm")(tokens)
             tokens = GEGLU_FF(c, name=f"block_{blk}_ff")(t) + tokens
         out = nn.Dense(c, kernel_init=zero_init(), name="proj_out")(tokens)
-        return out.reshape(bf, hh, ww, c) + residual
+        out = out.reshape(bf, hh, ww, c) + residual
+        if capture_tattn:
+            return out, jnp.stack(captured_t)
+        return out
 
 
 class ResnetBlock3D(nn.Module):
@@ -226,7 +243,8 @@ class Transformer3D(nn.Module):
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x, context, xattn_cached=None, capture: bool = False):
+    def __call__(self, x, context, xattn_cached=None, capture: bool = False,
+                 sattn_cached=None, capture_sattn: bool = False):
         bf, hh, ww, c = x.shape
         residual = x
         h = GroupNorm(num_groups=min(self.groups, c), epsilon=1e-6,
@@ -235,10 +253,20 @@ class Transformer3D(nn.Module):
         tokens = nn.Dense(c, name="proj_in")(tokens)
         ctx = jnp.repeat(context, self.n_frames, axis=0)  # [B*F, 77, Ctx]
         captured = []
+        captured_s = []
         for i in range(self.depth):
             name = f"block_{i}"
-            t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm1")(tokens)
-            tokens = MHAttention(c, self.heads, name=f"{name}_attn1")(t) + tokens
+            # spatial self-attn residual broadcast (PAB, arXiv 2408.12588:
+            # attention outputs of adjacent diffusion steps are nearly
+            # identical — reuse the residual for `sattn_cached` steps)
+            if sattn_cached is not None:
+                sattn = sattn_cached[i]
+            else:
+                t = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm1")(tokens)
+                sattn = MHAttention(c, self.heads, name=f"{name}_attn1")(t)
+            if capture_sattn:
+                captured_s.append(sattn)
+            tokens = sattn + tokens
             # cross-attn residual gating (TGATE, arXiv 2404.02747): the
             # text context is the ONLY thing that distinguishes the CFG
             # halves, so freezing this branch lets the sampler collapse
@@ -257,8 +285,13 @@ class Transformer3D(nn.Module):
             tokens = GEGLU_FF(c, name=f"{name}_ff")(t) + tokens
         tokens = nn.Dense(c, name="proj_out")(tokens)
         out = tokens.reshape(bf, hh, ww, c) + residual
+        extras = ()
         if capture:
-            return out, jnp.stack(captured)
+            extras += (jnp.stack(captured),)
+        if capture_sattn:
+            extras += (jnp.stack(captured_s),)
+        if extras:
+            return (out,) + extras
         return out
 
 
@@ -275,6 +308,26 @@ def video_cross_attn_sites(cfg: UNet3DConfig):
         if btype.startswith("CrossAttn"):
             for j in range(cfg.layers_per_block + 1):
                 sites.append((f"up_{i}_attn_{j}", 1))
+    return sites
+
+
+def video_motion_sites(cfg: UNet3DConfig):
+    """Names of every MotionModule site in `UNet3DModel.__call__` order
+    (mirrors its loop + `motion_module_resolutions` gating)."""
+    sites = []
+    res = 1
+    for i in range(len(cfg.down_block_types)):
+        for j in range(cfg.layers_per_block):
+            if cfg.use_motion_module and res in cfg.motion_module_resolutions:
+                sites.append(f"down_{i}_motion_{j}")
+        if i != len(cfg.down_block_types) - 1:
+            res *= 2
+    for i in range(len(cfg.up_block_types)):
+        for j in range(cfg.layers_per_block + 1):
+            if cfg.use_motion_module and res in cfg.motion_module_resolutions:
+                sites.append(f"up_{i}_motion_{j}")
+        if i != len(cfg.up_block_types) - 1:
+            res //= 2
     return sites
 
 
@@ -295,7 +348,9 @@ class UNet3DModel(nn.Module):
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  down_block_residuals=None, mid_block_residual=None,
                  cached=None, return_cache: bool = False,
-                 xattn_cached=None, capture_xattn: bool = False):
+                 xattn_cached=None, capture_xattn: bool = False,
+                 sattn_cached=None, capture_sattn: bool = False,
+                 tattn_cached=None, capture_tattn: bool = False):
         c = self.cfg
         f = self.n_frames
         b = sample.shape[0]
@@ -309,16 +364,30 @@ class UNet3DModel(nn.Module):
         # bf16 UNet to f32 (2x MXU cost — profiled on v5e)
         temb_f = jnp.repeat(temb, f, axis=0).astype(sample.dtype)
 
+        xattn_out = {}
+        sattn_out = {}
+        tattn_out = {}
+
         def motion(ch, res, name):
             if not (c.use_motion_module and res in c.motion_module_resolutions):
                 return None
-            return MotionModule(ch, f, heads=c.motion_num_attention_heads,
-                                num_blocks=c.motion_num_transformer_block,
-                                attention_block_types=c.motion_attention_block_types,
-                                max_seq_len=c.motion_max_seq_length,
-                                groups=g, name=name)
+            mm = MotionModule(
+                ch, f, heads=c.motion_num_attention_heads,
+                num_blocks=c.motion_num_transformer_block,
+                attention_block_types=c.motion_attention_block_types,
+                max_seq_len=c.motion_max_seq_length,
+                groups=g, name=name)
 
-        xattn_out = {}
+            def run(h):
+                r = mm(h,
+                       tattn_cached=(None if tattn_cached is None
+                                     else tattn_cached[name]),
+                       capture_tattn=capture_tattn)
+                if capture_tattn:
+                    r, tattn_out[name] = r
+                return r
+
+            return run
 
         def spatial_attn(name, h, ch):
             r = Transformer3D(ch, ch // c.attention_head_dim
@@ -329,9 +398,17 @@ class UNet3DModel(nn.Module):
                 h, encoder_hidden_states,
                 xattn_cached=(None if xattn_cached is None
                               else xattn_cached[name]),
-                capture=capture_xattn)
-            if capture_xattn:
-                r, xattn_out[name] = r
+                capture=capture_xattn,
+                sattn_cached=(None if sattn_cached is None
+                              else sattn_cached[name]),
+                capture_sattn=capture_sattn)
+            if capture_xattn or capture_sattn:
+                extras = list(r[1:])
+                r = r[0]
+                if capture_xattn:
+                    xattn_out[name] = extras.pop(0)
+                if capture_sattn:
+                    sattn_out[name] = extras.pop(0)
             return r
 
         if cached is not None:
@@ -345,7 +422,11 @@ class UNet3DModel(nn.Module):
                                 b, f, res, motion, return_cache=False,
                                 cache=None, spatial_attn=spatial_attn,
                                 capture_xattn=capture_xattn,
-                                xattn_out=xattn_out)
+                                xattn_out=xattn_out,
+                                capture_sattn=capture_sattn,
+                                sattn_out=sattn_out,
+                                capture_tattn=capture_tattn,
+                                tattn_out=tattn_out)
 
         # [B, C, F, H, W] -> [(B F), H, W, C]
         h = sample.transpose(0, 2, 3, 4, 1).reshape(
@@ -380,12 +461,18 @@ class UNet3DModel(nn.Module):
                             cache=(h, tuple(skips)),
                             spatial_attn=spatial_attn,
                             capture_xattn=capture_xattn,
-                            xattn_out=xattn_out)
+                            xattn_out=xattn_out,
+                            capture_sattn=capture_sattn,
+                            sattn_out=sattn_out,
+                            capture_tattn=capture_tattn,
+                            tattn_out=tattn_out)
 
     def _decode(self, h, skips, temb_f, encoder_hidden_states,
                 down_block_residuals, mid_block_residual, b, f, res,
                 motion, return_cache, cache, spatial_attn,
-                capture_xattn=False, xattn_out=None):
+                capture_xattn=False, xattn_out=None,
+                capture_sattn=False, sattn_out=None,
+                capture_tattn=False, tattn_out=None):
         """Mid + up + out (plain helper inside the compact scope; all
         submodules carry explicit names so the cached path addresses the
         same parameters)."""
@@ -439,6 +526,10 @@ class UNet3DModel(nn.Module):
             extras += (cache,)
         if capture_xattn:
             extras += (xattn_out,)
+        if capture_sattn:
+            extras += (sattn_out,)
+        if capture_tattn:
+            extras += (tattn_out,)
         if extras:
             return (out,) + extras
         return out

@@ -99,7 +99,12 @@ def _flash_kernel_smallkv(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     """Whole-KV variant: K/V resident in VMEM, online softmax in
     registers via fori_loop — faster than the streaming grid when the
     padded KV fits the VMEM budget (the UNet's 576-2304-token attention)."""
-    q = q_ref[...].astype(jnp.float32) * scale          # [Bq, D]
+    # matmul operands stay in the input dtype (bf16 from the UNets): the
+    # MXU multiplies bf16 x bf16 with exact f32 accumulation natively, so
+    # upcasting q/k/v to f32 only downgraded the matmuls to the 1/4-rate
+    # f32 path (profiled: ~2x whole-kernel cost at stage-5 shapes). The
+    # softmax state stays f32; `scale` is applied to the f32 logits.
+    q = q_ref[...]                                      # [Bq, D]
     bq, d = q.shape
     tk = k_ref.shape[0]
     num_kb = tk // block_k
@@ -110,10 +115,10 @@ def _flash_kernel_smallkv(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
     def body(i, carry):
         acc, m, l = carry
-        kb = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[pl.ds(i * block_k, block_k), :]
+        vb = v_ref[pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
         s = jnp.where(col < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
@@ -121,7 +126,7 @@ def _flash_kernel_smallkv(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + p.sum(axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())),
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
@@ -144,11 +149,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[...].astype(jnp.float32) * scale          # [Bq, D]
-    kb = k_ref[...].astype(jnp.float32)                 # [Bk, D]
-    vb = v_ref[...].astype(jnp.float32)
+    # bf16 matmul operands + f32 accumulation (see _flash_kernel_smallkv)
+    q = q_ref[...]                                      # [Bq, D]
+    kb = k_ref[...]                                     # [Bk, D]
+    vb = v_ref[...]
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
     s = jnp.where(col < kv_len, s, _NEG_INF)
 
@@ -158,7 +164,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
     acc_new = acc_prev * alpha + jax.lax.dot_general(
-        p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     m_ref[...] = m_new
     l_ref[...] = l_new
     acc_ref[...] = acc_new

@@ -60,21 +60,47 @@ def group_norm_silu_reference(x: jax.Array, scale: jax.Array,
     copies of the whole tensor around every ResBlock norm (profiled on
     v5e: ~0.4 s/clip of 'data formatting'). Variance stays two-pass on
     centered values (single-pass E[x^2]-mean^2 cancels catastrophically)."""
+    xn = _group_norm_core(x, scale, bias, groups, eps)
+    return xn * jax.nn.sigmoid(xn)
+
+
+def _group_norm_core(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                     groups: int, eps: float) -> jax.Array:
+    """Shared normalize core, output in x.dtype.
+
+    f32 inputs: everything f32 (the parity-test path). Low-precision
+    inputs (the bf16 bench pipeline): statistics accumulate in f32 via
+    reduction dtypes / einsum accumulation — WITHOUT materializing an
+    f32 copy of the activation — and the center/scale/bias apply stays in
+    the input dtype. Keeping the elementwise chain bf16 lets XLA keep the
+    producing/consuming convs bf16 too (profiled on v5e: the f32 upcast
+    here turned whole conv fusions f32, ~2x the HBM bytes)."""
     n, h, w, c = x.shape
     cg = c // groups
-    xf = x.astype(jnp.float32)
     inv_count = 1.0 / (h * w * cg)
 
     def per_group(v_c):  # [N, C] channel sums -> [N, C] per-group broadcast
         v_g = v_c.reshape(n, groups, cg).sum(axis=-1)
         return jnp.repeat(v_g, cg, axis=-1)
 
-    mean_c = per_group(xf.sum(axis=(1, 2))) * inv_count       # [N, C]
-    xc = xf - mean_c[:, None, None]
-    var_c = per_group((xc * xc).sum(axis=(1, 2))) * inv_count
+    if x.dtype == jnp.float32:
+        mean_c = per_group(x.sum(axis=(1, 2))) * inv_count    # [N, C]
+        xc = x - mean_c[:, None, None]
+        var_c = per_group((xc * xc).sum(axis=(1, 2))) * inv_count
+        inv_c = jax.lax.rsqrt(var_c + eps)
+        return xc * (inv_c * scale)[:, None, None] + bias[None, None, None]
+
+    mean_c = per_group(jnp.sum(x, axis=(1, 2),
+                               dtype=jnp.float32)) * inv_count
+    xc = x - mean_c[:, None, None].astype(x.dtype)
+    # squared sums with f32 ACCUMULATION of bf16 products (einsum maps to
+    # the native MXU/VPU mixed-precision reduce; no f32 activation copy)
+    sq = jnp.einsum("nhwc,nhwc->nc", xc, xc,
+                    preferred_element_type=jnp.float32)
+    var_c = per_group(sq) * inv_count
     inv_c = jax.lax.rsqrt(var_c + eps)
-    xn = xc * (inv_c * scale)[:, None, None] + bias[None, None, None]
-    return (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
+    a = (inv_c * scale.astype(jnp.float32)).astype(x.dtype)
+    return xc * a[:, None, None] + bias[None, None, None].astype(x.dtype)
 
 
 def _kernel(x_ref, scale_ref, bias_ref, assign_ref, o_ref, *, eps: float,
@@ -171,21 +197,7 @@ def group_norm_reference(x: jax.Array, scale: jax.Array, bias: jax.Array,
                          groups: int, eps: float = 1e-5) -> jax.Array:
     """Reshape-free GroupNorm (no activation), same stats scheme as
     `group_norm_silu_reference`. x [N, H, W, C]."""
-    n, h, w, c = x.shape
-    cg = c // groups
-    xf = x.astype(jnp.float32)
-    inv_count = 1.0 / (h * w * cg)
-
-    def per_group(v_c):
-        v_g = v_c.reshape(n, groups, cg).sum(axis=-1)
-        return jnp.repeat(v_g, cg, axis=-1)
-
-    mean_c = per_group(xf.sum(axis=(1, 2))) * inv_count
-    xc = xf - mean_c[:, None, None]
-    var_c = per_group((xc * xc).sum(axis=(1, 2))) * inv_count
-    inv_c = jax.lax.rsqrt(var_c + eps)
-    xn = xc * (inv_c * scale)[:, None, None] + bias[None, None, None]
-    return xn.astype(x.dtype)
+    return _group_norm_core(x, scale, bias, groups, eps)
 
 
 class GroupNorm(flax_nn.Module):

@@ -72,7 +72,8 @@ def reconstruct_video(
     low_strength: float = 0.3, n_frames: int = 16,
     controlnet_scale: float = 1.0, latent_scale: float = 0.18215,
     use_simplified_cond: bool = True, encoder_reuse: int = 1,
-    tgate_step: int = 0,
+    tgate_step: int = 0, pab: Optional[Tuple[int, int, int]] = None,
+    pab_range: Optional[Tuple[int, int]] = None,
 ) -> VideoPipelineOutputs:
     """One batched stage-5 reconstruction (reference
     scripts/neuroclips_video.py:243-330 per-clip loop, batched).
@@ -82,10 +83,21 @@ def reconstruct_video(
     the text cross-attn residuals and the controlnet residuals at step
     tgate_step-1 makes the halves identical — steps >= tgate_step run a
     single-batch UNet with the controlnet skipped. Approximate; mutually
-    exclusive with encoder_reuse > 1."""
+    exclusive with encoder_reuse > 1.
+
+    pab=(Is, It, Ic) enables Pyramid Attention Broadcast (PAPERS.md,
+    arXiv 2408.12588): spatial self-attn recomputes every Is-th step,
+    temporal every It-th, text cross-attn every Ic-th (Is | It | Ic —
+    nested so each step recomputes a prefix of {spatial, temporal,
+    cross}); in between, each site's cached attention RESIDUAL is
+    broadcast. `pab_range=(start, end)` restricts broadcasting to the
+    middle of the trajectory (full compute outside). Approximate;
+    composable with neither tgate nor encoder_reuse."""
     if tgate_step > 0 and encoder_reuse > 1:
         raise ValueError("tgate_step and encoder_reuse>1 are mutually "
                          "exclusive")
+    if pab is not None and (tgate_step > 0 or encoder_reuse > 1):
+        raise ValueError("pab is exclusive with tgate/encoder_reuse")
     b = blurry_video.shape[0]
     sched = DDIMScheduler.create(num_steps)
 
@@ -191,6 +203,73 @@ def reconstruct_video(
                 lambda l, t: (sched.step(gated_step(l, t, cache), t, l),
                               None),
                 latents, sched.timesteps[m:])
+    elif pab is not None:
+        # Pyramid Attention Broadcast (arXiv 2408.12588): per-type
+        # attention-residual reuse with nested recompute intervals.
+        i_s, i_t, i_c = pab
+        if not (i_t % i_s == 0 and i_c % i_t == 0):
+            raise ValueError("pab intervals must nest: Is | It | Ic")
+        n = sched.timesteps.shape[0]
+        lo, hi = pab_range or (0, n)
+
+        def run(latents, t, caches, use_x, use_s, use_t):
+            xattn, sattn, tattn = caches
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.full((2 * b,), t, jnp.float32)
+            down_res, mid_res = _residuals(x2, t2)
+            kwargs = {}
+            kwargs["xattn_cached" if use_x else "capture_xattn"] = \
+                xattn if use_x else True
+            kwargs["sattn_cached" if use_s else "capture_sattn"] = \
+                sattn if use_s else True
+            kwargs["tattn_cached" if use_t else "capture_tattn"] = \
+                tattn if use_t else True
+            out = unet3d_apply(unet3d_params, x2, t2, text2, down_res,
+                               mid_res, **kwargs)
+            if isinstance(out, tuple):
+                eps, extras = out[0], list(out[1:])
+            else:
+                eps, extras = out, []
+            new_x = xattn if use_x else extras.pop(0)
+            new_s = sattn if use_s else extras.pop(0)
+            new_t = tattn if use_t else extras.pop(0)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            return eps, (new_x, new_s, new_t)
+
+        cache_shapes = jax.eval_shape(
+            lambda l: run(l, sched.timesteps[0],
+                          (None, None, None), False, False, False)[1],
+            latents)
+        caches0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+
+        def step(carry, args):
+            latents, caches = carry
+            i, t = args
+            full_pred = (i % i_c == 0) | (i < lo) | (i >= hi)
+
+            eps, caches = jax.lax.cond(
+                full_pred,
+                lambda _: run(latents, t, caches, False, False, False),
+                lambda _: jax.lax.cond(
+                    i % i_t == 0,
+                    lambda __: run(latents, t, caches, True, False, False),
+                    lambda __: jax.lax.cond(
+                        i % i_s == 0,
+                        # spatial-only recompute: cross + temporal cached
+                        lambda ___: run(latents, t, caches,
+                                        True, False, True),
+                        lambda ___: run(latents, t, caches,
+                                        True, True, True),
+                        None),
+                    None),
+                None)
+            return (sched.step(eps, t, latents), caches), None
+
+        (latents, _), _ = jax.lax.scan(
+            step, (latents, caches0),
+            (jnp.arange(n), sched.timesteps))
     elif encoder_reuse <= 1:
         def step(latents, t):
             x2 = jnp.concatenate([latents, latents], axis=0)

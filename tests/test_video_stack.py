@@ -408,3 +408,73 @@ class TestVideoTGateControlnet:
                                    rtol=1e-4, atol=1e-4)
         fast = reconstruct_video(**common, tgate_step=2)
         assert np.isfinite(np.asarray(fast.latents)).all()
+
+
+class TestVideoPAB:
+    def test_pab_identity_and_fast_paths(self, rng):
+        """PAB (arXiv 2408.12588): with intervals (1,1,1) every step
+        recomputes everything -> identical to the exact path; wider
+        nested intervals run finite and close on a short trajectory."""
+        from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
+        from neurons_tpu.pipelines.video import reconstruct_video
+
+        unet = UNet3DModel(U3, n_frames=F)
+        x0 = jnp.zeros((1, 4, F, 8, 8))
+        ctx0 = jnp.zeros((1, 5, 12))
+        uparams = unet.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)),
+                            ctx0)
+        cn = SparseControlNetModel(U3, n_frames=F)
+        cparams = cn.init(jax.random.PRNGKey(3), x0, jnp.zeros((1,)),
+                          ctx0, jnp.zeros((1, 4, F, 8, 8)),
+                          jnp.zeros((1, 1, F, 8, 8)))
+
+        def pool_encode(x):
+            n, c, h, w = x.shape
+            p = x.reshape(n, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
+            return jnp.concatenate([p, p[:, :1]], axis=1)
+
+        common = dict(
+            unet3d_apply=lambda p, x, t, c, down, mid, **k:
+                unet.apply(p, x, t, c, down, mid, **k),
+            unet3d_params=uparams,
+            controlnet_apply=lambda p, x, t, c, cond, mask, s:
+                cn.apply(p, x, t, c, cond, mask, s),
+            controlnet_params=cparams,
+            vae_encode_mode=pool_encode,
+            vae_decode=lambda z: jnp.zeros((z.shape[0], 3, 16, 16)),
+            key=jax.random.PRNGKey(4),
+            blurry_video=jax.random.uniform(jax.random.PRNGKey(2),
+                                            (1, 6, 3, 16, 16)),
+            keyframe=jnp.full((1, 3, 16, 16), 0.5),
+            text_embeddings=jax.random.normal(jax.random.PRNGKey(5),
+                                              (1, 5, 12)),
+            uncond_embeddings=jnp.zeros((1, 5, 12)),
+            num_steps=4, n_frames=F)
+        base = reconstruct_video(**common)
+        exact = reconstruct_video(**common, pab=(1, 1, 1))
+        np.testing.assert_allclose(np.asarray(exact.latents),
+                                   np.asarray(base.latents),
+                                   rtol=1e-5, atol=1e-5)
+        fast = reconstruct_video(**common, pab=(1, 2, 4))
+        assert np.isfinite(np.asarray(fast.latents)).all()
+        # the broadcast range: full compute everywhere == exact
+        ranged = reconstruct_video(**common, pab=(1, 2, 4),
+                                   pab_range=(4, 4))
+        np.testing.assert_allclose(np.asarray(ranged.latents),
+                                   np.asarray(base.latents),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pab_interval_nesting_enforced(self, rng):
+        from neurons_tpu.pipelines.video import reconstruct_video
+        with pytest.raises(ValueError):
+            reconstruct_video(
+                unet3d_apply=None, unet3d_params=None,
+                controlnet_apply=None, controlnet_params=None,
+                vae_encode_mode=lambda x: jnp.zeros(
+                    (x.shape[0], 4, 8, 8)),
+                vae_decode=None, key=jax.random.PRNGKey(0),
+                blurry_video=jnp.zeros((1, 6, 3, 16, 16)),
+                keyframe=jnp.zeros((1, 3, 16, 16)),
+                text_embeddings=jnp.zeros((1, 5, 12)),
+                uncond_embeddings=jnp.zeros((1, 5, 12)),
+                num_steps=4, n_frames=F, pab=(2, 3, 5))

@@ -423,6 +423,14 @@ class TestVideoPAB:
         ctx0 = jnp.zeros((1, 5, 12))
         uparams = unet.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)),
                             ctx0)
+        # randomize the zero-init output conv so eps is non-trivial
+        # (otherwise every sampler path matches vacuously)
+        uparams = {"params": dict(uparams["params"])}
+        uparams["params"]["conv_out"] = {
+            "kernel": jax.random.normal(
+                jax.random.PRNGKey(7),
+                uparams["params"]["conv_out"]["kernel"].shape) * 0.05,
+            "bias": uparams["params"]["conv_out"]["bias"]}
         cn = SparseControlNetModel(U3, n_frames=F)
         cparams = cn.init(jax.random.PRNGKey(3), x0, jnp.zeros((1,)),
                           ctx0, jnp.zeros((1, 4, F, 8, 8)),
@@ -457,6 +465,9 @@ class TestVideoPAB:
                                    rtol=1e-5, atol=1e-5)
         fast = reconstruct_video(**common, pab=(1, 2, 4))
         assert np.isfinite(np.asarray(fast.latents)).all()
+        # broadcasting must actually take effect (diverge from exact)
+        assert not np.allclose(np.asarray(fast.latents),
+                               np.asarray(base.latents), atol=1e-6)
         # the broadcast range: full compute everywhere == exact
         ranged = reconstruct_video(**common, pab=(1, 2, 4),
                                    pab_range=(4, 4))

@@ -1,0 +1,135 @@
+"""Trajectory-deviation proxy for the approximate fast paths.
+
+Builds the bench stage-5 models with random weights at (optionally
+reduced) reference shapes, runs the EXACT sampler and a fast path from
+the same seed, and reports rms relative deviation + correlation of the
+final latents. This is the methodology behind CLAUDE.md's fast-path
+quality notes (TGATE 3% rms / corr 0.9995; encoder-reuse 49% rms) —
+a random-weight proxy, not a substitute for validation on real weights.
+
+Usage (TPU or CPU):
+  python tools/fastpath_proxy.py tgate=10
+  python tools/fastpath_proxy.py pab=2,4,8
+  python tools/fastpath_proxy.py pab=2,4,8 pab_range=1,20 hw=16 frames=8
+  python tools/fastpath_proxy.py enc_reuse=2
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(
+                      os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv):
+    opts = dict(a.split("=", 1) for a in argv)
+    hw = int(opts.get("hw", "32"))
+    frames = int(opts.get("frames", "16"))
+    steps = int(opts.get("steps", "25"))
+
+    from neurons_tpu.config import SamplerConfig, UNet3DConfig
+    from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
+    from neurons_tpu.models.unet3d import UNet3DModel
+    from neurons_tpu.pipelines.video import reconstruct_video
+
+    if opts.get("tiny") == "1":
+        cfg = UNet3DConfig(block_out_channels=(16, 32),
+                           down_block_types=("CrossAttnDownBlock3D",
+                                             "DownBlock3D"),
+                           up_block_types=("UpBlock3D",
+                                           "CrossAttnUpBlock3D"),
+                           layers_per_block=1, cross_attention_dim=16,
+                           attention_head_dim=8, norm_num_groups=8,
+                           motion_num_attention_heads=2)
+    else:
+        cfg = UNet3DConfig()
+    key = jax.random.PRNGKey(0)
+    unet = UNet3DModel(cfg, n_frames=frames)
+    x0 = jnp.zeros((1, 4, frames, hw, hw))
+    txt0 = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    uparams = unet.init(key, x0, jnp.zeros((1,)), txt0)
+    # conv_out and the motion proj_outs are ZERO-init (reference parity);
+    # randomize them so the random-weight model actually produces signal
+    # (otherwise eps == 0 and every path trivially matches)
+    uparams = {"params": dict(uparams["params"])}
+    uparams["params"]["conv_out"] = {
+        "kernel": jax.random.normal(
+            jax.random.PRNGKey(7),
+            uparams["params"]["conv_out"]["kernel"].shape) * 0.05,
+        "bias": uparams["params"]["conv_out"]["bias"]}
+    for name, sub in uparams["params"].items():
+        if "motion" in name and "proj_out" in sub:
+            sub["proj_out"] = {
+                "kernel": jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(8), hash(name) % (2**31)),
+                    sub["proj_out"]["kernel"].shape) * 0.05,
+                "bias": sub["proj_out"]["bias"]}
+    cn = SparseControlNetModel(cfg, n_frames=frames)
+    cparams = cn.init(jax.random.PRNGKey(1), x0, jnp.zeros((1,)), txt0,
+                      x0, jnp.zeros((1, 1, frames, hw, hw)))
+
+    def pool_encode(x):
+        # stand-in VAE encoder: 8x avg-pool to latent resolution + 4 ch
+        n, c, h, w = x.shape
+        p = x.reshape(n, c, h // 8, 8, w // 8, 8).mean(axis=(3, 5))
+        return jnp.concatenate([p, p[:, :1]], axis=1) - 0.5
+
+    common = dict(
+        unet3d_apply=lambda p, x, t, c, d, m, **k:
+            unet.apply(p, x, t, c, d, m, **k),
+        unet3d_params=uparams,
+        controlnet_apply=lambda p, x, t, c, cond, mask, s:
+            cn.apply(p, x, t, c, cond, mask, s),
+        controlnet_params=cparams,
+        vae_encode_mode=pool_encode,
+        vae_decode=lambda z: jnp.zeros((z.shape[0], 3, hw * 8, hw * 8)),
+        key=jax.random.PRNGKey(2),
+        blurry_video=jax.random.uniform(jax.random.PRNGKey(3),
+                                        (1, 6, 3, hw * 8, hw * 8)),
+        keyframe=jax.random.uniform(jax.random.PRNGKey(4),
+                                    (1, 3, hw * 8, hw * 8)),
+        text_embeddings=jax.random.normal(
+            jax.random.PRNGKey(5), (1, 77, cfg.cross_attention_dim)) * 0.1,
+        uncond_embeddings=jnp.zeros((1, 77, cfg.cross_attention_dim)),
+        num_steps=steps, n_frames=frames)
+
+    fast_kwargs = {}
+    label = "exact"
+    if "tgate" in opts:
+        fast_kwargs["tgate_step"] = int(opts["tgate"])
+        label = f"tgate={opts['tgate']}"
+    if "enc_reuse" in opts:
+        fast_kwargs["encoder_reuse"] = int(opts["enc_reuse"])
+        label = f"enc_reuse={opts['enc_reuse']}"
+    if "pab" in opts:
+        fast_kwargs["pab"] = tuple(int(v) for v in opts["pab"].split(","))
+        label = f"pab={opts['pab']}"
+        if "pab_range" in opts:
+            fast_kwargs["pab_range"] = tuple(
+                int(v) for v in opts["pab_range"].split(","))
+            label += f" range={opts['pab_range']}"
+    if not fast_kwargs:
+        raise SystemExit("pass one of tgate= / enc_reuse= / pab=")
+
+    base = np.asarray(reconstruct_video(**common).latents, np.float32)
+    fast = np.asarray(reconstruct_video(**common, **fast_kwargs).latents,
+                      np.float32)
+    diff = fast - base
+    rms = float(np.sqrt((diff ** 2).mean()) / np.sqrt((base ** 2).mean()))
+    corr = float(np.corrcoef(base.ravel(), fast.ravel())[0, 1])
+    print(f"{label}: rms_rel={rms:.4f} corr={corr:.5f} "
+          f"(hw={hw} frames={frames} steps={steps})")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -362,3 +362,45 @@ class TestRemap:
         used = jnp.asarray([4, 9])
         back = VQ.unmap_to_all(jnp.asarray([[0, 1, 2]]), used)
         np.testing.assert_array_equal(np.asarray(back), [[4, 9, 4]])
+
+
+class TestEMAQuantizerSharded:
+    def test_psum_ema_matches_single_device(self):
+        """EMAVectorQuantizer with axis_name: batch sharded over the
+        8-device mesh must produce the SAME codebook update as one
+        device seeing the full batch (the psum-reduced statistics)."""
+        import jax
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        n_dev = len(jax.devices())
+        if n_dev < 2:
+            pytest.skip("needs multiple devices")
+        m_single = VQ.EMAVectorQuantizer(n_embed=6, embedding_dim=4,
+                                         beta=0.25, decay=0.9)
+        m_shard = VQ.EMAVectorQuantizer(n_embed=6, embedding_dim=4,
+                                        beta=0.25, decay=0.9,
+                                        axis_name="data")
+        z = jnp.asarray(np.random.RandomState(0)
+                        .randn(n_dev * 2, 4, 2, 2).astype(np.float32))
+        variables = m_single.init(jax.random.PRNGKey(0), z)
+
+        (_, _), ref_vars = m_single.apply(variables, z, update=True,
+                                          mutable=["ema"])
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+
+        def fn(ema, zz):
+            (zq, out), new = m_shard.apply(
+                {"ema": ema}, zz, update=True, mutable=["ema"])
+            return new["ema"]
+
+        new_ema = shard_map(fn, mesh=mesh,
+                            in_specs=(P(), P("data")),
+                            out_specs=P())(variables["ema"], z)
+        np.testing.assert_allclose(np.asarray(new_ema["weight"]),
+                                   np.asarray(ref_vars["ema"]["weight"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(new_ema["cluster_size"]),
+            np.asarray(ref_vars["ema"]["cluster_size"]), rtol=1e-5)

@@ -104,6 +104,9 @@ def build():
     pab_range = tuple(int(v) for v in
                       os.environ["BENCH_PAB_RANGE"].split(",")) \
         if os.environ.get("BENCH_PAB_RANGE") else None
+    # stage-3 PAB: BENCH_PAB_KF="2,8" (spatial,cross intervals)
+    pab_kf = tuple(int(v) for v in os.environ["BENCH_PAB_KF"].split(",")) \
+        if os.environ.get("BENCH_PAB_KF") else None
     hoist_kv = os.environ.get("BENCH_HOIST_KV", "1") == "1"
 
     if hoist_kv:
@@ -135,7 +138,7 @@ def build():
                                crossattn.astype(DTYPE),
                                vector.astype(DTYPE), **kw)
             if isinstance(out, tuple):
-                return out[0].astype(jnp.float32), out[1]
+                return (out[0].astype(jnp.float32),) + out[1:]
             return out.astype(jnp.float32)
 
         def vae_decode(z):
@@ -148,7 +151,8 @@ def build():
                              latent_hw=96,
                              encoder_reuse=enc_reuse,
                              precompute_kv=kv_fn,
-                             tgate_step=tgate_step), prior_out
+                             tgate_step=tgate_step,
+                             pab=pab_kf), prior_out
 
     @jax.jit
     def stage5(unet3d_params, cn_params, vae_params, key, blurry, keyframe,

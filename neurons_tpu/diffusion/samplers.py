@@ -347,6 +347,51 @@ def sample_euler_tgate(denoise_full: DenoiseFn, denoise_capture: Callable,
     return x
 
 
+def sample_euler_pab(denoise_pab: Callable, x: jax.Array,
+                     sigmas: jax.Array, intervals,
+                     pab_range=None, prepare: bool = True) -> jax.Array:
+    """Euler with Pyramid Attention Broadcast (arXiv 2408.12588):
+    `denoise_pab(x, sigma, caches, use_x, use_s) -> (denoised, caches)`
+    computes (use_*=False) or reuses (True) the cross/spatial attention
+    residual caches. intervals=(i_s, i_x) with i_s | i_x: spatial
+    self-attn recomputes every i_s-th step, cross-attn every i_x-th;
+    `pab_range=(lo, hi)` restricts broadcasting to those steps."""
+    i_s, i_x = intervals
+    if i_x % i_s != 0:
+        raise ValueError("pab intervals must nest: i_s | i_x")
+    if prepare:
+        x = prepare_noise(x, sigmas)
+    n = sigmas.shape[0] - 1
+    lo, hi = pab_range or (0, n)
+
+    cache_shapes = jax.eval_shape(
+        lambda xx: denoise_pab(xx, _bshape(sigmas[0], xx), None,
+                               False, False)[1], x)
+    cache0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+
+    def step(carry, args):
+        x, caches = carry
+        i, sigma, sigma_next = args
+        sb = _bshape(sigma, x)
+        full_pred = (i % i_x == 0) | (i < lo) | (i >= hi)
+        denoised, caches = jax.lax.cond(
+            full_pred,
+            lambda _: denoise_pab(x, sb, caches, False, False),
+            lambda _: jax.lax.cond(
+                i % i_s == 0,
+                lambda __: denoise_pab(x, sb, caches, True, False),
+                lambda __: denoise_pab(x, sb, caches, True, True),
+                None),
+            None)
+        d = (x - denoised) / jnp.maximum(sigma, 1e-9)
+        return (x + (sigma_next - sigma) * d, caches), None
+
+    (x, _), _ = jax.lax.scan(step, (x, cache0),
+                             (jnp.arange(n), sigmas[:-1], sigmas[1:]))
+    return x
+
+
 def sample_euler_encoder_reuse(denoise_full: Callable,
                                denoise_cached: Callable,
                                x: jax.Array, sigmas: jax.Array,

@@ -183,9 +183,16 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, kv=None, xattn_cached=None,
-                 capture: bool = False):
-        x = CrossAttention(self.dim, self.heads, self.dim_head,
-                           name="attn1")(nn.LayerNorm(epsilon=1e-5, name="norm1")(x)) + x
+                 capture: bool = False, sattn_cached=None,
+                 capture_sattn: bool = False):
+        # spatial self-attn residual broadcast (PAB, arXiv 2408.12588)
+        if sattn_cached is not None:
+            sattn = sattn_cached
+        else:
+            sattn = CrossAttention(self.dim, self.heads, self.dim_head,
+                                   name="attn1")(
+                nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
+        x = sattn + x
         if xattn_cached is not None:
             xattn = xattn_cached
         else:
@@ -195,8 +202,13 @@ class BasicTransformerBlock(nn.Module):
         x = xattn + x
         x = GEGLUFeedForward(self.dim, name="ff")(
             nn.LayerNorm(epsilon=1e-5, name="norm3")(x)) + x
+        extras = ()
         if capture:
-            return x, xattn
+            extras += (xattn,)
+        if capture_sattn:
+            extras += (sattn,)
+        if extras:
+            return (x,) + extras
         return x
 
 
@@ -214,29 +226,42 @@ class SpatialTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, ctx_kv=None, xattn_cached=None,
-                 capture: bool = False):
+                 capture: bool = False, sattn_cached=None,
+                 capture_sattn: bool = False):
         b, h, w, c = x.shape
         residual = x
         t = GroupNorm(num_groups=self.groups, epsilon=1e-6,
                       name="norm")(x).reshape(b, h * w, c)
         t = nn.Dense(c, name="proj_in")(t)
         captured = []
+        captured_s = []
         for i in range(self.depth):
             kv = None if ctx_kv is None else (ctx_kv[0][i], ctx_kv[1][i])
             cached = None if xattn_cached is None else xattn_cached[i]
+            s_cached = None if sattn_cached is None else sattn_cached[i]
             out = BasicTransformerBlock(c, self.heads, self.dim_head,
                                         self.context_dim,
                                         name=f"block_{i}")(
-                t, context, kv=kv, xattn_cached=cached, capture=capture)
-            if capture:
-                t, xa = out
-                captured.append(xa)
+                t, context, kv=kv, xattn_cached=cached, capture=capture,
+                sattn_cached=s_cached, capture_sattn=capture_sattn)
+            if capture or capture_sattn:
+                rest = list(out[1:])
+                t = out[0]
+                if capture:
+                    captured.append(rest.pop(0))
+                if capture_sattn:
+                    captured_s.append(rest.pop(0))
             else:
                 t = out
         t = nn.Dense(c, kernel_init=zero_init(), name="proj_out")(t)
         out = t.reshape(b, h, w, c) + residual
+        extras = ()
         if capture:
-            return out, jnp.stack(captured)
+            extras += (jnp.stack(captured),)
+        if capture_sattn:
+            extras += (jnp.stack(captured_s),)
+        if extras:
+            return (out,) + extras
         return out
 
 
@@ -276,10 +301,12 @@ class UNetModel(nn.Module):
     def __call__(self, x, timesteps, context, y=None,
                  deterministic: bool = True, cached=None,
                  return_cache: bool = False, ctx_kv=None,
-                 xattn_cached=None, capture_xattn: bool = False):
+                 xattn_cached=None, capture_xattn: bool = False,
+                 sattn_cached=None, capture_sattn: bool = False):
         c = self.cfg
         time_embed_dim = c.model_channels * 4
         xattn_out = {}
+        sattn_out = {}
 
         def attn_site(name, h, ch, depth):
             """SpatialTransformer site with the caching hooks threaded."""
@@ -291,9 +318,17 @@ class UNetModel(nn.Module):
                     ctx_kv=None if ctx_kv is None else ctx_kv[name],
                     xattn_cached=(None if xattn_cached is None
                                   else xattn_cached[name]),
-                    capture=capture_xattn)
-            if capture_xattn:
-                res, xattn_out[name] = res
+                    capture=capture_xattn,
+                    sattn_cached=(None if sattn_cached is None
+                                  else sattn_cached[name]),
+                    capture_sattn=capture_sattn)
+            if capture_xattn or capture_sattn:
+                rest = list(res[1:])
+                res = res[0]
+                if capture_xattn:
+                    xattn_out[name] = rest.pop(0)
+                if capture_sattn:
+                    sattn_out[name] = rest.pop(0)
             return res
 
         emb = timestep_embedding(timesteps, c.model_channels)
@@ -368,6 +403,8 @@ class UNetModel(nn.Module):
             extras += (cache,)
         if capture_xattn:
             extras += (xattn_out,)
+        if capture_sattn:
+            extras += (sattn_out,)
         if extras:
             return (out,) + extras
         return out

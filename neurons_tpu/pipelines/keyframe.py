@@ -46,7 +46,9 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
                   latent_hw: int = 96, scale_factor: float = 0.13025,
                   encoder_reuse: int = 1,
                   precompute_kv: Optional[Callable] = None,
-                  tgate_step: int = 0) -> jax.Array:
+                  tgate_step: int = 0,
+                  pab: Optional[tuple] = None,
+                  pab_range: Optional[tuple] = None) -> jax.Array:
     """The reference's `unclip_recon` (reference utils.py:302-350), batched.
 
     clip_tokens: [B, 256, 1664] CLIP image tokens (from the prior).
@@ -77,6 +79,8 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
     if tgate_step > 0 and encoder_reuse > 1:
         raise ValueError("tgate_step and encoder_reuse>1 are mutually "
                          "exclusive")
+    if pab is not None and (tgate_step > 0 or encoder_reuse > 1):
+        raise ValueError("pab is exclusive with tgate/encoder_reuse")
     b = clip_tokens.shape[0]
     k_z, k_noise, k_offset, k_uc = jax.random.split(key, 4)
     z = jax.random.normal(k_z, (b, 4, latent_hw, latent_hw))
@@ -144,6 +148,33 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
         samples_z = sample_euler_tgate(denoise_full, denoise_capture,
                                        denoise_gated, x, sigmas,
                                        tgate_step, prepare=False)
+    elif pab is not None:
+        # Pyramid Attention Broadcast (arXiv 2408.12588) for the unCLIP
+        # UNet: pab=(i_s, i_x) spatial/cross recompute intervals
+        from neurons_tpu.diffusion.samplers import sample_euler_pab
+
+        def denoise_pab(xs, s, caches, use_x, use_s):
+            xattn, sattn = (None, None) if caches is None else caches
+            x2 = jnp.concatenate([xs, xs], axis=0)
+            s2 = jnp.concatenate([s, s], axis=0)
+            t, c_in, c_out, c_skip = _precondition(x2, s2)
+            kwargs = dict(kv_kw)
+            kwargs["xattn_cached" if use_x else "capture_xattn"] = \
+                xattn if use_x else True
+            kwargs["sattn_cached" if use_s else "capture_sattn"] = \
+                sattn if use_s else True
+            out = network(x2 * c_in, t, ctx2, vec2, **kwargs)
+            if isinstance(out, tuple):
+                extras = list(out[1:])
+                out = out[0]
+            else:
+                extras = []
+            new_x = xattn if use_x else extras.pop(0)
+            new_s = sattn if use_s else extras.pop(0)
+            return _combine(out, x2, c_out, c_skip), (new_x, new_s)
+
+        samples_z = sample_euler_pab(denoise_pab, x, sigmas, pab,
+                                     pab_range=pab_range, prepare=False)
     elif encoder_reuse <= 1:
         samples_z = sample_euler(denoise_full, x, sigmas, prepare=False)
     else:

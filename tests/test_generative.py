@@ -396,3 +396,43 @@ class TestCrossAttnHoistingAndTGate:
         n_sites = sum(1 for k in params
                       if "_attn_" in k or k == "mid_attn")
         assert len(cross_attn_sites(cfg)) == n_sites
+
+
+class TestKeyframePAB:
+    def test_pab_identity_and_divergence(self, rng):
+        """PAB for the unCLIP UNet (arXiv 2408.12588): intervals (1,1)
+        recompute everything -> identical latents; wider intervals
+        broadcast the spatial/cross residuals and diverge."""
+        from neurons_tpu.pipelines.keyframe import unclip_sample
+
+        m, params, cfg = TestCrossAttnHoistingAndTGate._setup(
+            TestCrossAttnHoistingAndTGate())
+
+        def unet_apply(p, x, t, ctx, vec, **kw):
+            return m.apply({"params": p}, x, t, ctx, vec, **kw)
+
+        def vae_decode(z):
+            return jnp.tanh(z[:, :3].repeat(2, 2).repeat(2, 3))
+
+        tokens = jax.random.normal(rng, (1, 6, 12)) * 0.3
+        vec = jnp.zeros((1, 8))
+        common = dict(num_steps=6, latent_hw=8)
+        base = unclip_sample(unet_apply, params, vae_decode,
+                             jax.random.PRNGKey(5), tokens, vec, **common)
+        exact = unclip_sample(unet_apply, params, vae_decode,
+                              jax.random.PRNGKey(5), tokens, vec,
+                              pab=(1, 1), **common)
+        np.testing.assert_allclose(np.asarray(exact), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+        fast = unclip_sample(unet_apply, params, vae_decode,
+                             jax.random.PRNGKey(5), tokens, vec,
+                             pab=(2, 6), **common)
+        assert np.isfinite(np.asarray(fast)).all()
+        assert not np.allclose(np.asarray(fast), np.asarray(base),
+                               atol=1e-6)
+
+    def test_pab_nesting_enforced(self, rng):
+        from neurons_tpu.diffusion.samplers import sample_euler_pab
+        with pytest.raises(ValueError):
+            sample_euler_pab(lambda *a: None, jnp.zeros((1, 4, 8, 8)),
+                             jnp.ones((5,)), (2, 5))

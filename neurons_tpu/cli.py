@@ -301,8 +301,8 @@ def cmd_recon(args):
     voxel = jnp.asarray(test_split.voxel[:bs, :1], jnp.float32)
     out = reconstruct_keyframes(
         decoupler_apply=dec_apply, decoupler_params=dec_params,
-        unet_apply=lambda p, x, t, ca, v: unet.apply({"params": p}, x, t,
-                                                     ca, v),
+        unet_apply=lambda p, x, t, ca, v, **kw: unet.apply(
+            {"params": p}, x, t, ca, v, **kw),
         unet_params=unet_params,
         vae_decode=lambda z: vae.apply(vae_params, z,
                                        method=AutoencoderKL.decode),
@@ -310,7 +310,12 @@ def cmd_recon(args):
         sampler_cfg=scfg, n_frames=dcfg.n_frames, latent_hw=latent_hw,
         enhance=args.enhance, caption_len=12 if args.tiny else 60,
         prior_bias=prior_attn_bias(dec_params["prior_net"],
-                                   pcfg.num_tokens))
+                                   pcfg.num_tokens),
+        sampler_opts=dict(
+            tgate_step=getattr(args, "tgate", 0),
+            encoder_reuse=getattr(args, "encoder_reuse", 1),
+            pab=_parse_ints(getattr(args, "pab", None)),
+            pab_range=_parse_ints(getattr(args, "pab_range", None))))
 
     # decode the blurry latents to pixel video — the artifact contract is
     # pixel space (reference recon_keyframe_neurons.py:323-333 decodes
@@ -557,7 +562,11 @@ def cmd_video(args):
                                        method=AutoencoderKL.decode),
         key=key, blurry_video=blurry, keyframe=keyframes,
         text_embeddings=text, uncond_embeddings=jnp.zeros_like(text),
-        num_steps=steps, n_frames=n_frames)
+        num_steps=steps, n_frames=n_frames,
+        tgate_step=getattr(args, "tgate", 0),
+        encoder_reuse=getattr(args, "encoder_reuse", 1),
+        pab=_parse_ints(getattr(args, "pab", None)),
+        pab_range=_parse_ints(getattr(args, "pab_range", None)))
 
     mode = "enhance" if args.enhance else "motion"
     out_dir = io.video_dir(args.exp_dir, args.exp, args.subj, mode)
@@ -767,6 +776,28 @@ def cmd_pipeline(args):
         stage_map[s](args)
 
 
+def _add_fastpath_args(p):
+    """Opt-in approximate sampler fast paths (PAPERS.md: TGATE arXiv
+    2404.02747, Faster-Diffusion arXiv 2312.09608, PAB arXiv 2408.12588).
+    Default is exact reference sampling."""
+    p.add_argument("--tgate", type=int, default=0, metavar="STEP",
+                   help="TGATE: freeze cross-attn + collapse CFG from "
+                        "this step (0 = off)")
+    p.add_argument("--encoder_reuse", type=int, default=1, metavar="K",
+                   help="Faster-Diffusion: recompute the UNet encoder "
+                        "every K-th step (1 = off)")
+    p.add_argument("--pab", type=str, default=None, metavar="I1,I2[,I3]",
+                   help="Pyramid Attention Broadcast recompute intervals "
+                        "(stage 3: spatial,cross; stage 5: "
+                        "spatial,temporal,cross); nested")
+    p.add_argument("--pab_range", type=str, default=None, metavar="LO,HI",
+                   help="restrict PAB broadcasting to steps [LO, HI)")
+
+
+def _parse_ints(s):
+    return tuple(int(v) for v in s.split(",")) if s else None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="neurons")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -785,6 +816,7 @@ def main(argv=None):
     _add_common(p)
     _add_train_args(p)
     p.add_argument("--enhance", action="store_true")
+    _add_fastpath_args(p)
     p.set_defaults(fn=cmd_recon)
 
     p = sub.add_parser("caption", help="stage 4")
@@ -800,6 +832,7 @@ def main(argv=None):
                    help="round-robin clip shard index (reference "
                         "neuroclips_video.py:39-40 rank scattering)")
     p.add_argument("--num_shards", type=int, default=1)
+    _add_fastpath_args(p)
     p.set_defaults(fn=cmd_video)
 
     p = sub.add_parser("decoupled-eval", help="stage e")

@@ -233,6 +233,7 @@ def reconstruct_keyframes(
     caption_len: int = 60, vae_latent_scale: float = 0.18215,
     mask_latent_hw: Optional[int] = None,
     prior_bias: Optional[jax.Array] = None,
+    sampler_opts: Optional[dict] = None,
 ) -> KeyframeOutputs:
     """Full stage-3 forward for one batch. `decoupler_apply(params, method,
     *args, **kw)` dispatches NeuronsDecoupler methods; `class_text_embeds`
@@ -320,7 +321,8 @@ def reconstruct_keyframes(
         num_steps=sampler_cfg.unclip_steps,
         cfg_scale=sampler_cfg.unclip_cfg_scale,
         offset_noise_level=sampler_cfg.offset_noise_level,
-        latent_hw=latent_hw, scale_factor=scale_factor)
+        latent_hw=latent_hw, scale_factor=scale_factor,
+        **(sampler_opts or {}))
 
     return KeyframeOutputs(prior_tokens=prior_out, motion_embeds=motion,
                            keyframes=keyframes,

@@ -33,6 +33,8 @@ import numpy as np
 
 def main(argv):
     opts = dict(a.split("=", 1) for a in argv)
+    if opts.get("stage") == "3":
+        return main_stage3(opts)
     hw = int(opts.get("hw", "32"))
     frames = int(opts.get("frames", "16"))
     steps = int(opts.get("steps", "25"))
@@ -129,6 +131,79 @@ def main(argv):
     corr = float(np.corrcoef(base.ravel(), fast.ravel())[0, 1])
     print(f"{label}: rms_rel={rms:.4f} corr={corr:.5f} "
           f"(hw={hw} frames={frames} steps={steps})")
+
+
+def main_stage3(opts):
+    """Keyframe (unCLIP) trajectory proxy: exact vs tgate/pab/enc_reuse.
+    Usage: stage=3 pab=2,8 [hw=96 steps=38 tiny=1]."""
+    hw = int(opts.get("hw", "96"))
+    steps = int(opts.get("steps", "38"))
+
+    from neurons_tpu.config import UNet2DConfig
+    from neurons_tpu.models.unet2d import UNetModel, cross_attn_sites
+    from neurons_tpu.pipelines.keyframe import unclip_sample
+
+    if opts.get("tiny") == "1":
+        cfg = UNet2DConfig(model_channels=16, channel_mult=(1, 2),
+                           num_res_blocks=1, attention_resolutions=(2,),
+                           transformer_depth=(1, 1), num_head_channels=8,
+                           context_dim=16, adm_in_channels=8)
+    else:
+        cfg = UNet2DConfig()
+    m = UNetModel(cfg)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 4, hw, hw)), jnp.zeros((1,)),
+                    jnp.zeros((1, 8, cfg.context_dim)),
+                    jnp.zeros((1, cfg.adm_in_channels)))["params"]
+    # randomize zero-init heads so the random-weight model has signal
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    for i, (name, _) in enumerate(cross_attn_sites(cfg)):
+        po = params[name]["proj_out"]
+        po["kernel"] = jax.random.normal(jax.random.PRNGKey(100 + i),
+                                         po["kernel"].shape) * 0.1
+    oc = params["out_conv"]
+    oc["kernel"] = jax.random.normal(jax.random.PRNGKey(99),
+                                     oc["kernel"].shape) * 0.05
+
+    def unet_apply(p, x, t, ctx, vec, **kw):
+        return m.apply({"params": p}, x, t, ctx, vec, **kw)
+
+    tokens = jax.random.normal(jax.random.PRNGKey(1),
+                               (1, 256 if opts.get("tiny") != "1" else 8,
+                                cfg.context_dim)) * 0.3
+    vec = jnp.zeros((1, cfg.adm_in_channels))
+    common = dict(num_steps=steps, latent_hw=hw)
+    ident = lambda z: z
+
+    fast_kwargs = {}
+    label = "exact"
+    if "tgate" in opts:
+        fast_kwargs["tgate_step"] = int(opts["tgate"])
+        label = f"stage3 tgate={opts['tgate']}"
+    if "enc_reuse" in opts:
+        fast_kwargs["encoder_reuse"] = int(opts["enc_reuse"])
+        label = f"stage3 enc_reuse={opts['enc_reuse']}"
+    if "pab" in opts:
+        fast_kwargs["pab"] = tuple(int(v) for v in opts["pab"].split(","))
+        label = f"stage3 pab={opts['pab']}"
+        if "pab_range" in opts:
+            fast_kwargs["pab_range"] = tuple(
+                int(v) for v in opts["pab_range"].split(","))
+            label += f" range={opts['pab_range']}"
+    if not fast_kwargs:
+        raise SystemExit("pass one of tgate= / enc_reuse= / pab=")
+
+    base = np.asarray(unclip_sample(unet_apply, params, ident,
+                                    jax.random.PRNGKey(5), tokens, vec,
+                                    **common), np.float32)
+    fast = np.asarray(unclip_sample(unet_apply, params, ident,
+                                    jax.random.PRNGKey(5), tokens, vec,
+                                    **common, **fast_kwargs), np.float32)
+    diff = fast - base
+    rms = float(np.sqrt((diff ** 2).mean()) / np.sqrt((base ** 2).mean()))
+    corr = float(np.corrcoef(base.ravel(), fast.ravel())[0, 1])
+    print(f"{label}: rms_rel={rms:.4f} corr={corr:.5f} "
+          f"(hw={hw} steps={steps})")
 
 
 if __name__ == "__main__":

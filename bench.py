@@ -97,6 +97,9 @@ def build():
     enc_reuse = int(os.environ.get("BENCH_ENC_REUSE", "1"))
     tgate_step = int(os.environ.get("BENCH_TGATE", "0"))
     tgate_video = int(os.environ.get("BENCH_TGATE_VIDEO", "0"))
+    # TGATE x PAB: broadcast spatial(/temporal) attention inside the
+    # gated phase, recomputing every BENCH_TGATE_PAB-th gated step
+    tgate_pab = int(os.environ.get("BENCH_TGATE_PAB", "0"))
     # Pyramid Attention Broadcast (arXiv 2408.12588): BENCH_PAB="2,4,8"
     # (spatial,temporal,cross intervals), BENCH_PAB_RANGE="2,23"
     pab = tuple(int(v) for v in os.environ["BENCH_PAB"].split(",")) \
@@ -152,6 +155,7 @@ def build():
                              encoder_reuse=enc_reuse,
                              precompute_kv=kv_fn,
                              tgate_step=tgate_step,
+                             tgate_pab=tgate_pab,
                              pab=pab_kf), prior_out
 
     @jax.jit
@@ -185,7 +189,8 @@ def build():
             guidance_scale=scfg.video_cfg_scale,
             low_strength=scfg.low_strength,
             n_frames=n_frames, encoder_reuse=enc_reuse,
-            tgate_step=tgate_video, pab=pab, pab_range=pab_range).video
+            tgate_step=tgate_video, tgate_pab=tgate_pab, pab=pab,
+            pab_range=pab_range).video
 
     params = dict(prior=prior_params, unet2d=unet2d_params, vae=vae_params,
                   unet3d=unet3d_params, cn=cn_params)

@@ -304,7 +304,10 @@ def make_linear_prediction_denoiser(denoiser, network, cond: Dict, uc: Dict,
 def sample_euler_tgate(denoise_full: DenoiseFn, denoise_capture: Callable,
                        denoise_gated: Callable, x: jax.Array,
                        sigmas: jax.Array, gate_step: int,
-                       prepare: bool = True) -> jax.Array:
+                       prepare: bool = True,
+                       denoise_gated_capture: Optional[Callable] = None,
+                       denoise_gated_reuse: Optional[Callable] = None,
+                       gated_interval: int = 0) -> jax.Array:
     """Euler with temporal cross-attention gating (TGATE, arXiv 2404.02747;
     PAPERS.md). CFG's cond/uncond branches share the latent x, so once the
     cross-attention outputs are frozen to a cached (half-averaged) value the
@@ -337,13 +340,41 @@ def sample_euler_tgate(denoise_full: DenoiseFn, denoise_capture: Callable,
     denoised, cache = denoise_capture(x, _bshape(sigmas[m - 1], x))
     x = euler(x, denoised, sigmas[m - 1], sigmas[m])
 
-    def step_gated(x, args):
-        sigma, sigma_next = args
-        return euler(x, denoise_gated(x, _bshape(sigma, x), cache), sigma,
-                     sigma_next), None
+    if m >= n:
+        return x
+    if gated_interval <= 1 or denoise_gated_capture is None:
+        def step_gated(x, args):
+            sigma, sigma_next = args
+            return euler(x, denoise_gated(x, _bshape(sigma, x), cache),
+                         sigma, sigma_next), None
 
-    if m < n:
         x, _ = jax.lax.scan(step_gated, x, (sigmas[m:-1], sigmas[m + 1:]))
+        return x
+
+    # TGATE x PAB: broadcast further attention residuals within the gated
+    # phase, recomputing every `gated_interval`-th gated step.
+    # denoise_gated_capture(x, s, tgate_cache) -> (denoised, st_cache);
+    # denoise_gated_reuse(x, s, tgate_cache, st_cache) -> denoised.
+    st_shapes = jax.eval_shape(
+        lambda xx: denoise_gated_capture(xx, _bshape(sigmas[m], xx),
+                                         cache)[1], x)
+    st0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                 st_shapes)
+
+    def step_gp(carry, args):
+        x, st = carry
+        j, sigma, sigma_next = args
+        sb = _bshape(sigma, x)
+        denoised, st = jax.lax.cond(
+            j % gated_interval == 0,
+            lambda _: denoise_gated_capture(x, sb, cache),
+            lambda _: (denoise_gated_reuse(x, sb, cache, st), st),
+            None)
+        return (euler(x, denoised, sigma, sigma_next), st), None
+
+    (x, _), _ = jax.lax.scan(
+        step_gp, (x, st0),
+        (jnp.arange(n - m), sigmas[m:-1], sigmas[m + 1:]))
     return x
 
 

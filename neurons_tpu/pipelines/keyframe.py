@@ -46,7 +46,7 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
                   latent_hw: int = 96, scale_factor: float = 0.13025,
                   encoder_reuse: int = 1,
                   precompute_kv: Optional[Callable] = None,
-                  tgate_step: int = 0,
+                  tgate_step: int = 0, tgate_pab: int = 0,
                   pab: Optional[tuple] = None,
                   pab_range: Optional[tuple] = None) -> jax.Array:
     """The reference's `unclip_recon` (reference utils.py:302-350), batched.
@@ -145,9 +145,27 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
                           xattn_cached=cache)
             return out * c_out + xs * c_skip
 
-        samples_z = sample_euler_tgate(denoise_full, denoise_capture,
-                                       denoise_gated, x, sigmas,
-                                       tgate_step, prepare=False)
+        # TGATE x PAB (arXiv 2408.12588 over the gated phase): broadcast
+        # the spatial self-attn residuals too, recomputing every
+        # `tgate_pab`-th gated step
+        def denoise_gated_capture(xs, s, cache):
+            t, c_in, c_out, c_skip = _precondition(xs, s)
+            out, sattn = network(xs * c_in, t, clip_tokens, vector,
+                                 xattn_cached=cache, capture_sattn=True)
+            return out * c_out + xs * c_skip, sattn
+
+        def denoise_gated_reuse(xs, s, cache, sattn):
+            t, c_in, c_out, c_skip = _precondition(xs, s)
+            out = network(xs * c_in, t, clip_tokens, vector,
+                          xattn_cached=cache, sattn_cached=sattn)
+            return out * c_out + xs * c_skip
+
+        samples_z = sample_euler_tgate(
+            denoise_full, denoise_capture, denoise_gated, x, sigmas,
+            tgate_step, prepare=False,
+            denoise_gated_capture=denoise_gated_capture,
+            denoise_gated_reuse=denoise_gated_reuse,
+            gated_interval=tgate_pab)
     elif pab is not None:
         # Pyramid Attention Broadcast (arXiv 2408.12588) for the unCLIP
         # UNet: pab=(i_s, i_x) spatial/cross recompute intervals

@@ -72,7 +72,8 @@ def reconstruct_video(
     low_strength: float = 0.3, n_frames: int = 16,
     controlnet_scale: float = 1.0, latent_scale: float = 0.18215,
     use_simplified_cond: bool = True, encoder_reuse: int = 1,
-    tgate_step: int = 0, pab: Optional[Tuple[int, int, int]] = None,
+    tgate_step: int = 0, tgate_pab: int = 0,
+    pab: Optional[Tuple[int, int, int]] = None,
     pab_range: Optional[Tuple[int, int]] = None,
 ) -> VideoPipelineOutputs:
     """One batched stage-5 reconstruction (reference
@@ -198,11 +199,54 @@ def reconstruct_video(
                 latents, sched.timesteps[:m - 1])
         eps, cache = capture_step(latents, sched.timesteps[m - 1])
         latents = sched.step(eps, sched.timesteps[m - 1], latents)
-        if m < n:
+        if m < n and tgate_pab <= 1:
             latents, _ = jax.lax.scan(
                 lambda l, t: (sched.step(gated_step(l, t, cache), t, l),
                               None),
                 latents, sched.timesteps[m:])
+        elif m < n:
+            # TGATE x PAB composition: within the gated (single-batch,
+            # controlnet-free) phase, also broadcast the spatial +
+            # temporal attention residuals, recomputing every
+            # `tgate_pab`-th gated step (arXiv 2408.12588 over the
+            # arXiv 2404.02747 phase).
+            xattn_c, down_res_c, mid_res_c = cache
+
+            def gated_capture(latents, t):
+                t1 = jnp.full((b,), t, jnp.float32)
+                out = unet3d_apply(unet3d_params, latents, t1,
+                                   text_embeddings, down_res_c, mid_res_c,
+                                   xattn_cached=xattn_c,
+                                   capture_sattn=True, capture_tattn=True)
+                return out[0], (out[1], out[2])
+
+            def gated_reuse(latents, t, st):
+                sattn, tattn = st
+                t1 = jnp.full((b,), t, jnp.float32)
+                return unet3d_apply(unet3d_params, latents, t1,
+                                    text_embeddings, down_res_c,
+                                    mid_res_c, xattn_cached=xattn_c,
+                                    sattn_cached=sattn,
+                                    tattn_cached=tattn)
+
+            st_shapes = jax.eval_shape(
+                lambda l: gated_capture(l, sched.timesteps[m])[1], latents)
+            st0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), st_shapes)
+
+            def g_step(carry, args):
+                latents, st = carry
+                j, t = args
+                eps, st = jax.lax.cond(
+                    j % tgate_pab == 0,
+                    lambda _: gated_capture(latents, t),
+                    lambda _: (gated_reuse(latents, t, st), st),
+                    None)
+                return (sched.step(eps, t, latents), st), None
+
+            (latents, _), _ = jax.lax.scan(
+                g_step, (latents, st0),
+                (jnp.arange(n - m), sched.timesteps[m:]))
     elif pab is not None:
         # Pyramid Attention Broadcast (arXiv 2408.12588): per-type
         # attention-residual reuse with nested recompute intervals.

@@ -436,3 +436,31 @@ class TestKeyframePAB:
         with pytest.raises(ValueError):
             sample_euler_pab(lambda *a: None, jnp.zeros((1, 4, 8, 8)),
                              jnp.ones((5,)), (2, 5))
+
+
+class TestKeyframeTGatePAB:
+    def test_composition_runs_and_tracks_tgate(self, rng):
+        """TGATE x PAB on the keyframe sampler: spatial broadcast within
+        the gated phase stays finite, close to plain TGATE, and differs."""
+        from neurons_tpu.pipelines.keyframe import unclip_sample
+
+        m, params, cfg = TestCrossAttnHoistingAndTGate._setup(
+            TestCrossAttnHoistingAndTGate())
+
+        def unet_apply(p, x, t, ctx, vec, **kw):
+            return m.apply({"params": p}, x, t, ctx, vec, **kw)
+
+        tokens = jax.random.normal(rng, (1, 6, 12)) * 0.3
+        vec = jnp.zeros((1, 8))
+        common = dict(num_steps=8, latent_hw=8)
+        tg = unclip_sample(unet_apply, params, lambda z: z,
+                           jax.random.PRNGKey(5), tokens, vec,
+                           tgate_step=3, **common)
+        combo = unclip_sample(unet_apply, params, lambda z: z,
+                              jax.random.PRNGKey(5), tokens, vec,
+                              tgate_step=3, tgate_pab=2, **common)
+        a, b = np.asarray(tg), np.asarray(combo)
+        assert np.isfinite(b).all()
+        assert not np.allclose(a, b, atol=1e-7)
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.95, corr

@@ -489,3 +489,57 @@ class TestVideoPAB:
                 text_embeddings=jnp.zeros((1, 5, 12)),
                 uncond_embeddings=jnp.zeros((1, 5, 12)),
                 num_steps=4, n_frames=F, pab=(2, 3, 5))
+
+
+class TestTGatePABComposition:
+    def test_tgate_pab_runs_and_tracks_tgate(self, rng):
+        """TGATE x PAB (spatial+temporal broadcast inside the gated
+        phase): finite, close to plain TGATE, and actually diverges."""
+        from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
+        from neurons_tpu.pipelines.video import reconstruct_video
+
+        unet = UNet3DModel(U3, n_frames=F)
+        x0 = jnp.zeros((1, 4, F, 8, 8))
+        ctx0 = jnp.zeros((1, 5, 12))
+        uparams = unet.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)),
+                            ctx0)
+        uparams = {"params": dict(uparams["params"])}
+        uparams["params"]["conv_out"] = {
+            "kernel": jax.random.normal(
+                jax.random.PRNGKey(7),
+                uparams["params"]["conv_out"]["kernel"].shape) * 0.05,
+            "bias": uparams["params"]["conv_out"]["bias"]}
+        cn = SparseControlNetModel(U3, n_frames=F)
+        cparams = cn.init(jax.random.PRNGKey(3), x0, jnp.zeros((1,)),
+                          ctx0, jnp.zeros((1, 4, F, 8, 8)),
+                          jnp.zeros((1, 1, F, 8, 8)))
+
+        def pool_encode(x):
+            n, c, h, w = x.shape
+            p = x.reshape(n, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
+            return jnp.concatenate([p, p[:, :1]], axis=1)
+
+        common = dict(
+            unet3d_apply=lambda p, x, t, c, down, mid, **k:
+                unet.apply(p, x, t, c, down, mid, **k),
+            unet3d_params=uparams,
+            controlnet_apply=lambda p, x, t, c, cond, mask, s:
+                cn.apply(p, x, t, c, cond, mask, s),
+            controlnet_params=cparams,
+            vae_encode_mode=pool_encode,
+            vae_decode=lambda z: jnp.zeros((z.shape[0], 3, 16, 16)),
+            key=jax.random.PRNGKey(4),
+            blurry_video=jax.random.uniform(jax.random.PRNGKey(2),
+                                            (1, 6, 3, 16, 16)),
+            keyframe=jnp.full((1, 3, 16, 16), 0.5),
+            text_embeddings=jax.random.normal(jax.random.PRNGKey(5),
+                                              (1, 5, 12)),
+            uncond_embeddings=jnp.zeros((1, 5, 12)),
+            num_steps=6, n_frames=F)
+        tg = reconstruct_video(**common, tgate_step=2)
+        combo = reconstruct_video(**common, tgate_step=2, tgate_pab=2)
+        a, bb = np.asarray(tg.latents), np.asarray(combo.latents)
+        assert np.isfinite(bb).all()
+        assert not np.allclose(a, bb, atol=1e-7)  # broadcast took effect
+        corr = np.corrcoef(a.ravel(), bb.ravel())[0, 1]
+        assert corr > 0.95, corr

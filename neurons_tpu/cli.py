@@ -313,6 +313,7 @@ def cmd_recon(args):
                                    pcfg.num_tokens),
         sampler_opts=dict(
             tgate_step=getattr(args, "tgate", 0),
+            tgate_pab=getattr(args, "tgate_pab", 0),
             encoder_reuse=getattr(args, "encoder_reuse", 1),
             pab=_parse_ints(getattr(args, "pab", None)),
             pab_range=_parse_ints(getattr(args, "pab_range", None))))
@@ -564,6 +565,7 @@ def cmd_video(args):
         text_embeddings=text, uncond_embeddings=jnp.zeros_like(text),
         num_steps=steps, n_frames=n_frames,
         tgate_step=getattr(args, "tgate", 0),
+        tgate_pab=getattr(args, "tgate_pab", 0),
         encoder_reuse=getattr(args, "encoder_reuse", 1),
         pab=_parse_ints(getattr(args, "pab", None)),
         pab_range=_parse_ints(getattr(args, "pab_range", None)))
@@ -783,6 +785,10 @@ def _add_fastpath_args(p):
     p.add_argument("--tgate", type=int, default=0, metavar="STEP",
                    help="TGATE: freeze cross-attn + collapse CFG from "
                         "this step (0 = off)")
+    p.add_argument("--tgate_pab", type=int, default=0, metavar="K",
+                   help="with --tgate: also broadcast spatial(/temporal) "
+                        "attention in the gated phase, recomputing every "
+                        "K-th step")
     p.add_argument("--encoder_reuse", type=int, default=1, metavar="K",
                    help="Faster-Diffusion: recompute the UNet encoder "
                         "every K-th step (1 = off)")

@@ -105,23 +105,7 @@ def main(argv):
         uncond_embeddings=jnp.zeros((1, 77, cfg.cross_attention_dim)),
         num_steps=steps, n_frames=frames)
 
-    fast_kwargs = {}
-    label = "exact"
-    if "tgate" in opts:
-        fast_kwargs["tgate_step"] = int(opts["tgate"])
-        label = f"tgate={opts['tgate']}"
-    if "enc_reuse" in opts:
-        fast_kwargs["encoder_reuse"] = int(opts["enc_reuse"])
-        label = f"enc_reuse={opts['enc_reuse']}"
-    if "pab" in opts:
-        fast_kwargs["pab"] = tuple(int(v) for v in opts["pab"].split(","))
-        label = f"pab={opts['pab']}"
-        if "pab_range" in opts:
-            fast_kwargs["pab_range"] = tuple(
-                int(v) for v in opts["pab_range"].split(","))
-            label += f" range={opts['pab_range']}"
-    if not fast_kwargs:
-        raise SystemExit("pass one of tgate= / enc_reuse= / pab=")
+    fast_kwargs, label = _fast_kwargs(opts)
 
     base = np.asarray(reconstruct_video(**common).latents, np.float32)
     fast = np.asarray(reconstruct_video(**common, **fast_kwargs).latents,
@@ -131,6 +115,30 @@ def main(argv):
     corr = float(np.corrcoef(base.ravel(), fast.ravel())[0, 1])
     print(f"{label}: rms_rel={rms:.4f} corr={corr:.5f} "
           f"(hw={hw} frames={frames} steps={steps})")
+
+
+def _fast_kwargs(opts):
+    fast_kwargs = {}
+    label = []
+    if "tgate" in opts:
+        fast_kwargs["tgate_step"] = int(opts["tgate"])
+        label.append(f"tgate={opts['tgate']}")
+        if "tgate_pab" in opts:
+            fast_kwargs["tgate_pab"] = int(opts["tgate_pab"])
+            label.append(f"tgate_pab={opts['tgate_pab']}")
+    if "enc_reuse" in opts:
+        fast_kwargs["encoder_reuse"] = int(opts["enc_reuse"])
+        label.append(f"enc_reuse={opts['enc_reuse']}")
+    if "pab" in opts:
+        fast_kwargs["pab"] = tuple(int(v) for v in opts["pab"].split(","))
+        label.append(f"pab={opts['pab']}")
+        if "pab_range" in opts:
+            fast_kwargs["pab_range"] = tuple(
+                int(v) for v in opts["pab_range"].split(","))
+            label.append(f"range={opts['pab_range']}")
+    if not fast_kwargs:
+        raise SystemExit("pass one of tgate= / enc_reuse= / pab=")
+    return fast_kwargs, " ".join(label)
 
 
 def main_stage3(opts):
@@ -175,23 +183,8 @@ def main_stage3(opts):
     common = dict(num_steps=steps, latent_hw=hw)
     ident = lambda z: z
 
-    fast_kwargs = {}
-    label = "exact"
-    if "tgate" in opts:
-        fast_kwargs["tgate_step"] = int(opts["tgate"])
-        label = f"stage3 tgate={opts['tgate']}"
-    if "enc_reuse" in opts:
-        fast_kwargs["encoder_reuse"] = int(opts["enc_reuse"])
-        label = f"stage3 enc_reuse={opts['enc_reuse']}"
-    if "pab" in opts:
-        fast_kwargs["pab"] = tuple(int(v) for v in opts["pab"].split(","))
-        label = f"stage3 pab={opts['pab']}"
-        if "pab_range" in opts:
-            fast_kwargs["pab_range"] = tuple(
-                int(v) for v in opts["pab_range"].split(","))
-            label += f" range={opts['pab_range']}"
-    if not fast_kwargs:
-        raise SystemExit("pass one of tgate= / enc_reuse= / pab=")
+    fast_kwargs, label = _fast_kwargs(opts)
+    label = "stage3 " + label
 
     base = np.asarray(unclip_sample(unet_apply, params, ident,
                                     jax.random.PRNGKey(5), tokens, vec,

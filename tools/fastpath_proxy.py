@@ -26,6 +26,10 @@ jax.config.update("jax_compilation_cache_dir",
                       os.path.dirname(os.path.abspath(__file__))),
                       ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# the axon plugin re-pins JAX_PLATFORMS at interpreter startup; force the
+# requested platform through jax.config (wins until backend init)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np

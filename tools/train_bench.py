@@ -1,0 +1,136 @@
+"""Training-throughput bench: stage-1 and stage-2 jitted train steps at
+reference shapes on one TPU chip.
+
+The inference bench (bench.py) covers the generative path; this measures
+the trainable path — the stage-1 mixer contrastive step (batch 120,
+reference train_neurons.sh:41-49) and the full stage-2 decoupler step
+(batch 10, prior + seg/recon/caption/classifier heads + curriculum,
+reference train_neurons.sh:54-66). Prints one JSON line per stage:
+{"metric": "stage{1,2}_train_step", "value": ms, "unit": "ms/step",
+ "steps_per_epoch_s": s} — an epoch = 4320 clips (reference
+train_neurons.py:65).
+
+Usage: python tools/train_bench.py [stage1] [stage2]  (default: both)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(
+                      os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# the axon plugin re-pins JAX_PLATFORMS at interpreter startup; force the
+# requested platform through jax.config (wins until backend init)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_stage1():
+    from neurons_tpu.config import BrainModelConfig, TrainConfig
+    from neurons_tpu.training import train_brain as tb
+
+    bcfg = BrainModelConfig(subjects=(1,))
+    tcfg = TrainConfig(batch_size=120, num_epochs=30, max_lr=5e-5)
+    steps_per_epoch = 4320 // tcfg.batch_size
+    model, state, tx = tb.init_stage1(bcfg, tcfg,
+                                      steps_per_epoch=steps_per_epoch,
+                                      key=jax.random.PRNGKey(0))
+    step = tb.make_stage1_train_step(model, tx, tcfg)
+    g = np.random.default_rng(0)
+    B = tcfg.batch_size
+    batch = {
+        "voxel": jnp.asarray(g.normal(size=(B, 1, bcfg.voxel_counts[0]))
+                             .astype(np.float32)),
+        "clip_vision_target": jnp.asarray(
+            g.normal(size=(B, bcfg.clip_seq_dim, bcfg.clip_emb_dim))
+            .astype(np.float32)),
+        "text_emb": jnp.asarray(
+            g.normal(size=(B, bcfg.clip_txt_emb_dim)).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(1)
+    state, _ = step(state, key, batch["voxel"],
+                    batch["clip_vision_target"], batch["text_emb"])
+    jax.block_until_ready(state.params)
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = step(state, jax.random.fold_in(key, i),
+                              batch["voxel"], batch["clip_vision_target"],
+                              batch["text_emb"])
+    jax.block_until_ready(state.params)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    print(json.dumps({"metric": "stage1_train_step", "value": round(ms, 2),
+                      "unit": "ms/step",
+                      "epoch_s": round(ms / 1e3 * steps_per_epoch, 2)}))
+
+
+def bench_stage2():
+    from neurons_tpu.config import (BrainModelConfig, DecouplerConfig,
+                                    PriorConfig, TrainConfig)
+    from neurons_tpu.models.gpt2 import GPT2Config
+    from neurons_tpu.training import train_decoupler as td
+
+    bcfg = BrainModelConfig(subjects=(1,))
+    pcfg = PriorConfig()
+    dcfg = DecouplerConfig()
+    tcfg = TrainConfig(batch_size=10, num_epochs=50, max_lr=5e-5,
+                       neurons_decoupler=True)
+    gcfg = GPT2Config()  # GPT-2 small (the reference captioner)
+    steps_per_epoch = 4320 // tcfg.batch_size
+    bundle, state = td.init_stage2(bcfg, pcfg, dcfg, tcfg, gcfg,
+                                   steps_per_epoch=steps_per_epoch,
+                                   key=jax.random.PRNGKey(0))
+    step = td.make_stage2_train_step(bundle, tcfg, dcfg, steps_per_epoch)
+    g = np.random.default_rng(0)
+    B, F = tcfg.batch_size, dcfg.n_frames
+    batch = {
+        "voxel": g.normal(size=(B, 1, bcfg.voxel_counts[0])).astype(np.float32),
+        "clip_vision_target": g.normal(
+            size=(B, bcfg.clip_seq_dim, bcfg.clip_emb_dim)).astype(np.float32),
+        "clip_video_target": g.normal(
+            size=(B, F, bcfg.clip_seq_dim, bcfg.clip_emb_dim)).astype(np.float32),
+        "text_emb": g.normal(size=(B, bcfg.clip_txt_emb_dim)).astype(np.float32),
+        "key_obj_text_embed": g.normal(
+            size=(B, bcfg.clip_txt_emb_dim)).astype(np.float32),
+        "key_obj_masks": (g.uniform(size=(B, F, 224, 224)) < 0.3
+                          ).astype(np.float32),
+        "cls_label": (g.uniform(size=(B, dcfg.num_classes)) < 0.2
+                      ).astype(np.float32),
+        "clip_tokens": g.integers(1, gcfg.vocab_size, size=(B, 60)
+                                  ).astype(np.int32),
+        "vae_latents": g.normal(size=(B, F, 4, 28, 28)).astype(np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(1)
+    args = (jnp.asarray(0), jnp.asarray(0), jnp.asarray(0.005))
+    state, _ = step(state, key, batch, *args)
+    jax.block_until_ready(state.params)
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = step(state, jax.random.fold_in(key, i), batch,
+                              *args)
+    jax.block_until_ready(state.params)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    print(json.dumps({"metric": "stage2_train_step", "value": round(ms, 2),
+                      "unit": "ms/step",
+                      "epoch_s": round(ms / 1e3 * steps_per_epoch, 2)}))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["stage1", "stage2"]
+    if "stage1" in which:
+        bench_stage1()
+    if "stage2" in which:
+        bench_stage2()

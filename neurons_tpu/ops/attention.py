@@ -176,8 +176,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                       ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: Optional[float] = None,
                     block_q: int = 256, block_k: int = 256,
@@ -186,7 +185,38 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     Pads Tq/Tk to block multiples and D to the 128-lane boundary; padded kv
     columns are masked in-kernel, padded q rows are sliced off after.
-    """
+
+    Differentiable: pallas_call has no autodiff rule, so a custom VJP
+    recomputes the backward through the XLA reference attention (exact
+    same math up to softmax recompute roundoff) — forward takes the fast
+    kernel, training gradients stay correct. Memory of the backward is
+    the O(Tq*Tk) logits matrix, fine at this framework's shapes."""
+    return _flash_attention_impl(q, k, v, scale, block_q, block_k,
+                                 interpret)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out = _flash_attention_impl(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_,
+                                                      scale=scale),
+                     q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
+                          scale: Optional[float] = None,
+                          block_q: int = 256, block_k: int = 256,
+                          interpret: bool = False) -> jax.Array:
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, tq, d = q.shape

@@ -69,3 +69,29 @@ class TestStreamingPath:
         got = flash_attention(q, k, v, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=5e-5, atol=5e-5)
+
+
+class TestFlashAttentionGrad:
+    def test_custom_vjp_matches_xla_grad(self):
+        """pallas_call has no autodiff rule; the custom VJP recomputes the
+        backward through the XLA path — gradients must match xla_attention
+        exactly. Runs the kernel in interpret mode (CPU)."""
+        from neurons_tpu.ops.attention import flash_attention, xla_attention
+
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(1, 2, 160, 16).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 2, 192, 16).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 2, 192, 16).astype(np.float32))
+        w = jnp.asarray(rng.randn(1, 2, 160, 16).astype(np.float32))
+
+        def f_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, interpret=True) * w)
+
+        def f_xla(q, k, v):
+            return jnp.sum(xla_attention(q, k, v) * w)
+
+        g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g_xla = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_flash, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)

@@ -36,11 +36,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_stage1():
+def bench_stage1(hidden: int = 4096):
+    """NOTE: full-size stage 1 (hidden 4096 -> the 4096 x 425984
+    backbone projection, 1.7B params) needs ~22 GB of f32 Adam state —
+    it does NOT fit one 16 GB v5e chip; the reference trained it on
+    large GPUs. On TPU it is the TP + ZeRO case: shard the projection
+    over `model` and the moments over `data` (exactly what
+    __graft_entry__.dryrun_multichip exercises). Pass hidden=2048/1024
+    to bench the single-chip step at reduced width."""
     from neurons_tpu.config import BrainModelConfig, TrainConfig
     from neurons_tpu.training import train_brain as tb
 
-    bcfg = BrainModelConfig(subjects=(1,))
+    bcfg = BrainModelConfig(subjects=(1,), hidden_dim=hidden)
     tcfg = TrainConfig(batch_size=120, num_epochs=30, max_lr=5e-5)
     steps_per_epoch = 4320 // tcfg.batch_size
     model, state, tx = tb.init_stage1(bcfg, tcfg,
@@ -70,8 +77,8 @@ def bench_stage1():
                               batch["text_emb"])
     jax.block_until_ready(state.params)
     ms = (time.perf_counter() - t0) / n * 1e3
-    print(json.dumps({"metric": "stage1_train_step", "value": round(ms, 2),
-                      "unit": "ms/step",
+    print(json.dumps({"metric": f"stage1_train_step_h{hidden}",
+                      "value": round(ms, 2), "unit": "ms/step",
                       "epoch_s": round(ms / 1e3 * steps_per_epoch, 2)}))
 
 
@@ -130,7 +137,9 @@ def bench_stage2():
 
 if __name__ == "__main__":
     which = sys.argv[1:] or ["stage1", "stage2"]
+    hidden = next((int(a.split("=")[1]) for a in which
+                   if a.startswith("hidden=")), 2048)
     if "stage1" in which:
-        bench_stage1()
+        bench_stage1(hidden)
     if "stage2" in which:
         bench_stage2()

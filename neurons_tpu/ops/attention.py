@@ -201,11 +201,58 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    """q-chunked attention backward (flash-style, XLA): the naive
+    recompute-everything backward materializes the [BH, Tq, Tk] weight
+    matrix — 4 GB per 4096-token site in the stage-2 decoder, which
+    OOM'd HBM. This scan recomputes softmax per q-chunk, so transient
+    memory is O(chunk * Tk) while dk/dv accumulate in f32."""
     q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_,
-                                                      scale=scale),
-                     q, k, v)
-    return vjp(g)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, tq, d_ = q.shape
+    tk = k.shape[2]
+    bh = b * h
+    qf = q.reshape(bh, tq, d_)
+    kf = k.reshape(bh, tk, d_)
+    vf = v.reshape(bh, tk, d_)
+    gf = g.reshape(bh, tq, d_)
+
+    ch = min(512, tq)
+    tq_p = _round_up(tq, ch)
+    if tq_p != tq:
+        # zero-padded g rows contribute nothing to ds/dv (see below)
+        qf = jnp.pad(qf, ((0, 0), (0, tq_p - tq), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, tq_p - tq), (0, 0)))
+    nc = tq_p // ch
+    qc_all = qf.reshape(bh, nc, ch, d_).transpose(1, 0, 2, 3)
+    gc_all = gf.reshape(bh, nc, ch, d_).transpose(1, 0, 2, 3)
+
+    def step(carry, args):
+        dk, dv = carry
+        qc, gc = args  # [bh, ch, D]
+        s = jnp.einsum("bqd,bkd->bqk", qc, kf,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        pv = p.astype(vf.dtype)
+        dv = dv + jnp.einsum("bqk,bqd->bkd", pv, gc,
+                             preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bqd,bkd->bqk", gc, vf,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsv = ds.astype(kf.dtype)
+        dq_c = jnp.einsum("bqk,bkd->bqd", dsv, kf,
+                          preferred_element_type=jnp.float32) * scale
+        dk = dk + jnp.einsum("bqk,bqd->bkd", dsv, qc,
+                             preferred_element_type=jnp.float32) * scale
+        return (dk, dv), dq_c
+
+    zero = jnp.zeros((bh, tk, d_), jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(step, (zero, zero),
+                                       (qc_all, gc_all))
+    dq = dq_chunks.transpose(1, 0, 2, 3).reshape(bh, tq_p, d_)[:, :tq]
+    return (dq.reshape(q.shape).astype(q.dtype),
+            dk.reshape(k.shape).astype(k.dtype),
+            dv.reshape(v.shape).astype(v.dtype))
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -227,17 +274,41 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     # for free, while an explicit pad to 128 materializes padded q/k/v
     # copies in HBM (and 1.6x-2x dead MXU work)
     d_p = d if d % 8 == 0 else _round_up(d, 128)
+    esize = jnp.dtype(q.dtype).itemsize  # 2 bf16 (bench) / 4 f32 (train)
+    tk_pad = _round_up(tk, 128)
+
+    def _vmem_est(bq, bk):
+        """Scoped-VMEM footprint of one whole-KV program: resident K+V,
+        q tile + f32 accumulator, f32 logits + value-dtype probs."""
+        return (2 * tk_pad * d_p * esize
+                + bq * d_p * (esize + 4)
+                + bq * bk * (4 + esize))
+
     # whole-KV sites are launch/loop-overhead bound at small blocks
     # (34 us of math took 250 us at 3x192 on the 576-token mid stage) —
-    # grow blocks until the f32 logits tile hits the VMEM budget
-    smallkv_hint = _round_up(tk, 128) * d_p * 2 * 2 <= 4 * 1024 * 1024
+    # grow blocks until the estimate hits the budget. Calibration: real
+    # scoped-VMEM use runs ~1.9x this estimate (double-buffered tiles +
+    # the exp intermediate) against the 16 MB cap, so 8 MB keeps the
+    # tuned bf16 bench configs (est 6.7 MB -> ~12.7 MB real) while
+    # downgrading the f32 training case that overflowed (est 9.9 MB ->
+    # 18.7 MB real, observed OOM)
+    _BUDGET = 8 * 1024 * 1024
+    # whole-KV only up to tk*itemsize = 4.6 KB/row (2304 tokens bf16 /
+    # 1152 f32): the 4096-token f32 training case measured ~18 MB scoped
+    # VMEM regardless of block_k (Mosaic stack allocation scales with the
+    # resident KV window) and must stream
+    smallkv_hint = (tk_pad * esize <= 4608 and
+                    _vmem_est(_pick_block(tq, block_q),
+                              _pick_block(tk, block_k)) <= _BUDGET)
     if smallkv_hint:
         cap_q, cap_k = block_q, block_k
-        while cap_q < min(tq, 2048) and _pick_block(tq, cap_q * 2) * \
-                _pick_block(tk, cap_k) * 4 <= 4 * 1024 * 1024:
+        while cap_q < min(tq, 2048) and _vmem_est(
+                _pick_block(tq, cap_q * 2),
+                _pick_block(tk, cap_k)) <= _BUDGET:
             cap_q *= 2
-        while cap_k < min(tk, 2048) and _pick_block(tq, cap_q) * \
-                _pick_block(tk, cap_k * 2) * 4 <= 4 * 1024 * 1024:
+        while cap_k < min(tk, 2048) and _vmem_est(
+                _pick_block(tq, cap_q),
+                _pick_block(tk, cap_k * 2)) <= _BUDGET:
             cap_k *= 2
         block_q, block_k = cap_q, cap_k
     block_q = _pick_block(tq, block_q)
@@ -254,10 +325,12 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     vf = vp.reshape(b * h, tk_p, d_p)
 
     num_kb = tk_p // block_k
-    # whole-KV kernel while K+V (bf16) fit ~4 MB of VMEM; streaming grid
-    # with scratch accumulators beyond that (e.g. the 9216-token VAE
-    # mid-attention, whose whole-KV residency blew the 16 MB scoped cap)
-    smallkv = tk_p * d_p * 2 * 2 <= 4 * 1024 * 1024
+    # whole-KV kernel while the program's footprint fits the budget;
+    # streaming grid with scratch accumulators beyond that (e.g. the
+    # 9216-token VAE mid-attention, whose whole-KV residency blew the
+    # 16 MB scoped cap)
+    smallkv = (tk_p * esize <= 4608
+               and _vmem_est(block_q, block_k) <= _BUDGET)
     if smallkv:
         out = pl.pallas_call(
             functools.partial(_flash_kernel_smallkv, scale=scale,

@@ -81,7 +81,10 @@ def stage1_loss(model: NeuronsCore, params, key: jax.Array,
 
 
 def make_stage1_train_step(model: NeuronsCore, tx, tcfg: TrainConfig):
-    @jax.jit
+    # donate the state: without donation XLA double-buffers params +
+    # Adam moments across the step (2x ~21 GB for the 1.7B-param stage-1
+    # ensemble — measured OOM on a 16 GB v5e via tools/train_bench.py)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, key: jax.Array, voxel: jax.Array,
                    clip_target: jax.Array, text_target: jax.Array):
         def loss_fn(params):

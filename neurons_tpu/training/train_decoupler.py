@@ -20,6 +20,8 @@ traced scalars so the jit cache stays at one entry.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -110,10 +112,22 @@ def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
     loss_clip_txt = losses.mixco_nce(pred_text_norm, target_text_norm)
 
     # ---- key-object segmentation (reference :456-463) ----
+    # remat the DecoderVideo head: its 64x64 up-path activations are the
+    # stage-2 memory hot spot (B*F=60 x 64^2 x C per layer saved for the
+    # backward); recomputing them trades ~10% step FLOPs for ~3 GB HBM
+    def seg_decode_ckpt(params_, flat_motion_, text_, is_seg):
+        return model.apply({"params": params_}, flat_motion_, text_,
+                           flat_motion_.shape[0], is_seg=is_seg,
+                           method=NeuronsDecoupler.seg_decode, rngs=rngs,
+                           deterministic=False)
+
+    seg_decode_ckpt = jax.checkpoint(seg_decode_ckpt,
+                                     static_argnums=(3,))
+
     flat_motion = motion.reshape(b * f, motion.shape[2], motion.shape[3])
-    seg_logits = apply(NeuronsDecoupler.seg_decode, flat_motion,
-                       batch["key_obj_text_embed"], b * f,
-                       deterministic=False)               # [(B F), 1, h, w]
+    seg_logits = seg_decode_ckpt(params, flat_motion,
+                                 batch["key_obj_text_embed"],
+                                 True)                    # [(B F), 1, h, w]
     hw = seg_logits.shape[-2:]
     masks = batch["key_obj_masks"]                        # [B, F, H, W]
     masks = jax.image.resize(masks, masks.shape[:2] + hw, "nearest")
@@ -140,8 +154,8 @@ def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
     # ---- blurry video recon (reference :497-504) ----
     vae_lat = batch["vae_latents"]                        # [B, F, 4, h, w]
     vae_lat = vae_lat.reshape(b * f, *vae_lat.shape[2:])
-    rec = apply(NeuronsDecoupler.seg_decode, flat_motion, pred_text,
-                b * f, is_seg=False, deterministic=False)  # [(B F), 4, h', w']
+    rec = seg_decode_ckpt(params, flat_motion, pred_text,
+                          False)                          # [(B F), 4, h', w']
     rec = jax.image.resize(rec, rec.shape[:2] + vae_lat.shape[-2:], "nearest")
     loss_recon = losses.l1_loss(rec, vae_lat)
 
@@ -160,19 +174,33 @@ def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
 
 def make_stage2_train_step(bundle: Stage2Bundle, tcfg: TrainConfig,
                            dcfg: DecouplerConfig, steps_per_epoch: int):
-    @jax.jit
+    # donate the state (see train_brain.make_stage1_train_step): avoids
+    # double-buffering the 9.4 GB param tree + 3.3 GB Adam moments
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, key: jax.Array,
                    batch: Dict[str, jax.Array], epoch: jax.Array,
                    iteration: jax.Array, soft_temp: jax.Array):
         weights = get_loss_weights(tcfg.num_epochs, epoch, iteration,
                                    steps_per_epoch)
 
-        def loss_fn(params):
-            return stage2_loss(bundle, params, key, batch, soft_temp,
-                               weights, tcfg, dcfg)
+        # Differentiate ONLY the trainable subtree: the frozen stage-1
+        # core is 1.7B params (the 4096 x 425984 backbone projection) —
+        # value_and_grad over the full tree materialized ~7 GB of
+        # gradients the masked optimizer then discarded, which alone
+        # OOM'd a 16 GB v5e chip (measured via tools/train_bench.py).
+        core = jax.lax.stop_gradient(state.params["core"])
+        trainable = {k: v for k, v in state.params.items() if k != "core"}
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        def loss_fn(tp):
+            return stage2_loss(bundle, dict(tp, core=core), key, batch,
+                               soft_temp, weights, tcfg, dcfg)
+
+        (_, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable)
+        # zero grads for the frozen label (set_to_zero ignores them; the
+        # zeros fold away in XLA)
+        grads = dict(g, core=jax.tree_util.tree_map(
+            jnp.zeros_like, state.params["core"]))
         updates, opt_state = bundle.tx.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -95,3 +95,23 @@ class TestFlashAttentionGrad:
         for a, b in zip(g_flash, g_xla):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
+
+    def test_chunked_backward_multichunk_padding(self):
+        """Tq=600 > chunk 512: two chunks with 424 zero-padded rows —
+        gradients must still match the dense XLA backward."""
+        from neurons_tpu.ops.attention import flash_attention, xla_attention
+
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(1, 1, 600, 16).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 1, 256, 16).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 1, 256, 16).astype(np.float32))
+        w = jnp.asarray(rng.randn(1, 1, 600, 16).astype(np.float32))
+
+        g_flash = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, interpret=True) * w),
+            argnums=(0, 1, 2))(q, k, v)
+        g_xla = jax.grad(lambda q, k, v: jnp.sum(
+            xla_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_flash, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=3e-5)

@@ -130,7 +130,11 @@ class TestStage2Step:
             "vae_latents": g.normal(size=(B, F, 4, 8, 8)).astype(np.float32),
         }
         batch = shard_batch(mesh8, batch)
-        core_before = jax.tree_util.tree_leaves(state.params["core"])[0]
+        # the step DONATES the state (HBM); copy what we assert on first
+        core_before = np.asarray(
+            jax.tree_util.tree_leaves(state.params["core"])[0])
+        p_before = np.asarray(
+            jax.tree_util.tree_leaves(state.params["prior_net"])[0])
         state2, metrics = step(state, jax.random.PRNGKey(1), batch,
                                jnp.asarray(0), jnp.asarray(0),
                                jnp.asarray(0.005))
@@ -143,9 +147,7 @@ class TestStage2Step:
             assert k in metrics
         # frozen core untouched
         core_after = jax.tree_util.tree_leaves(state2.params["core"])[0]
-        np.testing.assert_array_equal(np.asarray(core_before),
-                                      np.asarray(core_after))
+        np.testing.assert_array_equal(core_before, np.asarray(core_after))
         # trainable heads moved
-        p_before = jax.tree_util.tree_leaves(state.params["prior_net"])[0]
         p_after = jax.tree_util.tree_leaves(state2.params["prior_net"])[0]
-        assert not np.allclose(np.asarray(p_before), np.asarray(p_after))
+        assert not np.allclose(p_before, np.asarray(p_after))

@@ -98,6 +98,14 @@ def bench_stage2():
     bundle, state = td.init_stage2(bcfg, pcfg, dcfg, tcfg, gcfg,
                                    steps_per_epoch=steps_per_epoch,
                                    key=jax.random.PRNGKey(0))
+    # the frozen 1.9B-param core is forward-only in stage 2: keep it in
+    # bf16 (the reference's fp16 autocast held it in half precision too)
+    # -- 3.9 GB of HBM back on a 16 GB chip
+    params = dict(state.params)
+    params["core"] = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params["core"])
+    state = td.TrainState(params, state.opt_state, state.step)
     step = td.make_stage2_train_step(bundle, tcfg, dcfg, steps_per_epoch)
     g = np.random.default_rng(0)
     B, F = tcfg.batch_size, dcfg.n_frames

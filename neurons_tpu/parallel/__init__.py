@@ -8,4 +8,5 @@ from neurons_tpu.parallel.mesh import (
     replicate,
     fsdp_sharding,
     shard_opt_state,
+    shard_opt_state_like,
 )

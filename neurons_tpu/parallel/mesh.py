@@ -103,10 +103,73 @@ def shard_opt_state(mesh: Mesh, opt_state, axis: str = "data"):
     """Place an optax state pytree with ZeRO-style sharding: the moment
     buffers (same shapes as params) dominate optimizer memory; sharding
     them over `data` cuts per-chip optimizer memory by the axis size.
-    GSPMD inserts the gathers the update math needs."""
+    GSPMD inserts the gathers the update math needs.
+
+    NOTE: when params are themselves TP-sharded, prefer
+    `shard_opt_state_like` — moments sharded on a DIFFERENT axis than
+    their params force an all-gather + re-shard around every optimizer
+    update (XLA memory analysis showed ~15 GB/device of resharding
+    temps for the full-size stage-1 step with this function)."""
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, fsdp_sharding(mesh, x, axis))
         if hasattr(x, "shape") else x, opt_state)
+
+
+def _refine_with_axis(mesh: Mesh, spec, shape, axis: str,
+                      min_elems: int = 2 ** 20):
+    """Extend a param's PartitionSpec with `axis` on the largest axis
+    that still divides evenly (ZeRO refinement on top of TP)."""
+    spec = list(spec) + [None] * (len(shape) - len(spec))
+    used = set()
+    for s in spec:
+        if s is not None:
+            used.update(s if isinstance(s, tuple) else (s,))
+    if axis in used or np.prod(shape or (1,)) < min_elems:
+        return P(*spec)
+    n = mesh.shape[axis]
+    for i, d in sorted(enumerate(shape), key=lambda t: -t[1]):
+        cur = spec[i]
+        if cur is None:
+            if d % n == 0:
+                spec[i] = axis
+                return P(*spec)
+        else:
+            axes = cur if isinstance(cur, tuple) else (cur,)
+            denom = n * int(np.prod([mesh.shape[a] for a in axes]))
+            if d % denom == 0:
+                spec[i] = tuple(axes) + (axis,)
+                return P(*spec)
+    return P(*spec)
+
+
+def shard_opt_state_like(mesh: Mesh, opt_state, params_sharded,
+                         axis: str = "data"):
+    """Moment buffers co-sharded with their params (optionally refined
+    over `axis` for ZeRO): the optimizer update then reads moments and
+    params with the SAME layout — fully local, no GSPMD resharding.
+
+    Matching is by leaf SHAPE (robust to optax's multi_transform /
+    masked nesting, where the state tree structure diverges from the
+    param tree): any state leaf whose shape equals a param leaf's shape
+    adopts that param's sharding; everything else replicates. Params
+    sharing a shape with different shardings would be ambiguous — the
+    first spec wins (in this framework only the uniquely-shaped wide
+    projections carry non-trivial specs)."""
+    spec_by_shape = {}
+    for p in jax.tree_util.tree_leaves(params_sharded):
+        sh = getattr(p, "sharding", None)
+        spec = sh.spec if isinstance(sh, NamedSharding) else P()
+        spec_by_shape.setdefault(tuple(p.shape), spec)
+
+    def place(x):
+        if not hasattr(x, "shape"):
+            return x
+        spec = spec_by_shape.get(tuple(x.shape), P())
+        return jax.device_put(
+            x, NamedSharding(mesh, _refine_with_axis(mesh, spec, x.shape,
+                                                     axis)))
+
+    return jax.tree_util.tree_map(place, opt_state)
 
 
 def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):

@@ -159,3 +159,36 @@ class TestDistributedGlue:
         all_idx = np.sort(np.concatenate(
             [D.round_robin_indices(10, s, 4) for s in range(4)]))
         np.testing.assert_array_equal(all_idx, np.arange(10))
+
+
+class TestShardOptStateLike:
+    def test_moments_adopt_param_sharding(self):
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from neurons_tpu.config import MeshConfig
+        from neurons_tpu.parallel import create_mesh, shard_opt_state_like
+
+        mesh = create_mesh(MeshConfig(data=4, model=2))
+        params = {
+            "wide": jax.device_put(jnp.zeros((16, 64)),
+                                   NamedSharding(mesh, P(None, "model"))),
+            "small": jax.device_put(jnp.zeros((8,)),
+                                    NamedSharding(mesh, P())),
+        }
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(jax.tree_util.tree_map(np.asarray, params))
+        placed = shard_opt_state_like(mesh, opt_state, params,
+                                      axis="data")
+        mu = placed[0].mu
+        # wide moment: param's model sharding + data refinement on the
+        # largest divisible axis
+        spec = mu["wide"].sharding.spec
+        flat = []
+        for s in spec:
+            if s is not None:
+                flat.extend(s if isinstance(s, tuple) else (s,))
+        assert "model" in flat
+        # update stays local: same sharding as the param on the model axis
+        assert mu["wide"].sharding.is_equivalent_to(
+            params["wide"].sharding, 2) or "data" in flat
+        assert np.asarray(mu["small"]).shape == (8,)

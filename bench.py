@@ -156,7 +156,8 @@ def build():
                              precompute_kv=kv_fn,
                              tgate_step=tgate_step,
                              tgate_pab=tgate_pab,
-                             pab=pab_kf), prior_out
+                             pab=pab_kf,
+                             pab_range=pab_range), prior_out
 
     @jax.jit
     def stage5(unet3d_params, cn_params, vae_params, key, blurry, keyframe,

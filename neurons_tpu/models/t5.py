@@ -151,33 +151,7 @@ class T5Encoder(nn.Module):
         return T5RMSNorm(c.layer_norm_epsilon, name="final_norm")(x)
 
 
-def import_t5_encoder(state_dict: Dict, cfg: T5Config
-                      ) -> Tuple[Dict, List[str]]:
-    """HF T5EncoderModel state dict -> T5Encoder params."""
-    from neurons_tpu.interop.torch_import import _Tracker, linear, t2j
-    sd = _Tracker(dict(state_dict))
-    p: Dict = {
-        "shared": t2j(sd["shared.weight"]),
-        "relative_attention_bias": t2j(
-            sd["encoder.block.0.layer.0.SelfAttention"
-               ".relative_attention_bias.weight"]),
-        "final_norm": {"weight": t2j(sd["encoder.final_layer_norm.weight"])},
-    }
-    if "encoder.embed_tokens.weight" in sd:
-        sd["encoder.embed_tokens.weight"]  # tied copy of `shared`
-    for i in range(cfg.num_layers):
-        q = f"encoder.block.{i}"
-        p[f"block_{i}"] = {
-            "attn_norm": {"weight": t2j(
-                sd[f"{q}.layer.0.layer_norm.weight"])},
-            "q": linear(sd, f"{q}.layer.0.SelfAttention.q"),
-            "k": linear(sd, f"{q}.layer.0.SelfAttention.k"),
-            "v": linear(sd, f"{q}.layer.0.SelfAttention.v"),
-            "o": linear(sd, f"{q}.layer.0.SelfAttention.o"),
-            "ff_norm": {"weight": t2j(
-                sd[f"{q}.layer.1.layer_norm.weight"])},
-            "wi_0": linear(sd, f"{q}.layer.1.DenseReluDense.wi_0"),
-            "wi_1": linear(sd, f"{q}.layer.1.DenseReluDense.wi_1"),
-            "wo": linear(sd, f"{q}.layer.1.DenseReluDense.wo"),
-        }
-    return p, sd.unused()
+def import_t5_encoder(state_dict, cfg):
+    """Moved to interop (repo convention); kept as an alias."""
+    from neurons_tpu.interop.torch_import import import_t5_encoder as _f
+    return _f(state_dict, cfg)

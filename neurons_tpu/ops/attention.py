@@ -275,12 +275,13 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     # copies in HBM (and 1.6x-2x dead MXU work)
     d_p = d if d % 8 == 0 else _round_up(d, 128)
     esize = jnp.dtype(q.dtype).itemsize  # 2 bf16 (bench) / 4 f32 (train)
-    tk_pad = _round_up(tk, 128)
 
     def _vmem_est(bq, bk):
-        """Scoped-VMEM footprint of one whole-KV program: resident K+V,
+        """Scoped-VMEM footprint of one whole-KV program: resident K+V
+        (padded to the block multiple ACTUALLY used, not just 128),
         q tile + f32 accumulator, f32 logits + value-dtype probs."""
-        return (2 * tk_pad * d_p * esize
+        rows = _round_up(tk, bk)
+        return (2 * rows * d_p * esize
                 + bq * d_p * (esize + 4)
                 + bq * bk * (4 + esize))
 
@@ -297,7 +298,7 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     # 1152 f32): the 4096-token f32 training case measured ~18 MB scoped
     # VMEM regardless of block_k (Mosaic stack allocation scales with the
     # resident KV window) and must stream
-    smallkv_hint = (tk_pad * esize <= 4608 and
+    smallkv_hint = (_round_up(tk, 128) * esize <= 4608 and
                     _vmem_est(_pick_block(tq, block_q),
                               _pick_block(tk, block_k)) <= _BUDGET)
     if smallkv_hint:
@@ -330,7 +331,7 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     # 9216-token VAE mid-attention, whose whole-KV residency blew the
     # 16 MB scoped cap)
     smallkv = (tk_p * esize <= 4608
-               and _vmem_est(block_q, block_k) <= _BUDGET)
+               and _vmem_est(block_q, block_k) <= _BUDGET)  # rows == tk_p here
     if smallkv:
         out = pl.pallas_call(
             functools.partial(_flash_kernel_smallkv, scale=scale,

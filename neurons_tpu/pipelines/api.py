@@ -160,17 +160,20 @@ model_specs: Dict[ModelArchitecture, SamplingSpec] = {
 def build_sigmas(params: SamplingParams) -> jax.Array:
     """Discretization enum -> sigma ladder, pruned by img2img strength
     (reference helpers.py:77-99 Img2ImgDiscretizationWrapper: flip, keep
-    the first `strength * n`, flip back — i.e. keep the LOW end)."""
+    the first `strength * n`, flip back — i.e. keep the LOW end). The
+    reference prunes the ZERO-APPENDED ladder (sgm discretizations
+    append 0 by default), so the kept count includes the trailing zero:
+    steps=10, strength=0.4 -> keep 4 of 11 entries = 3 denoise steps."""
     if params.discretization == Discretization.EDM:
         sigmas = edm_sigmas(params.steps, params.sigma_min,
                             params.sigma_max, params.rho,
-                            append_zero=False)
+                            append_zero=True)
     else:
-        sigmas = sd_sigmas(params.steps, append_zero=False)
+        sigmas = sd_sigmas(params.steps, append_zero=True)
     if params.img2img_strength < 1.0:
         keep = max(int(params.img2img_strength * sigmas.shape[0]), 1)
         sigmas = sigmas[-keep:]
-    return jnp.concatenate([sigmas, jnp.zeros((1,), sigmas.dtype)])
+    return sigmas
 
 
 def run_sampler(params: SamplingParams, denoise, x: jax.Array,
@@ -248,9 +251,12 @@ def do_img2img(img, engine, params: SamplingParams, key: jax.Array,
     if offset_noise_level > 0.0:
         noise = noise + offset_noise_level * jax.random.normal(
             ko, (z.shape[0],) + (1,) * (z.ndim - 1), z.dtype)
-    noised = (z + noise * sigmas[0]) / jnp.sqrt(1.0 + sigmas[0] ** 2)
+    # reference helpers.py:292-296 divides by sqrt(1+sigma0^2) ONLY
+    # because the sampler's prepare step multiplies it back
+    # (sampling.py:52); the loop must run on z + sigma0*noise, so here
+    # we skip both the division and the prepare re-scale.
+    noised = z + noise * sigmas[0]
     denoise = _cfg_denoise(engine, params, cond, uc or {})
-    # the √(1+σ₀²) scaling is already applied above — prepare=False
     z_out = run_sampler(params, denoise, noised, sigmas, key=ks,
                         prepare=False)
     samples = jnp.clip((engine.decode_first_stage(z_out) + 1.0) / 2.0,

@@ -81,6 +81,8 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
                          "exclusive")
     if pab is not None and (tgate_step > 0 or encoder_reuse > 1):
         raise ValueError("pab is exclusive with tgate/encoder_reuse")
+    if tgate_pab > 0 and tgate_step <= 0:
+        raise ValueError("tgate_pab requires tgate_step > 0")
     b = clip_tokens.shape[0]
     k_z, k_noise, k_offset, k_uc = jax.random.split(key, 4)
     z = jax.random.normal(k_z, (b, 4, latent_hw, latent_hw))

@@ -99,6 +99,8 @@ def reconstruct_video(
                          "exclusive")
     if pab is not None and (tgate_step > 0 or encoder_reuse > 1):
         raise ValueError("pab is exclusive with tgate/encoder_reuse")
+    if tgate_pab > 0 and tgate_step <= 0:
+        raise ValueError("tgate_pab requires tgate_step > 0")
     b = blurry_video.shape[0]
     sched = DDIMScheduler.create(num_steps)
 

@@ -211,52 +211,17 @@ def discriminator_loss(inputs, recons, *, disc_apply, disc_factor=1.0,
 
 
 # ---------------------------------------------------------------------------
-# torch-weight importer for the pretrained vgg_lpips checkpoint
+# torch-weight importers live in interop/torch_import.py (repo
+# convention); aliases kept here for the call sites that grew up with
+# this module
 # ---------------------------------------------------------------------------
 
-def import_lpips(state_dict) -> Tuple[Dict, list]:
-    """`vgg_lpips` checkpoint (torchvision vgg16.features + NetLin 1x1
-    heads; reference lpips/loss/lpips.py:28-44) -> LPIPS params."""
-    from neurons_tpu.interop.torch_import import _Tracker, conv, t2j
-    sd = _Tracker(dict(state_dict))
-    net = {}
-    for ch, idxs in _VGG_SLICES:
-        for ci in idxs:
-            # slices are named slice1..slice5 with the original indices
-            slice_i = next(si for si, (_, ids) in enumerate(_VGG_SLICES)
-                           if ci in ids) + 1
-            net[f"conv_{ci}"] = conv(sd, f"net.slice{slice_i}.{ci}")
-    p = {"net": net}
-    for k in range(len(LPIPS_CHNS)):
-        # NetLinLayer: model.1 with dropout, model.0 without
-        key = (f"lin{k}.model.1" if f"lin{k}.model.1.weight" in sd
-               else f"lin{k}.model.0")
-        p[f"lin{k}"] = conv(sd, key, bias=False)
-    # scaling constants are buffers in the ckpt; ours are inlined
-    for buf in ("scaling_layer.shift", "scaling_layer.scale"):
-        if buf in sd:
-            sd[buf]
-    return p, sd.unused()
+def import_lpips(state_dict):
+    from neurons_tpu.interop.torch_import import import_lpips as _f
+    return _f(state_dict)
 
 
-def import_nlayer_discriminator(state_dict, n_layers: int = 3
-                                ) -> Tuple[Dict, list]:
-    """Sequential PatchGAN layout (model.py:42-84) -> NLayerDiscriminator
-    params. Sequence indices: conv,relu then per layer conv,bn,relu."""
-    from neurons_tpu.interop.torch_import import _Tracker, conv, t2j
-    sd = _Tracker(dict(state_dict))
-    p: Dict = {"conv_0": conv(sd, "main.0")}
-    stats: Dict = {}
-    si = 2
-    for n in range(1, n_layers + 1):
-        p[f"conv_{n}"] = conv(sd, f"main.{si}")
-        p[f"bn_{n}"] = {"scale": t2j(sd[f"main.{si+1}.weight"]),
-                        "bias": t2j(sd[f"main.{si+1}.bias"])}
-        stats[f"bn_{n}"] = {
-            "mean": t2j(sd[f"main.{si+1}.running_mean"]),
-            "var": t2j(sd[f"main.{si+1}.running_var"])}
-        if f"main.{si+1}.num_batches_tracked" in sd:
-            sd[f"main.{si+1}.num_batches_tracked"]
-        si += 3
-    p["conv_out"] = conv(sd, f"main.{si}")
-    return {"params": p, "batch_stats": stats}, sd.unused()
+def import_nlayer_discriminator(state_dict, n_layers: int = 3):
+    from neurons_tpu.interop.torch_import import \
+        import_nlayer_discriminator as _f
+    return _f(state_dict, n_layers)

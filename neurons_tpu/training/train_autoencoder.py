@@ -157,10 +157,18 @@ class AutoencodingEngine:
             # branching (reference flips at global_step >= disc_start)
             disc_scale = jnp.where(state["step"] >= c.disc_start, 1.0, 0.0)
 
+            # the reference's generator pass runs the discriminator in
+            # TRAIN mode (batch statistics; discriminator_loss.py
+            # optimizer_idx=0 under self.training) — eval mode here would
+            # normalize with the init running stats and skew d_weight.
+            # The batch-stat mutation of this pass is discarded (only
+            # the discriminator step owns the running stats).
             def disc_apply(y):
-                return self.disc.apply(
+                out, _ = self.disc.apply(
                     {"params": state["disc"],
-                     "batch_stats": state["disc_stats"]}, y, train=False)
+                     "batch_stats": state["disc_stats"]}, y, train=True,
+                    mutable=["batch_stats"])
+                return out
 
             gen_params = {"vae": state["vae"]}
             if "quant" in state:
@@ -246,20 +254,23 @@ class AutoencodingEngine:
             recon = jax.lax.stop_gradient(recon)
 
             def loss_fn(dp):
-                stats = {}
+                # running stats thread SEQUENTIALLY through the real then
+                # fake pass (torch mutates them in call order; reading the
+                # same input stats twice would drop the real-pass update)
+                cur = {"bs": state["disc_stats"]}
 
                 def disc_apply(y):
                     out, mut = self.disc.apply(
-                        {"params": dp, "batch_stats": state["disc_stats"]},
+                        {"params": dp, "batch_stats": cur["bs"]},
                         y, train=True, mutable=["batch_stats"])
-                    stats.update(mut["batch_stats"])
+                    cur["bs"] = mut["batch_stats"]
                     return out
 
                 d, log = discriminator_loss(x, recon,
                                             disc_apply=disc_apply,
                                             disc_factor=c.disc_factor,
                                             kind=c.disc_loss)
-                return d, (log, stats)
+                return d, (log, cur["bs"])
 
             (d, (log, stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state["disc"])

@@ -71,14 +71,17 @@ class TestDoSample:
         assert np.isfinite(np.asarray(z)).all()
 
     def test_build_sigmas_pruning_matches_reference_wrapper(self):
-        # reference helpers.py:89-99: flip, keep first strength*n, flip
+        # reference helpers.py:89-99 prunes the ZERO-APPENDED ladder:
+        # steps=10, strength=0.4 -> keep max(int(0.4*11),1)=4 entries
+        # including the trailing zero = 3 denoise steps
         params = API.SamplingParams(steps=10, img2img_strength=0.4)
         full = API.build_sigmas(dataclasses.replace(
             params, img2img_strength=1.0))
         pruned = API.build_sigmas(params)
-        assert pruned.shape[0] == 5  # 4 kept + appended zero
-        np.testing.assert_allclose(np.asarray(pruned[:-1]),
-                                   np.asarray(full[-5:-1]))
+        assert pruned.shape[0] == 4
+        assert float(pruned[-1]) == 0.0
+        np.testing.assert_allclose(np.asarray(pruned),
+                                   np.asarray(full[-4:]))
 
     def test_edm_discretization_monotone(self):
         params = API.SamplingParams(steps=7,

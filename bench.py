@@ -208,7 +208,7 @@ def run_once(stage3, stage5, params, key, batch):
     kf, prior_out = stage3(params["prior"], params["unet2d"], params["vae"],
                            key, brain_tokens)
     if verbose:
-        jax.block_until_ready(kf)
+        float(jnp.sum(kf))  # host-scalar sync (see stage-5 note)
         print(f"  stage3: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
     keyframe = jax.image.resize(kf, (batch, 3, 256, 256), "linear")
     blurry = jax.random.uniform(key, (batch, 6, 3, 256, 256))
@@ -216,10 +216,15 @@ def run_once(stage3, stage5, params, key, batch):
     t1 = time.perf_counter()
     video = stage5(params["unet3d"], params["cn"], params["vae"], key,
                    blurry, keyframe, text)
-    out = jax.block_until_ready(video)
+    # sync by materializing a scalar on the host: block_until_ready over
+    # the axon tunnel has been observed to return early (0.006 s/clip
+    # readings); a host float of a reduction cannot complete before the
+    # computation does
+    checksum = float(jnp.sum(video))
+    assert np.isfinite(checksum), f"non-finite video (checksum {checksum})"
     if verbose:
         print(f"  stage5: {time.perf_counter() - t1:.2f}s", file=sys.stderr)
-    return out
+    return video
 
 
 def main():

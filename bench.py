@@ -1,11 +1,22 @@
 """Benchmark: end-to-end CC2017 clip reconstruction (stage 3 + stage 5).
 
-Measures sec/clip for the full generative path at reference shapes
-(BASELINE.md): 100-step diffusion prior over 256x1664 tokens -> 38-step
-EulerEDM unCLIP at 4x96x96 latents with CFG 5.0 -> 768x768 keyframe decode
--> 16-frame 25-step DDIM AnimateDiff video with SparseCtrl at 4x32x32
-latents -> 256x256 frame decode. Random weights (timing is
-weight-independent), bf16 activations/params, one chip.
+Measures sec/clip for the FULL voxel->GIF generative path at reference
+shapes (BASELINE.md), i.e. everything the reference's stage-3/5 scripts
+run per clip (recon_keyframe_neurons_enhance.py:350-494 +
+scripts/neuroclips_video.py:243-330):
+
+  stage 3: voxel [13447] -> ridge -> mixer backbone -> 100-step diffusion
+    prior over 256x1664 tokens -> motion/classifier/seg decoupler heads ->
+    blurry-video decode (6 frames, VAE) -> 60-token GPT-2 greedy caption
+    -> mask-modulated 38-step EulerEDM unCLIP at 4x96x96 latents with
+    CFG 5.0 -> 768x768 keyframe decode
+  stage 5: caption -> SD CLIP text encoding -> blurry 6->16 interpolation
+    -> 25-step DDIM AnimateDiff with SparseCtrl at 4x32x32 latents ->
+    256x256 frame decodes
+
+Stage-5 consumes stage-3's actual outputs (keyframe, blurry video,
+caption tokens) — the chained path, not synthetic stand-ins. Random
+weights (timing is weight-independent), bf16 activations/params, one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = (10 s north-star target) / measured — >1 beats the
@@ -40,59 +51,106 @@ def _cast(tree):
         else x, tree)
 
 
+def _cast_f32(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 def build():
-    from neurons_tpu.config import (BrainModelConfig, PriorConfig,
-                                    SamplerConfig, UNet2DConfig,
+    from neurons_tpu.config import (BrainModelConfig, DecouplerConfig,
+                                    PriorConfig, SamplerConfig, UNet2DConfig,
                                     UNet3DConfig, VAEConfig)
-    from neurons_tpu.models.prior import PriorNetwork
+    from neurons_tpu.models.clip import CLIPTextConfig, CLIPTextTower
+    from neurons_tpu.models.gpt2 import GPT2Config
+    from neurons_tpu.models.neurons import NeuronsDecoupler
     from neurons_tpu.models.unet2d import UNetModel
     from neurons_tpu.models.unet3d import UNet3DModel
     from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
     from neurons_tpu.models.vae import AutoencoderKL
 
     key = jax.random.PRNGKey(0)
-    scfg = SamplerConfig()
+    tiny = os.environ.get("BENCH_TINY") == "1"  # CPU smoke of this script
 
-    # ---- prior (reference shapes: 256 tokens x 1664, depth 6) ----
-    pcfg = PriorConfig()
-    prior = PriorNetwork(pcfg)
-    tok0 = jnp.zeros((1, pcfg.num_tokens, pcfg.dim), DTYPE)
-    prior_params = _cast(prior.init(key, tok0, jnp.zeros((1,), jnp.int32),
-                                    tok0)["params"])
+    # ---- the full Neurons ensemble (reference shapes: 13447 voxels,
+    # h=4096 mixer, 256x1664 prior depth 6, decoupler heads, GPT-2) ----
+    if tiny:
+        from neurons_tpu.models.gpt2 import tiny_gpt2_config
+        scfg = SamplerConfig(unclip_steps=3, prior_steps=4, video_steps=3,
+                             n_video_frames=4)
+        bcfg = BrainModelConfig(hidden_dim=32, n_blocks=1, clip_seq_dim=16,
+                                clip_emb_dim=32, clip_txt_emb_dim=24)
+        pcfg = PriorConfig(dim=32, depth=1, dim_head=8, heads=4,
+                           num_tokens=16, timesteps=5)
+        dcfg = DecouplerConfig(n_frames=2, clip_emb_dim=32,
+                               clip_txt_emb_dim=24,
+                               decoder_block_out_channels=(8, 8, 8))
+        gcfg = tiny_gpt2_config()
+        ucfg = UNet2DConfig(model_channels=8, channel_mult=(1, 2),
+                            num_res_blocks=1, transformer_depth=(1, 1),
+                            num_head_channels=4, context_dim=32,
+                            adm_in_channels=1024, attention_resolutions=(2,))
+        vcfg = VAEConfig(block_out_channels=(8, 8), layers_per_block=1,
+                         norm_num_groups=4)
+        u3cfg = UNet3DConfig(block_out_channels=(8, 16, 16, 16),
+                             layers_per_block=1, cross_attention_dim=32,
+                             attention_head_dim=4, norm_num_groups=4,
+                             motion_num_attention_heads=2,
+                             motion_max_seq_length=8)
+        tcfg = CLIPTextConfig.tiny()
+        # art_hw must be lat_vid x the tiny VAE's stride (2): stage 5
+        # VAE-encodes the stage-3 outputs back to lat_vid latents
+        lat_kf, art_hw, lat_vid, cap_len = 8, 16, 8, 8
+    else:
+        scfg = SamplerConfig()
+        bcfg, pcfg, dcfg, gcfg = (BrainModelConfig(), PriorConfig(),
+                                  DecouplerConfig(), GPT2Config())
+        ucfg, vcfg, u3cfg = UNet2DConfig(), VAEConfig(), UNet3DConfig()
+        tcfg = CLIPTextConfig.sd15()
+        lat_kf, art_hw, lat_vid, cap_len = 96, 256, 32, 60
+    ctx_len = tcfg.context_length
+
+    decoupler = NeuronsDecoupler(bcfg, pcfg, dcfg, gcfg)
+    voxel0 = jnp.zeros((1, 1, bcfg.voxel_counts[0]), DTYPE)
+    dec_params = _cast(decoupler.init(key, voxel0,
+                                      jnp.zeros((1, 8), jnp.int32))["params"])
 
     # ---- unCLIP UNet @ 96x96 latents ----
-    ucfg = UNet2DConfig()
     unet2d = UNetModel(ucfg)
-    x2 = jnp.zeros((1, 4, 96, 96), DTYPE)
-    ctx = jnp.zeros((1, 256, 1664), DTYPE)
+    x2 = jnp.zeros((1, 4, lat_kf, lat_kf), DTYPE)
+    ctx = jnp.zeros((1, bcfg.clip_seq_dim, bcfg.clip_emb_dim), DTYPE)
     vec = jnp.zeros((1, 1024), DTYPE)
     unet2d_params = _cast(unet2d.init(key, x2, jnp.zeros((1,)), ctx,
                                       vec)["params"])
 
     # ---- VAEs (SD f8) ----
-    vcfg = VAEConfig()
     vae = AutoencoderKL(vcfg)
     vae_params = _cast(vae.init(key, jnp.zeros((1, 3, 64, 64), DTYPE)))
 
+    # ---- SD-1.5 CLIP text encoder (stage-5 prompt embedding,
+    # reference scripts/neuroclips_video.py:95-117,254-260) ----
+    text_tower = CLIPTextTower(tcfg)
+    text_params = _cast(text_tower.init(key,
+                                        jnp.zeros((1, ctx_len), jnp.int32)
+                                        )["params"])
+
     # ---- video UNet + SparseCtrl @ 32x32 latents, 16 frames ----
-    u3cfg = UNet3DConfig()
     n_frames = scfg.n_video_frames
     unet3d = UNet3DModel(u3cfg, n_frames=n_frames)
-    x3 = jnp.zeros((1, 4, n_frames, 32, 32), DTYPE)
-    txt = jnp.zeros((1, 77, 768), DTYPE)
+    x3 = jnp.zeros((1, 4, n_frames, lat_vid, lat_vid), DTYPE)
+    txt = jnp.zeros((1, ctx_len, tcfg.width), DTYPE)
     unet3d_params = _cast(unet3d.init(key, x3, jnp.zeros((1,)), txt)["params"])
     cn = SparseControlNetModel(u3cfg, n_frames=n_frames)
     cn_params = _cast(cn.init(key, x3, jnp.zeros((1,)), txt,
-                              jnp.zeros((1, 4, n_frames, 32, 32), DTYPE),
-                              jnp.zeros((1, 1, n_frames, 32, 32), DTYPE)
-                              )["params"])
+                              jnp.zeros((1, 4, n_frames, lat_vid, lat_vid),
+                                        DTYPE),
+                              jnp.zeros((1, 1, n_frames, lat_vid, lat_vid),
+                                        DTYPE))["params"])
 
     # ---------------- jitted stage functions ----------------
-    from neurons_tpu.diffusion import prior as prior_lib
-    from neurons_tpu.pipelines.keyframe import unclip_sample
+    from neurons_tpu.models.prior import prior_attn_bias
+    from neurons_tpu.pipelines.keyframe import reconstruct_keyframes
     from neurons_tpu.pipelines.video import reconstruct_video
-
-    diffusion = prior_lib.PriorDiffusion.create(scfg.prior_steps)
 
     enc_reuse = int(os.environ.get("BENCH_ENC_REUSE", "1"))
     tgate_step = int(os.environ.get("BENCH_TGATE", "0"))
@@ -115,63 +173,98 @@ def build():
     if hoist_kv:
         from neurons_tpu.models.unet2d import precompute_context_kv
 
-        def kv_fn(p, ctx):
-            return precompute_context_kv(p, ctx.astype(DTYPE), ucfg)
+        def kv_fn(p, c):
+            return precompute_context_kv(p, c.astype(DTYPE), ucfg)
     else:
         kv_fn = None
 
-    @jax.jit
-    def stage3(prior_params, unet2d_params, vae_params, key, brain_tokens):
-        # step-invariant rel-pos bias hoisted out of the 100-step scan
-        from neurons_tpu.models.prior import prior_attn_bias
-        bias = prior_attn_bias(prior_params, pcfg.num_tokens)
+    # random class-name CLIP table (enhance mode, [51, 1280]); contents
+    # don't affect timing
+    class_embeds = jax.random.normal(jax.random.PRNGKey(7),
+                                     (dcfg.num_classes,
+                                      dcfg.clip_txt_emb_dim))
+    n_vox = bcfg.voxel_counts[0]
 
-        def net_apply(p, image_embed, times, brain_embed, **kw):
-            return prior.apply({"params": p}, image_embed.astype(DTYPE),
-                               times, brain_embed.astype(DTYPE),
-                               attn_bias=bias, **kw).astype(jnp.float32)
+    def dec_apply(p, method, *a, **kw):
+        a = [x.astype(DTYPE) if hasattr(x, "dtype")
+             and jnp.issubdtype(x.dtype, jnp.floating) else x for x in a]
+        kw = {k: (v.astype(DTYPE) if hasattr(v, "dtype")
+                  and jnp.issubdtype(v.dtype, jnp.floating) else v)
+              for k, v in kw.items()}
+        return _cast_f32(decoupler.apply({"params": p}, *a, method=method,
+                                         **kw))
 
-        k1, k2 = jax.random.split(key)
-        prior_out = prior_lib.p_sample_loop(
-            diffusion, net_apply, prior_params, k1,
-            brain_tokens.shape, brain_tokens)
+    def unet_apply(p, x, t, crossattn, vector, **kw):
+        out = unet2d.apply({"params": p}, x.astype(DTYPE), t,
+                           crossattn.astype(DTYPE),
+                           vector.astype(DTYPE), **kw)
+        if isinstance(out, tuple):
+            return (out[0].astype(jnp.float32),) + out[1:]
+        return out.astype(jnp.float32)
 
-        def unet_apply(p, x, t, crossattn, vector, **kw):
-            out = unet2d.apply({"params": p}, x.astype(DTYPE), t,
-                               crossattn.astype(DTYPE),
-                               vector.astype(DTYPE), **kw)
-            if isinstance(out, tuple):
-                return (out[0].astype(jnp.float32),) + out[1:]
-            return out.astype(jnp.float32)
-
-        def vae_decode(z):
-            return vae.apply(vae_params, z.astype(DTYPE),
-                             method="decode").astype(jnp.float32)
-
-        return unclip_sample(unet_apply, unet2d_params, vae_decode, k2,
-                             prior_out, num_steps=scfg.unclip_steps,
-                             cfg_scale=scfg.unclip_cfg_scale,
-                             latent_hw=96,
-                             encoder_reuse=enc_reuse,
-                             precompute_kv=kv_fn,
-                             tgate_step=tgate_step,
-                             tgate_pab=tgate_pab,
-                             pab=pab_kf,
-                             pab_range=pab_range), prior_out
+    def vae_decode(z):
+        return vae.apply(vae_params, z.astype(DTYPE),
+                         method="decode").astype(jnp.float32)
 
     @jax.jit
-    def stage5(unet3d_params, cn_params, vae_params, key, blurry, keyframe,
-               text_emb):
-        def u3(p, x, t, ctx, down, mid, **kw):
+    def stage3(dec_params, unet2d_params, vae_params, key, voxel):
+        # the full stage-3 forward: encode -> prior -> decoupler heads ->
+        # caption -> mask-modulated unCLIP (pipelines/keyframe.py)
+        out = reconstruct_keyframes(
+            decoupler_apply=dec_apply, decoupler_params=dec_params,
+            unet_apply=unet_apply, unet_params=unet2d_params,
+            vae_decode=vae_decode, key=key, voxel=voxel,
+            class_text_embeds=class_embeds, sampler_cfg=scfg,
+            n_frames=dcfg.n_frames, latent_hw=lat_kf, enhance=True,
+            caption_len=cap_len,
+            prior_bias=prior_attn_bias(_cast_f32(dec_params["prior_net"]),
+                                       pcfg.num_tokens).astype(DTYPE),
+            sampler_opts=dict(
+                tgate_step=tgate_step, tgate_pab=tgate_pab,
+                encoder_reuse=enc_reuse, pab=pab_kf, pab_range=pab_range,
+                precompute_kv=kv_fn))
+        # blurry-video decode to pixels (6 frames/clip; the stage-3
+        # artifact contract is pixel space, recon_keyframe_neurons.py:
+        # 323-333) — per-frame lax.map bounds the 512x512 decoder peaks
+        blurry_px = jax.lax.map(
+            lambda zi: vae_decode(zi[None])[0], out.blurry_latents)
+        blurry_px = jnp.clip(blurry_px / 2 + 0.5, 0.0, 1.0)
+        b = voxel.shape[0]
+        blurry_px = blurry_px.reshape(b, dcfg.n_frames, *blurry_px.shape[1:])
+        # artifact resolution: keyframes saved at 256 (reference :444),
+        # blurry consumed by stage 5 at 256 (neuroclips_video.py:181-183)
+        keyframe = jax.image.resize(out.keyframes, (b, 3, art_hw, art_hw),
+                                    "linear")
+        blurry_px = jax.image.resize(
+            blurry_px, (b, dcfg.n_frames, 3, art_hw, art_hw), "linear")
+        return keyframe, blurry_px, out.captions
+
+    @jax.jit
+    def stage5(unet3d_params, cn_params, vae_params, text_params, key,
+               blurry, keyframe, caption_tokens):
+        # caption -> 77-token CLIP text embedding (the reference re-embeds
+        # the stage-3/4 caption text with the SD text encoder; token ids
+        # stand in for the host-side retokenize, same compute)
+        b, L = caption_tokens.shape
+        toks = jnp.zeros((b, ctx_len), jnp.int32)
+        toks = toks.at[:, :min(L, ctx_len)].set(
+            caption_tokens[:, :ctx_len] % tcfg.vocab_size)
+        last, _ = text_tower.apply({"params": text_params}, toks)
+        text_emb = last.astype(jnp.float32)
+        uncond = text_tower.apply({"params": text_params},
+                                  jnp.zeros((b, ctx_len), jnp.int32))[0]
+        uncond = uncond.astype(jnp.float32)
+
+        def u3(p, x, t, c, down, mid, **kw):
             out = unet3d.apply({"params": p}, x.astype(DTYPE), t,
-                               ctx.astype(DTYPE), down, mid, **kw)
+                               c.astype(DTYPE), down, mid, **kw)
             if isinstance(out, tuple):
                 return (out[0].astype(jnp.float32),) + out[1:]
             return out.astype(jnp.float32)
 
-        def cna(p, x, t, ctx, cond, mask, scale):
+        def cna(p, x, t, c, cond, mask, scale):
             return cn.apply({"params": p}, x.astype(DTYPE), t,
-                            ctx.astype(DTYPE), cond.astype(DTYPE),
+                            c.astype(DTYPE), cond.astype(DTYPE),
                             mask.astype(DTYPE), scale)
 
         return reconstruct_video(
@@ -185,7 +278,7 @@ def build():
                 method="decode").astype(jnp.float32),
             key=key, blurry_video=blurry, keyframe=keyframe,
             text_embeddings=text_emb,
-            uncond_embeddings=jnp.zeros_like(text_emb),
+            uncond_embeddings=uncond,
             num_steps=scfg.video_steps,
             guidance_scale=scfg.video_cfg_scale,
             low_strength=scfg.low_strength,
@@ -193,29 +286,26 @@ def build():
             tgate_step=tgate_video, tgate_pab=tgate_pab, pab=pab,
             pab_range=pab_range).video
 
-    params = dict(prior=prior_params, unet2d=unet2d_params, vae=vae_params,
-                  unet3d=unet3d_params, cn=cn_params)
-    return stage3, stage5, params
+    params = dict(dec=dec_params, unet2d=unet2d_params, vae=vae_params,
+                  unet3d=unet3d_params, cn=cn_params, text=text_params)
+    return stage3, stage5, params, n_vox
 
 
-def run_once(stage3, stage5, params, key, batch):
+def run_once(stage3, stage5, params, key, batch, n_vox=13447):
     """One batched pass: `batch` clips amortize the fixed sampler
     overheads exactly as the reference batches stage 3 (batch 20,
     reference recon_keyframe_neurons.py:350)."""
     verbose = os.environ.get("BENCH_VERBOSE") == "1"
-    brain_tokens = jax.random.normal(key, (batch, 256, 1664)) * 0.5
+    voxel = jax.random.normal(key, (batch, 1, n_vox)) * 0.5
     t0 = time.perf_counter()
-    kf, prior_out = stage3(params["prior"], params["unet2d"], params["vae"],
-                           key, brain_tokens)
+    keyframe, blurry, captions = stage3(params["dec"], params["unet2d"],
+                                        params["vae"], key, voxel)
     if verbose:
-        float(jnp.sum(kf))  # host-scalar sync (see stage-5 note)
+        float(jnp.sum(keyframe))  # host-scalar sync (see stage-5 note)
         print(f"  stage3: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
-    keyframe = jax.image.resize(kf, (batch, 3, 256, 256), "linear")
-    blurry = jax.random.uniform(key, (batch, 6, 3, 256, 256))
-    text = jax.random.normal(key, (batch, 77, 768)) * 0.1
     t1 = time.perf_counter()
-    video = stage5(params["unet3d"], params["cn"], params["vae"], key,
-                   blurry, keyframe, text)
+    video = stage5(params["unet3d"], params["cn"], params["vae"],
+                   params["text"], key, blurry, keyframe, captions)
     # sync by materializing a scalar on the host: block_until_ready over
     # the axon tunnel has been observed to return early (0.006 s/clip
     # readings); a host float of a reduction cannot complete before the
@@ -228,15 +318,16 @@ def run_once(stage3, stage5, params, key, batch):
 
 
 def main():
-    stage3, stage5, params = build()
+    stage3, stage5, params, n_vox = build()
     key = jax.random.PRNGKey(0)
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     # warmup / compile
-    run_once(stage3, stage5, params, key, batch)
+    run_once(stage3, stage5, params, key, batch, n_vox)
     n_iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
     for i in range(n_iters):
-        run_once(stage3, stage5, params, jax.random.PRNGKey(i + 1), batch)
+        run_once(stage3, stage5, params, jax.random.PRNGKey(i + 1), batch,
+                 n_vox)
     sec_per_clip = (time.perf_counter() - t0) / (n_iters * batch)
     print(json.dumps({
         "metric": "sec_per_clip_e2e_stage3+5",

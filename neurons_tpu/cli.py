@@ -328,9 +328,21 @@ def cmd_recon(args):
     blurry_px = np.asarray(blurry_px).reshape(
         bs, f, *blurry_px.shape[1:])
 
+    recons = jnp.asarray(out.keyframes)
+    if not args.tiny:
+        # reference resizes to 256 before saving (recon_keyframe
+        # _neurons.py:444-445) and stores blurry at 224 (stage 5 reshapes
+        # recon_videos.pt as [1200*6, 3, 224, 224])
+        recons = jax.image.resize(recons, (recons.shape[0], 3, 256, 256),
+                                  "linear")
+        if blurry_px.shape[-1] != 224:
+            blurry_px = np.asarray(jax.image.resize(
+                jnp.asarray(blurry_px),
+                (*blurry_px.shape[:3], 224, 224), "linear"))
+
     out_dir = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
     io.save_stage3_artifacts(
-        out_dir, args.subj, all_recons=np.asarray(out.keyframes),
+        out_dir, args.subj, all_recons=np.asarray(recons),
         all_gts=np.asarray(test_split.images[:bs, 2]),
         captions=[f"tokens:{list(map(int, c[:8]))}" for c in out.captions],
         blurry_videos=blurry_px)
@@ -401,12 +413,20 @@ def cmd_caption(args):
         captions = [tok.decode(t, skip_special_tokens=True).strip()
                     for t in toks]
     except Exception:
+        # no cached OPT tokenizer: raw ids would silently poison the
+        # stage-5/6 caption artifact — refuse unless explicitly allowed
+        if not (args.tiny or args.synthetic
+                or getattr(args, "allow_raw_token_captions", False)):
+            raise RuntimeError(
+                "facebook/opt-2.7b tokenizer not cached: captions cannot "
+                "be decoded to text. Cache the tokenizer or pass "
+                "--allow_raw_token_captions to write raw 'ids:...' "
+                "strings (stage 5/6 will consume them as prompts).")
+        print("WARNING: no OPT tokenizer — writing raw token-id captions")
         captions = ["ids:" + ",".join(map(str, t)) for t in toks]
 
-    out = os.path.join(st3, "pred_test_caption.txt")
-    with open(out, "w") as f:
-        f.write("\n".join(captions))
-    print(f"=== stage 4 finished -> {out} ===")
+    io.save_caption_artifact(st3, captions)
+    print(f"=== stage 4 finished -> {st3}/pred_test_caption.pt ===")
 
 
 def cmd_video(args):
@@ -483,12 +503,30 @@ def cmd_video(args):
     shard, num_shards = args.shard, args.num_shards
     blurry = None
     try:
-        art = io.load_stage3_artifacts(st3, args.subj)
+        art = io.load_stage3_artifacts(
+            st3, args.subj, caption_mode=getattr(args, "caption_mode",
+                                                 "auto"))
         sel = np.arange(shard, len(art["all_recons"]), num_shards)
         if args.tiny:
             sel = sel[:2]
         keyframes = jnp.asarray(art["all_recons"][sel], jnp.float32)
-        gts = art["all_gts"][sel]
+        # GT video source preference: the dataset's GT_test_3fps.pt
+        # (what the reference composites into the GIFs,
+        # scripts/neuroclips_video.py:197-204); else the stage-3 GT
+        # keyframes (which may be single frames -> add a frame axis)
+        gts = None
+        gt_vid = os.path.join(args.root_dir, "GT_test_3fps.pt")
+        if os.path.exists(gt_vid):
+            import torch
+            gv = torch.load(gt_vid, map_location="cpu",
+                            weights_only=False).float().numpy()
+            if gv.ndim == 5 and gv.shape[1] == 3 and gv.shape[2] != 3:
+                gv = gv.transpose(0, 2, 1, 3, 4)  # [N,3,F,H,W]->[N,F,3,H,W]
+            gts = gv[sel]
+        if gts is None and art["all_gts"] is not None:
+            gts = art["all_gts"][sel]
+            if gts.ndim == 4:           # [N, 3, H, W] single-frame GTs
+                gts = gts[:, None]
         bv = art["blurry_videos"]
         if bv.ndim == 5 and bv.shape[2] == 3:  # pixel video [N, F, 3, H, W]
             blurry = jnp.asarray(bv[sel], jnp.float32)
@@ -502,7 +540,14 @@ def cmd_video(args):
         keyframes, gts, sel = None, None, np.arange(2)
     if keyframes is None or keyframes.ndim != 4:
         keyframes = jnp.asarray(g.uniform(size=(2, 3, hw, hw)), jnp.float32)
-        gts = g.uniform(size=(2, 6, 3, hw, hw)).astype(np.float32)
+        gts = None
+    if gts is None:
+        if not (args.tiny or args.synthetic):
+            raise RuntimeError(
+                f"no GT source: neither {args.root_dir}/GT_test_3fps.pt "
+                f"nor stage-3 all_gts found")
+        gts = g.uniform(size=(int(keyframes.shape[0]), 6, 3, hw, hw)
+                        ).astype(np.float32)
     keyframes = jax.image.resize(keyframes,
                                  (keyframes.shape[0], 3, hw, hw), "linear")
     if blurry is None:
@@ -828,12 +873,21 @@ def main(argv=None):
     p = sub.add_parser("caption", help="stage 4")
     _add_common(p)
     p.add_argument("--enhance", action="store_true")
+    p.add_argument("--allow_raw_token_captions", action="store_true",
+                   help="without a cached OPT tokenizer, write raw "
+                        "'ids:...' caption strings instead of failing")
     p.set_defaults(fn=cmd_caption)
 
     p = sub.add_parser("video", help="stage 5")
     _add_common(p)
     _add_train_args(p)
     p.add_argument("--enhance", action="store_true")
+    p.add_argument("--caption_mode", type=str, default="auto",
+                   choices=["auto", "self", "blip"],
+                   help="prompt source: stage-3 GPT-2 captions ('self') or "
+                        "stage-4 BLIP-2 captions ('blip'); 'auto' prefers "
+                        "blip when present (reference neuroclips_video.py"
+                        ":186-191 --mode)")
     p.add_argument("--shard", type=int, default=0,
                    help="round-robin clip shard index (reference "
                         "neuroclips_video.py:39-40 rank scattering)")
@@ -869,6 +923,9 @@ def main(argv=None):
     _add_train_args(p)
     p.add_argument("--enhance", action="store_true")
     p.add_argument("--mode", type=str, default=None)
+    p.add_argument("--caption_mode", type=str, default="auto",
+                   choices=["auto", "self", "blip"])
+    p.add_argument("--allow_raw_token_captions", action="store_true")
     p.add_argument("--shard", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
     p.set_defaults(fn=cmd_pipeline)

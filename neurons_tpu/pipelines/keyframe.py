@@ -16,9 +16,11 @@ unclip_recon (recon_keyframe_neurons.py:429-494, batch 1 through a 38-step
 sampler); here sampling is batched — the TPU-first win that amortizes the
 UNet over the MXU.
 
-Artifact contract (same filenames, so reference stage-4/5 interoperate):
+Artifact contract — the reference's exact .pt files, so its stage-4/5
+scripts (and the released EXP dump) interoperate with ours both ways:
   EXP/exp_{exp}/subj_{subj}/frames_generated{_enhance}/
-    {subj}_all_recons.pt-equivalent .npz, recon_videos, captions
+    video_subj0{subj}_all_recons.pt / _all_gts.pt / recon_videos.pt /
+    pred_test_caption_self.pt
 (reference recon_keyframe_neurons.py:448-451) — written by pipelines/io.py.
 """
 

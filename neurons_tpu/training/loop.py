@@ -150,7 +150,8 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                log_every: int = 50, logger=None,
                resume: bool = False,
                test_split: Optional[cc2017.CC2017Split] = None,
-               clip_targets_test: Optional[np.ndarray] = None
+               clip_targets_test: Optional[np.ndarray] = None,
+               image_log_every: int = 1,
                ) -> train_brain.TrainState:
     """Stage-2 training (reference `--neurons_decoupler` branch).
     `batch_builder(batch, epoch)` assembles the precomputed-table fields
@@ -187,6 +188,8 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
         core_eval = train_brain.make_stage1_eval_step(
             NeuronsCore(bcfg))
     best_metric = -np.inf
+    panel_fn = (train_decoupler.make_stage2_seg_panel_fn(bundle, dcfg)
+                if image_log_every else None)
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
@@ -198,16 +201,28 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                                         seed=tcfg.seed + epoch):
                 yield batch_builder(batch, epoch)
 
+        last_batch = None
         for it, sb in enumerate(prefetch_to_device(_stage2_batches(), mesh)):
             state, metrics = step_fn(state, epoch_key(key, epoch, it), sb,
                                      jnp.asarray(epoch), jnp.asarray(it),
                                      jnp.asarray(soft_temps[temp_idx]))
             ep_losses.append(metrics["loss"])
+            last_batch = sb
             if it % log_every == 0:
                 _log(f"epoch {epoch} it {it}: "
                      f"loss={float(metrics['loss']):.4f} "
                      f"prior={float(metrics['loss_prior']):.4f} "
                      f"seg={float(metrics['loss_key_obj_seg']):.4f}")
+        # seg-mask image panels (reference train_neurons.py:464-477)
+        if (panel_fn is not None and epoch % image_log_every == 0
+                and last_batch is not None):
+            nshow = min(4, int(last_batch["voxel"].shape[0]))
+            small = {k: v[:nshow] for k, v in last_batch.items()}
+            pred, gt = panel_fn(state.params, epoch_key(key, epoch, 0),
+                                small)
+            logger.log_images(
+                {"seg_pred": np.asarray(pred), "seg_gt": np.asarray(gt)},
+                step=int(state.step))
         ep_losses = [float(x) for x in ep_losses]
         _log(f"epoch {epoch}: mean_loss={np.mean(ep_losses):.4f} "
              f"({time.time() - t0:.1f}s)")

@@ -172,6 +172,44 @@ def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
     return loss, metrics
 
 
+def make_stage2_seg_panel_fn(bundle: Stage2Bundle, dcfg: DecouplerConfig):
+    """Periodic seg-mask visualization panels (the reference's wandb image
+    logging, train_neurons.py:464-477): predicted masks next to GT for a
+    few samples of the current batch, from the same one-step prior x0
+    signal the seg head trains on."""
+    model = bundle.model
+
+    @jax.jit
+    def panel(params, key, batch):
+        voxel = batch["voxel"]
+        b, f = voxel.shape[0], dcfg.n_frames
+        _, clip_vision, _ = model.apply({"params": params}, voxel,
+                                        method=NeuronsDecoupler.encode)
+
+        def net_apply(p, image_embed, times, brain_embed, **kw):
+            return model.apply({"params": p}, image_embed, times,
+                               brain_embed,
+                               method=NeuronsDecoupler.prior_apply, **kw)
+
+        from neurons_tpu.diffusion.prior import p_losses
+        _, prior_out = p_losses(bundle.diffusion, net_apply, params, key,
+                                batch["clip_vision_target"], clip_vision)
+        motion = model.apply({"params": params}, prior_out,
+                             method=NeuronsDecoupler.motion)
+        flat = motion.reshape(b * f, motion.shape[2], motion.shape[3])
+        seg = model.apply({"params": params}, flat,
+                          batch["key_obj_text_embed"], b * f,
+                          method=NeuronsDecoupler.seg_decode)
+        pred = jax.nn.sigmoid(seg.astype(jnp.float32))  # [(B F), 1, h, w]
+        hw = pred.shape[-2:]
+        gt = jax.image.resize(batch["key_obj_masks"],
+                              batch["key_obj_masks"].shape[:2] + hw,
+                              "nearest").reshape(b * f, 1, *hw)
+        return pred[:, 0], gt[:, 0]                     # [(B F), h, w]
+
+    return panel
+
+
 def make_stage2_train_step(bundle: Stage2Bundle, tcfg: TrainConfig,
                            dcfg: DecouplerConfig, steps_per_epoch: int):
     # donate the state (see train_brain.make_stage1_train_step): avoids

@@ -68,6 +68,50 @@ class MetricLogger:
         if self._wandb:
             self._wandb.log(row, step=step)
 
+    def log_images(self, images: Dict[str, Any],
+                   step: Optional[int] = None,
+                   caption: Optional[str] = None) -> None:
+        """Periodic image panels (the reference's wandb seg-mask
+        visualizations, train_neurons.py:464-477). `images` maps panel
+        name -> [H, W], [H, W, C] or [N, H, W(, C)] arrays in [0, 1] (a
+        leading batch is tiled side by side). Forwarded to wandb when
+        live; always also written as PNGs under <log_dir>/images/ so
+        offline runs keep the panels."""
+        if not _is_main():
+            return
+        import numpy as np
+
+        panels = {}
+        for name, img in images.items():
+            a = np.asarray(img, np.float32)
+            if a.ndim == 4 or (a.ndim == 3 and a.shape[-1] not in (1, 3)):
+                a = np.concatenate(list(a), axis=1)  # tile batch on width
+            if a.ndim == 3 and a.shape[-1] == 1:
+                a = a[..., 0]
+            panels[name] = np.clip(a, 0.0, 1.0)
+        if self._fh:
+            img_dir = os.path.join(os.path.dirname(self._fh.name), "images")
+            os.makedirs(img_dir, exist_ok=True)
+            for name, a in panels.items():
+                tag = f"step{step}_" if step is not None else ""
+                self._write_png(a, os.path.join(img_dir,
+                                                f"{tag}{name}.png"))
+        if self._wandb:
+            self._wandb.log(
+                {name: self._wandb.Image(a, caption=caption)
+                 for name, a in panels.items()}, step=step)
+
+    @staticmethod
+    def _write_png(a, path: str) -> None:
+        import numpy as np
+
+        u8 = (np.asarray(a) * 255).astype(np.uint8)
+        try:
+            import imageio
+            imageio.imwrite(path, u8)
+        except Exception:
+            np.save(path + ".npy", u8)  # last-resort raw dump
+
     def close(self) -> None:
         if self._fh:
             self._fh.close()

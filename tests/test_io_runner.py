@@ -23,6 +23,73 @@ def test_stage3_artifact_roundtrip(tmp_path):
     assert out["captions"] == ["a dog", "a cat", "a car"]
 
 
+def test_stage3_pt_dialect_exact_names(tmp_path):
+    """Our saver writes the reference's exact .pt files, loadable with
+    plain torch.load (reference recon_keyframe_neurons.py:448-451)."""
+    import torch
+
+    p = str(tmp_path / "frames_generated")
+    g = np.random.default_rng(4)
+    recons = g.uniform(size=(2, 3, 8, 8)).astype(np.float32)
+    io.save_stage3_artifacts(
+        p, 2, all_recons=recons,
+        all_gts=g.uniform(size=(2, 3, 8, 8)).astype(np.float32),
+        captions=["a bird", "a boat"],
+        blurry_videos=g.uniform(size=(2, 6, 3, 8, 8)).astype(np.float32))
+    t = torch.load(os.path.join(p, "video_subj02_all_recons.pt"),
+                   weights_only=False)
+    assert isinstance(t, torch.Tensor) and tuple(t.shape) == (2, 3, 8, 8)
+    np.testing.assert_allclose(t.numpy(), recons)
+    for name in ("video_subj02_all_gts.pt", "recon_videos.pt"):
+        assert isinstance(torch.load(os.path.join(p, name),
+                                     weights_only=False), torch.Tensor)
+    caps = torch.load(os.path.join(p, "pred_test_caption_self.pt"),
+                      weights_only=False)
+    assert isinstance(caps, np.ndarray) and caps.dtype == object
+    assert list(caps) == ["a bird", "a boat"]
+
+
+def test_load_reference_produced_dump(tmp_path):
+    """A directory written the way the reference writes it (torch tensors,
+    np.hstack caption array, flat [N*6,3,H,W] recon_videos) loads through
+    our loader, including stage-4 caption preference."""
+    import torch
+
+    p = tmp_path / "frames_generated"
+    p.mkdir()
+    g = np.random.default_rng(5)
+    recons = torch.from_numpy(g.uniform(size=(3, 3, 8, 8)).astype("f"))
+    torch.save(recons, str(p / "video_subj01_all_recons.pt"))
+    torch.save(recons.clone(), str(p / "video_subj01_all_gts.pt"))
+    blurry = torch.from_numpy(g.uniform(size=(18, 3, 8, 8)).astype("f"))
+    torch.save(blurry, str(p / "recon_videos.pt"))  # reference flat layout
+    torch.save(np.hstack(([], ["x", "y", "z"])),
+               str(p / "pred_test_caption_self.pt"))
+    out = io.load_stage3_artifacts(str(p), 1)
+    assert out["blurry_videos"].shape == (3, 6, 3, 8, 8)
+    np.testing.assert_allclose(out["all_recons"], recons.numpy())
+    assert out["captions"] == ["x", "y", "z"]
+    # stage-4 captions take precedence in auto mode; 'self' still selects
+    # the stage-3 ones (reference neuroclips_video.py:186-191)
+    io.save_caption_artifact(str(p), ["blip a", "blip b", "blip c"])
+    assert io.load_stage3_artifacts(str(p), 1)["captions"][0] == "blip a"
+    assert io.load_captions(str(p), "self") == ["x", "y", "z"]
+
+
+def test_legacy_npz_artifacts_still_readable(tmp_path):
+    p = tmp_path / "frames_generated"
+    p.mkdir()
+    g = np.random.default_rng(6)
+    r = g.uniform(size=(2, 3, 8, 8)).astype(np.float32)
+    np.savez(str(p / "subj01_all_recons.npz"), all_recons=r, all_gts=r)
+    np.savez(str(p / "recon_videos.npz"),
+             videos=g.uniform(size=(2, 6, 3, 8, 8)).astype(np.float32))
+    (p / "pred_test_caption_self.txt").write_text("old a\nold b")
+    out = io.load_stage3_artifacts(str(p), 1)
+    np.testing.assert_allclose(out["all_recons"], r)
+    assert out["captions"] == ["old a", "old b"]
+
+
 def test_gif_roundtrip_and_split(tmp_path):
     g = np.random.default_rng(1)
     # one "video": GT and pred side by side, [1, F, 3, H, 2W]

@@ -57,6 +57,20 @@ def _cast_f32(tree):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
+def _init_bf16(init_fn, *args):
+    """Initialize parameters on the CPU backend, cast to bf16, then move
+    to the accelerator: full-size f32 init trees (the 2.2B-param Neurons
+    ensemble alone is ~9 GB f32) would otherwise transiently double HBM
+    use next to their bf16 copies."""
+    cpus = jax.devices("cpu")
+    with jax.default_device(cpus[0]):
+        tree = _cast(init_fn(*args))
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        return tree
+    return jax.device_put(tree, dev)
+
+
 def build():
     from neurons_tpu.config import (BrainModelConfig, DecouplerConfig,
                                     PriorConfig, SamplerConfig, UNet2DConfig,
@@ -112,40 +126,40 @@ def build():
 
     decoupler = NeuronsDecoupler(bcfg, pcfg, dcfg, gcfg)
     voxel0 = jnp.zeros((1, 1, bcfg.voxel_counts[0]), DTYPE)
-    dec_params = _cast(decoupler.init(key, voxel0,
-                                      jnp.zeros((1, 8), jnp.int32))["params"])
+    dec_params = _init_bf16(lambda: decoupler.init(
+        key, voxel0, jnp.zeros((1, 8), jnp.int32))["params"])
 
     # ---- unCLIP UNet @ 96x96 latents ----
     unet2d = UNetModel(ucfg)
     x2 = jnp.zeros((1, 4, lat_kf, lat_kf), DTYPE)
     ctx = jnp.zeros((1, bcfg.clip_seq_dim, bcfg.clip_emb_dim), DTYPE)
     vec = jnp.zeros((1, 1024), DTYPE)
-    unet2d_params = _cast(unet2d.init(key, x2, jnp.zeros((1,)), ctx,
-                                      vec)["params"])
+    unet2d_params = _init_bf16(lambda: unet2d.init(
+        key, x2, jnp.zeros((1,)), ctx, vec)["params"])
 
     # ---- VAEs (SD f8) ----
     vae = AutoencoderKL(vcfg)
-    vae_params = _cast(vae.init(key, jnp.zeros((1, 3, 64, 64), DTYPE)))
+    vae_params = _init_bf16(lambda: vae.init(
+        key, jnp.zeros((1, 3, 64, 64), DTYPE)))
 
     # ---- SD-1.5 CLIP text encoder (stage-5 prompt embedding,
     # reference scripts/neuroclips_video.py:95-117,254-260) ----
     text_tower = CLIPTextTower(tcfg)
-    text_params = _cast(text_tower.init(key,
-                                        jnp.zeros((1, ctx_len), jnp.int32)
-                                        )["params"])
+    text_params = _init_bf16(lambda: text_tower.init(
+        key, jnp.zeros((1, ctx_len), jnp.int32))["params"])
 
     # ---- video UNet + SparseCtrl @ 32x32 latents, 16 frames ----
     n_frames = scfg.n_video_frames
     unet3d = UNet3DModel(u3cfg, n_frames=n_frames)
     x3 = jnp.zeros((1, 4, n_frames, lat_vid, lat_vid), DTYPE)
     txt = jnp.zeros((1, ctx_len, tcfg.width), DTYPE)
-    unet3d_params = _cast(unet3d.init(key, x3, jnp.zeros((1,)), txt)["params"])
+    unet3d_params = _init_bf16(lambda: unet3d.init(
+        key, x3, jnp.zeros((1,)), txt)["params"])
     cn = SparseControlNetModel(u3cfg, n_frames=n_frames)
-    cn_params = _cast(cn.init(key, x3, jnp.zeros((1,)), txt,
-                              jnp.zeros((1, 4, n_frames, lat_vid, lat_vid),
-                                        DTYPE),
-                              jnp.zeros((1, 1, n_frames, lat_vid, lat_vid),
-                                        DTYPE))["params"])
+    cn_params = _init_bf16(lambda: cn.init(
+        key, x3, jnp.zeros((1,)), txt,
+        jnp.zeros((1, 4, n_frames, lat_vid, lat_vid), DTYPE),
+        jnp.zeros((1, 1, n_frames, lat_vid, lat_vid), DTYPE))["params"])
 
     # ---------------- jitted stage functions ----------------
     from neurons_tpu.models.prior import prior_attn_bias

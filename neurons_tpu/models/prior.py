@@ -205,19 +205,32 @@ class MultiQueryAttention(nn.Module):
         k = jnp.concatenate([nk, k], axis=1)          # [b, n+1, dh]
         v = jnp.concatenate([nv, v], axis=1)
 
-        # logits [b, h, n, n+1]; K/V broadcast across heads (multi-query)
-        sim = jnp.einsum("bhid,bjd->bhij", q, k,
-                         preferred_element_type=jnp.float32)
-        if attn_bias is not None:
-            sim = sim + attn_bias[None]
-        if self.causal:
-            i = jnp.arange(n)[:, None]
-            j = jnp.arange(n + 1)[None, :]
-            causal_mask = j > (i + 1)  # null token (j=0) always visible
-            sim = jnp.where(causal_mask[None, None], -1e30, sim)
-        attn = jax.nn.softmax(sim, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhij,bjd->bhid", attn.astype(v.dtype), v)
+        if not self.causal and (deterministic or self.dropout == 0.0):
+            # dispatcher path: on TPU this takes the bias-capable whole-KV
+            # flash kernel (ops/attention.py) for the 513-token rows; K/V
+            # broadcast across heads realizes the multi-query layout
+            from neurons_tpu.ops.attention import dot_product_attention
+            kb = jnp.broadcast_to(k[:, None],
+                                  (b, self.heads) + k.shape[1:])
+            vb = jnp.broadcast_to(v[:, None],
+                                  (b, self.heads) + v.shape[1:])
+            out = dot_product_attention(q, kb, vb, bias=attn_bias,
+                                        scale=1.0)  # q is pre-scaled
+        else:
+            # logits [b, h, n, n+1]; K/V broadcast across heads (multi-query)
+            sim = jnp.einsum("bhid,bjd->bhij", q, k,
+                             preferred_element_type=jnp.float32)
+            if attn_bias is not None:
+                sim = sim + attn_bias[None]
+            if self.causal:
+                i = jnp.arange(n)[:, None]
+                j = jnp.arange(n + 1)[None, :]
+                causal_mask = j > (i + 1)  # null token (j=0) always visible
+                sim = jnp.where(causal_mask[None, None], -1e30, sim)
+            attn = jax.nn.softmax(sim, axis=-1)
+            attn = nn.Dropout(self.dropout,
+                              deterministic=deterministic)(attn)
+            out = jnp.einsum("bhij,bjd->bhid", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, use_bias=False, name="to_out")(out)
         return GainLayerNorm(name="out_norm")(out)

@@ -76,6 +76,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_PROBE_CACHE: dict = {}
+
+
+def _probe_ok(cfg_key, call_fn, args) -> bool:
+    """Compile-probe a pallas_call configuration (opt-in via
+    NEURONS_TPU_VMEM_PROBE=1): the static VMEM budget below is a
+    calibrated estimate of Mosaic's scoped-VMEM use; the probe replaces
+    trust in that calibration with an actual compile, falling back to the
+    (always VMEM-safe) streaming kernel when Mosaic rejects the config.
+    One extra compile per unique shape, amortized by the persistent
+    compile cache and memoized per process."""
+    if cfg_key in _PROBE_CACHE:
+        return _PROBE_CACHE[cfg_key]
+    try:
+        jax.jit(call_fn).lower(
+            *[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
+        ).compile()
+        ok = True
+    except Exception:
+        ok = False
+    _PROBE_CACHE[cfg_key] = ok
+    return ok
+
+
 def _pick_block(t: int, cap: int) -> int:
     """Largest divisor of `t` that is <= cap, a multiple of 16 (bf16
     sublane tile) and >= 128 — a divisor block means ZERO padding, and the
@@ -134,6 +158,43 @@ def _flash_kernel_smallkv(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_kernel_smallkv_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *,
+                               scale: float, kv_len: int, block_k: int):
+    """Whole-KV variant with an additive attention bias (the diffusion
+    prior's RelPosBias, reference BrainModel_neurons.py:636-686 via
+    dalle2 RelPosBias). The bias tile [block_q, Tk_p] is VMEM-resident
+    like K/V; everything else matches `_flash_kernel_smallkv`."""
+    q = q_ref[...]                                      # [Bq, D]
+    bq, d = q.shape
+    tk = k_ref.shape[0]
+    num_kb = tk // block_k
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+
+    def body(i, carry):
+        acc, m, l = carry
+        kb = k_ref[pl.ds(i * block_k, block_k), :]
+        vb = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + b_ref[:, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   scale: float, kv_len: int, block_k: int, num_kb: int):
     """Streaming flash attention: grid (bh, q_blocks, kv_blocks); the kv
@@ -176,14 +237,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                       ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    bias: Optional[jax.Array] = None,
                     scale: Optional[float] = None,
                     block_q: int = 256, block_k: int = 256,
                     interpret: bool = False) -> jax.Array:
     """Pallas flash attention. q: [B, H, Tq, D], k/v: [B, H, Tk, D].
 
-    Pads Tq/Tk to block multiples and D to the 128-lane boundary; padded kv
+    `bias` is an optional additive attention bias broadcastable to
+    [B, H, Tq, Tk] (accepted as [Tq, Tk] / [H, Tq, Tk] / [B, H, Tq, Tk]) —
+    the diffusion prior's RelPosBias path. Biased attention takes the
+    whole-KV kernel when the KV window fits VMEM, else the XLA reference.
+
+    Pads Tq/Tk to block multiples and D to the sublane boundary; padded kv
     columns are masked in-kernel, padded q rows are sliced off after.
 
     Differentiable: pallas_call has no autodiff rule, so a custom VJP
@@ -191,13 +258,14 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     same math up to softmax recompute roundoff) — forward takes the fast
     kernel, training gradients stay correct. Memory of the backward is
     the O(Tq*Tk) logits matrix, fine at this framework's shapes."""
-    return _flash_attention_impl(q, k, v, scale, block_q, block_k,
+    return _flash_attention_impl(q, k, v, bias, scale, block_q, block_k,
                                  interpret)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out = _flash_attention_impl(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
+    out = _flash_attention_impl(q, k, v, bias, scale, block_q, block_k,
+                                interpret)
+    return out, (q, k, v, bias)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
@@ -206,7 +274,7 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
     matrix — 4 GB per 4096-token site in the stage-2 decoder, which
     OOM'd HBM. This scan recomputes softmax per q-chunk, so transient
     memory is O(chunk * Tk) while dk/dv accumulate in f32."""
-    q, k, v = res
+    q, k, v, bias = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, tq, d_ = q.shape
@@ -216,6 +284,12 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
     kf = k.reshape(bh, tk, d_)
     vf = v.reshape(bh, tk, d_)
     gf = g.reshape(bh, tq, d_)
+    bias_b = None
+    if bias is not None:
+        bias_b = jnp.broadcast_to(
+            bias.astype(jnp.float32).reshape(
+                (1,) * (4 - bias.ndim) + bias.shape),
+            (b, h, tq, tk)).reshape(bh, tq, tk)
 
     ch = min(512, tq)
     tq_p = _round_up(tq, ch)
@@ -223,15 +297,22 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
         # zero-padded g rows contribute nothing to ds/dv (see below)
         qf = jnp.pad(qf, ((0, 0), (0, tq_p - tq), (0, 0)))
         gf = jnp.pad(gf, ((0, 0), (0, tq_p - tq), (0, 0)))
+        if bias_b is not None:
+            bias_b = jnp.pad(bias_b,
+                             ((0, 0), (0, tq_p - tq), (0, 0)),
+                             constant_values=_NEG_INF)
     nc = tq_p // ch
     qc_all = qf.reshape(bh, nc, ch, d_).transpose(1, 0, 2, 3)
     gc_all = gf.reshape(bh, nc, ch, d_).transpose(1, 0, 2, 3)
+    bc_all = (bias_b.reshape(bh, nc, ch, tk).transpose(1, 0, 2, 3)
+              if bias_b is not None else
+              jnp.zeros((nc, 1, 1, 1), jnp.float32))
 
     def step(carry, args):
         dk, dv = carry
-        qc, gc = args  # [bh, ch, D]
+        qc, gc, bc = args  # [bh, ch, D], bias chunk [bh, ch, tk]
         s = jnp.einsum("bqd,bkd->bqk", qc, kf,
-                       preferred_element_type=jnp.float32) * scale
+                       preferred_element_type=jnp.float32) * scale + bc
         p = jax.nn.softmax(s, axis=-1)
         pv = p.astype(vf.dtype)
         dv = dv + jnp.einsum("bqk,bqd->bkd", pv, gc,
@@ -244,15 +325,28 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
                           preferred_element_type=jnp.float32) * scale
         dk = dk + jnp.einsum("bqk,bqd->bkd", dsv, qc,
                              preferred_element_type=jnp.float32) * scale
-        return (dk, dv), dq_c
+        return (dk, dv), (dq_c, ds if bias_b is not None else None)
 
     zero = jnp.zeros((bh, tk, d_), jnp.float32)
-    (dk, dv), dq_chunks = jax.lax.scan(step, (zero, zero),
-                                       (qc_all, gc_all))
+    (dk, dv), (dq_chunks, ds_chunks) = jax.lax.scan(
+        step, (zero, zero), (qc_all, gc_all, bc_all))
     dq = dq_chunks.transpose(1, 0, 2, 3).reshape(bh, tq_p, d_)[:, :tq]
+    dbias = None
+    if bias_b is not None:
+        ds_full = ds_chunks.transpose(1, 0, 2, 3).reshape(
+            bh, tq_p, tk)[:, :tq].reshape(b, h, tq, tk)
+        # reduce over the axes the bias was broadcast across
+        if bias.ndim == 2:
+            dbias = ds_full.sum(axis=(0, 1))
+        elif bias.ndim == 3:
+            dbias = ds_full.sum(axis=0)
+        else:
+            dbias = ds_full
+        dbias = dbias.astype(bias.dtype)
     return (dq.reshape(q.shape).astype(q.dtype),
             dk.reshape(k.shape).astype(k.dtype),
-            dv.reshape(v.shape).astype(v.dtype))
+            dv.reshape(v.shape).astype(v.dtype),
+            dbias)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -261,6 +355,7 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret"))
 def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
+                          bias: Optional[jax.Array] = None,
                           scale: Optional[float] = None,
                           block_q: int = 256, block_k: int = 256,
                           interpret: bool = False) -> jax.Array:
@@ -272,18 +367,23 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     # sublane-aligned head dims (64 in the unCLIP UNet, 40/80/160 in the
     # video UNet) stay unpadded: Mosaic tiles the short minor dim in VMEM
     # for free, while an explicit pad to 128 materializes padded q/k/v
-    # copies in HBM (and 1.6x-2x dead MXU work)
-    d_p = d if d % 8 == 0 else _round_up(d, 128)
+    # copies in HBM (and 1.6x-2x dead MXU work). Other dims pad to the
+    # 8-sublane boundary (the prior's d=52 -> 56, not 128).
+    d_p = d if d % 8 == 0 else _round_up(d, 8)
     esize = jnp.dtype(q.dtype).itemsize  # 2 bf16 (bench) / 4 f32 (train)
 
     def _vmem_est(bq, bk):
         """Scoped-VMEM footprint of one whole-KV program: resident K+V
         (padded to the block multiple ACTUALLY used, not just 128),
-        q tile + f32 accumulator, f32 logits + value-dtype probs."""
+        q tile + f32 accumulator, f32 logits + value-dtype probs, and the
+        resident bias tile when present."""
         rows = _round_up(tk, bk)
-        return (2 * rows * d_p * esize
-                + bq * d_p * (esize + 4)
-                + bq * bk * (4 + esize))
+        est = (2 * rows * d_p * esize
+               + bq * d_p * (esize + 4)
+               + bq * bk * (4 + esize))
+        if bias is not None:
+            est += bq * rows * jnp.dtype(bias.dtype).itemsize
+        return est
 
     # whole-KV sites are launch/loop-overhead bound at small blocks
     # (34 us of math took 250 us at 3x192 on the 576-token mid stage) —
@@ -332,23 +432,90 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     # 16 MB scoped cap)
     smallkv = (tk_p * esize <= 4608
                and _vmem_est(block_q, block_k) <= _BUDGET)  # rows == tk_p here
+    if bias is not None and not smallkv:
+        # biased attention is only kernelized in the whole-KV regime (the
+        # 513-token prior); larger biased shapes take the XLA reference
+        return xla_attention(q, k, v, bias=bias, scale=scale)
     if smallkv:
-        out = pl.pallas_call(
-            functools.partial(_flash_kernel_smallkv, scale=scale,
-                              kv_len=tk, block_k=block_k),
-            grid=(b * h, tq_p // block_q),
-            in_specs=[
-                pl.BlockSpec((None, block_q, d_p),
-                             lambda bh, qi: (bh, qi, 0)),
-                pl.BlockSpec((None, tk_p, d_p), lambda bh, qi: (bh, 0, 0)),
-                pl.BlockSpec((None, tk_p, d_p), lambda bh, qi: (bh, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((None, block_q, d_p),
-                                   lambda bh, qi: (bh, qi, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
-            interpret=interpret,
-        )(qf, kf, vf)
-        return out.reshape(b, h, tq_p, d_p)[:, :, :tq, :d]
+        if bias is not None:
+            # normalize bias to [N, Tq_p, Tk_p], N in {1, h, b*h}; the
+            # index map below folds the (b, h) program id onto it
+            bias4 = bias.reshape((1,) * (4 - bias.ndim) + bias.shape)
+            bb, bh_ = bias4.shape[:2]
+            bias_n = bb * bh_
+            biasf = bias4.reshape(bias_n, tq, tk)
+            biasf = jnp.pad(biasf,
+                            ((0, 0), (0, tq_p - tq), (0, tk_p - tk)))
+            if bias_n == 1:
+                bmap = lambda bhid, qi: (0, qi, 0)
+            elif bb == 1:                   # per-head bias, shared over b
+                bmap = lambda bhid, qi: (bhid % h, qi, 0)
+            else:
+                assert bb == b and bh_ == h, (
+                    f"bias batch/head dims {bias4.shape[:2]} must be 1 or "
+                    f"match q's ({b}, {h})")
+                bmap = lambda bhid, qi: (bhid, qi, 0)
+            call = pl.pallas_call(
+                functools.partial(_flash_kernel_smallkv_bias, scale=scale,
+                                  kv_len=tk, block_k=block_k),
+                grid=(b * h, tq_p // block_q),
+                in_specs=[
+                    pl.BlockSpec((None, block_q, d_p),
+                                 lambda bh, qi: (bh, qi, 0)),
+                    pl.BlockSpec((None, tk_p, d_p),
+                                 lambda bh, qi: (bh, 0, 0)),
+                    pl.BlockSpec((None, tk_p, d_p),
+                                 lambda bh, qi: (bh, 0, 0)),
+                    pl.BlockSpec((None, block_q, tk_p), bmap),
+                ],
+                out_specs=pl.BlockSpec((None, block_q, d_p),
+                                       lambda bh, qi: (bh, qi, 0)),
+                out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
+                interpret=interpret,
+            )
+            call_args = (qf, kf, vf, biasf)
+        else:
+            call = pl.pallas_call(
+                functools.partial(_flash_kernel_smallkv, scale=scale,
+                                  kv_len=tk, block_k=block_k),
+                grid=(b * h, tq_p // block_q),
+                in_specs=[
+                    pl.BlockSpec((None, block_q, d_p),
+                                 lambda bh, qi: (bh, qi, 0)),
+                    pl.BlockSpec((None, tk_p, d_p),
+                                 lambda bh, qi: (bh, 0, 0)),
+                    pl.BlockSpec((None, tk_p, d_p),
+                                 lambda bh, qi: (bh, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((None, block_q, d_p),
+                                       lambda bh, qi: (bh, qi, 0)),
+                out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
+                interpret=interpret,
+            )
+            call_args = (qf, kf, vf)
+        probe = (os.environ.get("NEURONS_TPU_VMEM_PROBE") == "1"
+                 and not interpret and _on_tpu())
+        cfg_key = ("smallkv", b * h, tq_p, tk_p, d_p, block_q, block_k,
+                   str(q.dtype), bias is not None)
+        if not probe or _probe_ok(cfg_key, call, call_args):
+            out = call(*call_args)
+            return out.reshape(b, h, tq_p, d_p)[:, :, :tq, :d]
+        # probe rejected the whole-KV config: biased shapes take the XLA
+        # reference, unbiased fall through to the streaming kernel with
+        # the base (ungrown) blocks re-derived + re-padded
+        if bias is not None:
+            return xla_attention(q, k, v, bias=bias, scale=scale)
+        block_q = _pick_block(tq, 256)
+        block_k = _pick_block(tk, 256)
+        tq_p = _round_up(tq, block_q)
+        tk_p = _round_up(tk, block_k)
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, d_p - d)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d)))
+        qf = qp.reshape(b * h, tq_p, d_p)
+        kf = kp.reshape(b * h, tk_p, d_p)
+        vf = vp.reshape(b * h, tk_p, d_p)
+        num_kb = tk_p // block_k
 
     grid = (b * h, tq_p // block_q, num_kb)
     out = pl.pallas_call(
@@ -383,15 +550,18 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           scale: Optional[float] = None) -> jax.Array:
     """Dispatching attention entry point. [B, H, T, D] layout.
 
-    Uses the Pallas flash kernel on TPU for unbiased/unmasked attention with
-    enough rows to fill tiles; otherwise the XLA path (which XLA fuses well
-    at small sizes, and which supports bias/mask).
+    Uses the Pallas flash kernel on TPU for unmasked attention with enough
+    rows to fill tiles — including additive-bias attention (the prior's
+    RelPosBias, whole-KV kernel); otherwise the XLA path (which XLA fuses
+    well at small sizes, and which supports mask).
     """
     use_pallas = (
-        _HAS_PALLAS and _on_tpu() and bias is None and mask is None
+        _HAS_PALLAS and _on_tpu() and mask is None
         and q.shape[-2] >= 128 and k.shape[-2] >= 128
         and os.environ.get("NEURONS_TPU_NO_PALLAS") != "1"  # A/B knob
     )
+    if use_pallas and bias is not None:
+        use_pallas = os.environ.get("NEURONS_TPU_BIAS_FLASH", "1") == "1"
     if use_pallas:
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention(q, k, v, bias=bias, scale=scale)
     return xla_attention(q, k, v, bias=bias, mask=mask, scale=scale)

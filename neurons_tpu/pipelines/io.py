@@ -45,7 +45,7 @@ def video_dir(root: str, exp: str, subj: int, mode: str) -> str:
 def _torch_save(arr, path: str) -> None:
     import torch
 
-    torch.save(torch.from_numpy(np.ascontiguousarray(arr)), path)
+    torch.save(torch.from_numpy(np.array(arr, order="C")), path)
 
 
 def _torch_load(path: str) -> np.ndarray:

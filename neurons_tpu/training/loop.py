@@ -292,6 +292,37 @@ def synthetic_stage2_batch_builder(bcfg: BrainModelConfig,
     return build
 
 
+def structured_stage2_batch_builder(clip_targets: np.ndarray,
+                                    aux: Dict, split: cc2017.CC2017Split,
+                                    dcfg: DecouplerConfig,
+                                    gpt2_vocab: int) -> Callable:
+    """Batch builder over `cc2017.structured_synthetic_split` outputs:
+    per-sample deterministic targets (indexed by the batch's global
+    'index'), so stage-2 losses genuinely converge — the convergence-run
+    harness (tools/convergence_run.py) uses this."""
+
+    def build(batch: Dict, epoch: int) -> Dict:
+        f = dcfg.n_frames
+        idx = batch["index"]
+        video = np.asarray(clip_targets[idx, :f], np.float32)
+        key_cls = batch["key_obj_cls"].astype(np.int64)
+        return {
+            "voxel": batch["voxel"][:, :1].astype(np.float32),
+            "clip_vision_target": video[:, min(2, f - 1)],
+            "clip_video_target": video,
+            "text_emb": batch["text_emb"].astype(np.float32),
+            "key_obj_text_embed": aux["class_text_embeds"][key_cls],
+            "key_obj_masks": batch["key_obj_masks"][:, :f].astype(np.float32),
+            "cls_label": batch["cls_label"].astype(np.float32),
+            "clip_tokens": (batch["clip_tokens"][:, :12] % gpt2_vocab
+                            ).astype(np.int32),
+            "vae_latents": np.asarray(aux["vae_latents"][idx, :f],
+                                      np.float32),
+        }
+
+    return build
+
+
 def table_stage2_batch_builder(root_dir: str, dcfg: DecouplerConfig,
                                gpt2_vocab: int,
                                caption_token_len: int = 60) -> Callable:

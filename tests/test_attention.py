@@ -50,8 +50,42 @@ class TestFlashAttention:
                          np.float32)
         assert np.abs(got - ref).max() < 0.05
 
+    @pytest.mark.parametrize("bias_shape", ["hqk", "bhqk", "qk"])
+    def test_bias_matches_xla(self, rng, bias_shape):
+        """Bias-capable whole-KV kernel (the prior's RelPosBias path,
+        513 q tokens x 514 kv incl. the learned null token, d=52)."""
+        b, h, tq, tk, d = 2, 4, 513, 514, 52
+        q, k, v = _qkv(rng, b, h, tq, tk, d)
+        shape = {"hqk": (h, tq, tk), "bhqk": (b, h, tq, tk),
+                 "qk": (tq, tk)}[bias_shape]
+        bias = jax.random.normal(jax.random.PRNGKey(9), shape)
+        got = flash_attention(q, k, v, bias=bias, interpret=True)
+        want = xla_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_bias_grads_match_xla(self):
+        b, h, tq, tk, d = 1, 2, 130, 140, 16
+        q, k, v = _qkv(jax.random.PRNGKey(3), b, h, tq, tk, d)
+        bias = jax.random.normal(jax.random.PRNGKey(4), (h, tq, tk))
+        w = jax.random.normal(jax.random.PRNGKey(5), (b, h, tq, d))
+
+        def loss_flash(q, k, v, bias):
+            return jnp.sum(flash_attention(q, k, v, bias=bias,
+                                           interpret=True) * w)
+
+        def loss_xla(q, k, v, bias):
+            return jnp.sum(xla_attention(q, k, v, bias=bias) * w)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-4)
+
     def test_dispatch_uses_xla_for_bias_and_small(self, rng):
-        # bias path and tiny sequences must route to XLA (correctness
+        # tiny sequences must route to XLA; biased attention routes to the
+        # whole-KV kernel only on TPU with >=128-token rows (correctness
         # guaranteed either way; this documents the dispatch contract)
         q, k, v = _qkv(rng, 1, 2, 16, 16, 8)
         bias = jnp.zeros((1, 2, 16, 16))

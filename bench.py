@@ -33,6 +33,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+# BENCH_PLATFORM=cpu forces the CPU backend (the JAX_PLATFORMS env var is
+# overridden by the axon TPU plugin in this image; only an in-process
+# config update before backend init works). BENCH_TINY smoke runs default
+# to CPU so they never collide with a live TPU bench over the
+# single-client tunnel.
+_platform = os.environ.get("BENCH_PLATFORM",
+                           "cpu" if os.environ.get("BENCH_TINY") == "1"
+                           else None)
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))

@@ -100,18 +100,37 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
+        from neurons_tpu.ops import fused_conv as fc
+
         residual = x
+        fused = fc._enabled()
         # eps 1e-5: torch GroupNorm default (reference GroupNorm32)
-        h = GroupNormSiLU(num_groups=self.groups, epsilon=1e-5,
-                          name="in_norm")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="in_conv")(h)
+        if fused:
+            gs, gb = fc.GNParams(x.shape[-1], name="in_norm")()
+            k1, b1 = fc.ConvParams(x.shape[-1], self.out_channels,
+                                   name="in_conv")()
+            h = fc.gn_silu_conv(x, gs, gb, k1, b1, self.groups, 1e-5)
+        else:
+            h = GroupNormSiLU(num_groups=self.groups, epsilon=1e-5,
+                              name="in_norm")(x)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        name="in_conv")(h)
         e = nn.Dense(self.out_channels, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
-        h = GroupNormSiLU(num_groups=self.groups, epsilon=1e-5,
-                          name="out_norm")(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1,
-                    kernel_init=zero_init(), name="out_conv")(h)
+        # the second pair fuses only when dropout is inert (inference):
+        # the reference order is GN -> SiLU -> dropout -> conv
+        if fused and (deterministic or self.dropout == 0.0):
+            gs2, gb2 = fc.GNParams(self.out_channels, name="out_norm")()
+            k2, b2 = fc.ConvParams(self.out_channels, self.out_channels,
+                                   kernel_init=zero_init(),
+                                   name="out_conv")()
+            h = fc.gn_silu_conv(h, gs2, gb2, k2, b2, self.groups, 1e-5)
+        else:
+            h = GroupNormSiLU(num_groups=self.groups, epsilon=1e-5,
+                              name="out_norm")(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        kernel_init=zero_init(), name="out_conv")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1),
                                name="skip_conv")(residual)
@@ -393,10 +412,18 @@ class UNetModel(nn.Module):
                     h = UpsampleConv(ch, name=f"up_{level}_upsample")(h)
                     ds //= 2
 
-        h = GroupNormSiLU(num_groups=groups, epsilon=1e-5,
-                          name="out_norm")(h)
-        h = nn.Conv(c.out_channels, (3, 3), padding=1,
-                    kernel_init=zero_init(), name="out_conv")(h)
+        from neurons_tpu.ops import fused_conv as fc
+        if fc._enabled():
+            gs, gb = fc.GNParams(h.shape[-1], name="out_norm")()
+            k, b = fc.ConvParams(h.shape[-1], c.out_channels,
+                                 kernel_init=zero_init(),
+                                 name="out_conv")()
+            h = fc.gn_silu_conv(h, gs, gb, k, b, groups, 1e-5)
+        else:
+            h = GroupNormSiLU(num_groups=groups, epsilon=1e-5,
+                              name="out_norm")(h)
+            h = nn.Conv(c.out_channels, (3, 3), padding=1,
+                        kernel_init=zero_init(), name="out_conv")(h)
         out = h.transpose(0, 3, 1, 2)  # -> NCHW
         extras = ()
         if return_cache:

@@ -215,15 +215,36 @@ class ResnetBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
+        from neurons_tpu.ops import fused_conv as fc
+
         residual = x
-        h = GroupNormSiLU(num_groups=min(self.groups, x.shape[-1]),
-                          epsilon=1e-5, name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
-        e = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(emb))
-        h = h + e[:, None, None, :]
-        h = GroupNormSiLU(num_groups=min(self.groups, self.out_channels),
-                          epsilon=1e-5, name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        if fc._enabled():
+            gs, gb = fc.GNParams(x.shape[-1], name="norm1")()
+            k1, b1 = fc.ConvParams(x.shape[-1], self.out_channels,
+                                   name="conv1")()
+            h = fc.gn_silu_conv(x, gs, gb, k1, b1,
+                                min(self.groups, x.shape[-1]), 1e-5)
+            e = nn.Dense(self.out_channels,
+                         name="time_emb_proj")(nn.silu(emb))
+            h = h + e[:, None, None, :]
+            gs2, gb2 = fc.GNParams(self.out_channels, name="norm2")()
+            k2, b2 = fc.ConvParams(self.out_channels, self.out_channels,
+                                   name="conv2")()
+            h = fc.gn_silu_conv(h, gs2, gb2, k2, b2,
+                                min(self.groups, self.out_channels), 1e-5)
+        else:
+            h = GroupNormSiLU(num_groups=min(self.groups, x.shape[-1]),
+                              epsilon=1e-5, name="norm1")(x)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        name="conv1")(h)
+            e = nn.Dense(self.out_channels,
+                         name="time_emb_proj")(nn.silu(emb))
+            h = h + e[:, None, None, :]
+            h = GroupNormSiLU(num_groups=min(self.groups,
+                                             self.out_channels),
+                              epsilon=1e-5, name="norm2")(h)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1),
                                name="conv_shortcut")(residual)

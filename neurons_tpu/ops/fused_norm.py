@@ -44,6 +44,11 @@ _VMEM_LIMIT = 3 * 1024 * 1024
 
 def _on_tpu() -> bool:
     try:
+        # honor `with jax.default_device(...)` overrides (e.g. CPU-side
+        # parameter init in bench.py) before the global backend
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return getattr(dev, "platform", str(dev)) == "tpu"
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False

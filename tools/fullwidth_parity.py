@@ -1,0 +1,196 @@
+"""Full-width golden parity vs torch replicas (VERDICT round-1 item 1
+fallback: no network egress -> no released weights, so validation is
+numerics parity at PRODUCTION WIDTHS through the real importer path).
+
+The round-1 suite proves trajectory parity at tiny dims; what it cannot
+see is width-dependent drift (production channel counts, head dims,
+transformer depths, the depth-10 mid stage, 1664-d context). This tool
+instantiates the torch replicas at the production configs (spatial dims
+reduced — spatial extent does not change per-channel numerics; channel
+dims, head counts and block depths are the reference values), pushes
+their random state dicts through the real importers, and compares one
+full denoiser evaluation per stage:
+
+  stage3  UNet2DConfig() unclip UNet (320/640/1280 ch, depth (1,2,10),
+          ctx 256x1664, adm 1024) at 48x48 latents
+  vae     VAEConfig() SD f8 decoder at 24x24 latents
+  stage5  UNet3DConfig() AnimateDiff UNet3D + SparseCtrl (full channel
+          stack + motion modules) at 4 frames, 16x16 latents
+
+Writes QUALITY_r02.json rows. Run: python tools/fullwidth_parity.py
+(CPU-forced; ~10-20 min on one core).
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+torch.manual_seed(0)
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+
+
+def stage3_unet():
+    from neurons_tpu.config import UNet2DConfig
+    from neurons_tpu.interop.torch_import import import_ldm_unet
+    from neurons_tpu.models.unet2d import UNetModel
+    from test_importers_structural import TLDMUNet
+
+    cfg = UNet2DConfig()
+    t0 = time.time()
+    tm = TLDMUNet(cfg).eval()
+    n_params = sum(p.numel() for p in tm.parameters())
+    params, unused = import_ldm_unet(tm.state_dict(), cfg)
+    assert not unused, f"unused importer keys: {sorted(unused)[:8]}"
+    ju = UNetModel(cfg)
+
+    rs = np.random.RandomState(0)
+    hw = 48
+    x = rs.randn(1, 4, hw, hw).astype(np.float32)
+    ctx = rs.randn(1, 256, 1664).astype(np.float32) * 0.2
+    vec = rs.randn(1, cfg.adm_in_channels).astype(np.float32) * 0.2
+    t = np.asarray([500.0], np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x), torch.from_numpy(t),
+                  torch.from_numpy(ctx), torch.from_numpy(vec)).numpy()
+    got = np.asarray(ju.apply({"params": params}, jnp.asarray(x),
+                              jnp.asarray(t), jnp.asarray(ctx),
+                              jnp.asarray(vec)))
+    return {"component": "stage3_unclip_unet_fullwidth",
+            "torch_params": n_params, "latents": f"{hw}x{hw}",
+            "rel_err": _rel(got, want), "seconds": round(time.time() - t0)}
+
+
+def vae_decoder():
+    from neurons_tpu.config import VAEConfig
+    from neurons_tpu.interop.torch_import import import_ldm_vae
+    from neurons_tpu.models.vae import AutoencoderKL
+    from test_importers_structural import TLDMVAE
+
+    cfg = VAEConfig()
+    t0 = time.time()
+    tm = TLDMVAE(cfg).eval()
+    params, unused = import_ldm_vae(tm.state_dict(), cfg)
+    jv = AutoencoderKL(cfg)
+    rs = np.random.RandomState(1)
+    z = rs.randn(1, 4, 24, 24).astype(np.float32)
+    with torch.no_grad():
+        want = tm.decode(torch.from_numpy(z)).numpy()
+    got = np.asarray(jv.apply({"params": params}, jnp.asarray(z),
+                              method=AutoencoderKL.decode))
+    return {"component": "vae_decoder_fullwidth",
+            "torch_params": sum(p.numel() for p in tm.parameters()),
+            "latents": "24x24", "rel_err": _rel(got, want),
+            "seconds": round(time.time() - t0)}
+
+
+def stage5_unet3d():
+    from neurons_tpu.config import UNet3DConfig
+    from neurons_tpu.interop.torch_import import (
+        filter_motion_module, import_animatediff_unet3d,
+        import_motion_modules, import_sparse_controlnet)
+    from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
+    from neurons_tpu.models.unet3d import UNet3DModel
+    from test_video_pipeline_parity import (TorchSparseCtrlNCHW,
+                                            TorchUNet3DWithResiduals)
+
+    cfg = UNet3DConfig()
+    t0 = time.time()
+    tm = TorchUNet3DWithResiduals(cfg).eval()
+    tc = TorchSparseCtrlNCHW(cfg).eval()
+    # randomize the zero-init output heads so the comparison is not
+    # vacuous (verify SKILL.md gotcha)
+    with torch.no_grad():
+        for name, p in list(tm.named_parameters()) + \
+                list(tc.named_parameters()):
+            if p.abs().max() == 0:
+                p.add_(torch.randn_like(p) * 0.02)
+    sd = tm.state_dict()
+    spatial = {k: v for k, v in sd.items() if "motion_modules." not in k}
+    uparams, u1 = import_animatediff_unet3d(spatial, cfg)
+    uparams, u2 = import_motion_modules(filter_motion_module(sd), cfg,
+                                        uparams)
+    cparams, u3 = import_sparse_controlnet(tc.state_dict(), cfg)
+    assert u1 == [] and u2 == [] and u3 == [], (u1[:4], u2[:4], u3[:4])
+
+    f, hw = 4, 16
+    ju = UNet3DModel(cfg, n_frames=f)
+    jc = SparseControlNetModel(cfg, n_frames=f)
+    rs = np.random.RandomState(2)
+    x = rs.randn(1, 4, f, hw, hw).astype(np.float32)
+    ctx = rs.randn(1, 77, cfg.cross_attention_dim).astype(np.float32) * 0.2
+    cond = rs.randn(1, 4, f, hw, hw).astype(np.float32)
+    mask = np.zeros((1, 1, f, hw, hw), np.float32)
+    mask[:, :, 0] = 1.0
+    t = np.asarray([400.0], np.float32)
+    with torch.no_grad():
+        tdown, tmid = tc(torch.from_numpy(x), torch.from_numpy(t),
+                         torch.from_numpy(ctx), torch.from_numpy(cond),
+                         torch.from_numpy(mask), 1.0)
+        want = tm(torch.from_numpy(x), torch.from_numpy(t),
+                  torch.from_numpy(ctx), tdown, tmid).numpy()
+    down, mid = jc.apply({"params": cparams}, jnp.asarray(x),
+                         jnp.asarray(t), jnp.asarray(ctx),
+                         jnp.asarray(cond), jnp.asarray(mask), 1.0)
+    got = ju.apply({"params": uparams}, jnp.asarray(x), jnp.asarray(t),
+                   jnp.asarray(ctx), down, mid)
+    if isinstance(got, tuple):
+        got = got[0]
+    return {"component": "stage5_unet3d+sparsectrl_fullwidth",
+            "torch_params": sum(p.numel() for p in tm.parameters()),
+            "shape": f"{f}f x {hw}x{hw}",
+            "rel_err": _rel(np.asarray(got), want),
+            "seconds": round(time.time() - t0)}
+
+
+def main():
+    rows = []
+    for fn in (vae_decoder, stage5_unet3d, stage3_unet):
+        r = fn()
+        print(json.dumps(r), flush=True)
+        rows.append(r)
+    out_path = os.path.join(_REPO, "QUALITY_r02.json")
+    doc = {
+        "note": ("No network egress in this environment: the released "
+                 "weight set (unclip6 ckpt, RealisticVision, v3 motion "
+                 "module/adapter/SparseCtrl, MindEye2 last.pth) and the "
+                 "reference EXP dump are unfetchable, so the BASELINE "
+                 "SSIM/2-way-vs-reference bar cannot be scored this "
+                 "round. Fallback per VERDICT item 1: numerics parity at "
+                 "production widths through the real importers (below), "
+                 "on top of the suite's tiny-dim trajectory parity "
+                 "(tests/test_sampling_parity.py, "
+                 "tests/test_video_pipeline_parity.py) and golden "
+                 "importer tests."),
+        "fullwidth_parity": rows,
+        "pass_bar": "rel_err < 2e-4 per component (f32 forward)",
+        "all_pass": all(r["rel_err"] < 2e-4 for r in rows),
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(f"-> {out_path}")
+    if not doc["all_pass"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -193,6 +193,9 @@ def build():
     # stage-3 PAB: BENCH_PAB_KF="2,8" (spatial,cross intervals)
     pab_kf = tuple(int(v) for v in os.environ["BENCH_PAB_KF"].split(",")) \
         if os.environ.get("BENCH_PAB_KF") else None
+    # DeepCache (arXiv 2312.00858) for the stage-3 unCLIP UNet:
+    # BENCH_DEEPCACHE=N runs the full UNet every N-th step
+    deep_cache = int(os.environ.get("BENCH_DEEPCACHE", "0"))
     hoist_kv = os.environ.get("BENCH_HOIST_KV", "1") == "1"
 
     if hoist_kv:
@@ -247,7 +250,7 @@ def build():
             sampler_opts=dict(
                 tgate_step=tgate_step, tgate_pab=tgate_pab,
                 encoder_reuse=enc_reuse, pab=pab_kf, pab_range=pab_range,
-                precompute_kv=kv_fn))
+                deep_cache=deep_cache, precompute_kv=kv_fn))
         # blurry-video decode to pixels (6 frames/clip; the stage-3
         # artifact contract is pixel space, recon_keyframe_neurons.py:
         # 323-333) — per-frame lax.map bounds the 512x512 decoder peaks

@@ -316,7 +316,8 @@ def cmd_recon(args):
             tgate_pab=getattr(args, "tgate_pab", 0),
             encoder_reuse=getattr(args, "encoder_reuse", 1),
             pab=_parse_ints(getattr(args, "pab", None)),
-            pab_range=_parse_ints(getattr(args, "pab_range", None))))
+            pab_range=_parse_ints(getattr(args, "pab_range", None)),
+            deep_cache=getattr(args, "deep_cache", 0)))
 
     # decode the blurry latents to pixel video — the artifact contract is
     # pixel space (reference recon_keyframe_neurons.py:323-333 decodes
@@ -843,6 +844,10 @@ def _add_fastpath_args(p):
                         "spatial,temporal,cross); nested")
     p.add_argument("--pab_range", type=str, default=None, metavar="LO,HI",
                    help="restrict PAB broadcasting to steps [LO, HI)")
+    p.add_argument("--deep_cache", type=int, default=0, metavar="N",
+                   help="DeepCache (stage 3, arXiv 2312.00858): full UNet "
+                        "every N-th step, shallow level-0-only recompute "
+                        "in between (0 = off)")
 
 
 def _parse_ints(s):

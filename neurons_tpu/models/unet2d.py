@@ -321,7 +321,8 @@ class UNetModel(nn.Module):
                  deterministic: bool = True, cached=None,
                  return_cache: bool = False, ctx_kv=None,
                  xattn_cached=None, capture_xattn: bool = False,
-                 sattn_cached=None, capture_sattn: bool = False):
+                 sattn_cached=None, capture_sattn: bool = False,
+                 deep_cached=None, return_deep_cache: bool = False):
         c = self.cfg
         time_embed_dim = c.model_channels * 4
         xattn_out = {}
@@ -365,6 +366,12 @@ class UNetModel(nn.Module):
         heads_of = lambda ch: ch // c.num_head_channels
         groups = 32 if c.model_channels % 32 == 0 else c.model_channels
 
+        # DeepCache (arXiv 2312.00858): `deep_cached` is the up-path
+        # feature entering the level-0 up blocks from a previous full
+        # step; a cached step recomputes ONLY the shallow level-0 blocks
+        # (conv_in, level-0 down/up ResBlocks, out head) — the depth-10
+        # mid transformer and every deeper level are skipped.
+        deep_only = deep_cached is not None
         if cached is None:
             h = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC
             h = nn.Conv(c.model_channels, (3, 3), padding=1,
@@ -373,6 +380,8 @@ class UNetModel(nn.Module):
             ds = 1
             # --- input blocks ---
             for level, mult in enumerate(c.channel_mult):
+                if deep_only and level > 0:
+                    break
                 ch = c.model_channels * mult
                 for i in range(c.num_res_blocks):
                     h = ResBlock(ch, groups=groups,
@@ -382,7 +391,7 @@ class UNetModel(nn.Module):
                         h = attn_site(f"down_{level}_attn_{i}", h, ch,
                                       c.transformer_depth[level])
                     skips.append(h)
-                if level != len(c.channel_mult) - 1:
+                if level != len(c.channel_mult) - 1 and not deep_only:
                     h = Downsample2D(ch, name=f"down_{level}_downsample")(h)
                     skips.append(h)
                     ds *= 2
@@ -392,16 +401,26 @@ class UNetModel(nn.Module):
             ds = 2 ** (len(c.channel_mult) - 1)
         cache = (h, tuple(skips))
 
-        # --- middle ---
-        ch = c.model_channels * c.channel_mult[-1]
-        h = ResBlock(ch, groups=groups, name="mid_res_0")(h, emb, deterministic)
-        h = attn_site("mid_attn", h, ch, c.transformer_depth[-1])
-        h = ResBlock(ch, groups=groups, name="mid_res_1")(h, emb, deterministic)
+        if not deep_only:
+            # --- middle ---
+            ch = c.model_channels * c.channel_mult[-1]
+            h = ResBlock(ch, groups=groups, name="mid_res_0")(
+                h, emb, deterministic)
+            h = attn_site("mid_attn", h, ch, c.transformer_depth[-1])
+            h = ResBlock(ch, groups=groups, name="mid_res_1")(
+                h, emb, deterministic)
+        deep_out = None
 
         # --- output blocks ---
         for level, mult in reversed(list(enumerate(c.channel_mult))):
+            if deep_only and level > 0:
+                continue
             ch = c.model_channels * mult
             for i in range(c.num_res_blocks + 1):
+                if level == 0 and i == 0:
+                    if deep_only:
+                        h = deep_cached
+                    deep_out = h
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = ResBlock(ch, groups=groups,
                              name=f"up_{level}_res_{i}")(h, emb, deterministic)
@@ -428,6 +447,8 @@ class UNetModel(nn.Module):
         extras = ()
         if return_cache:
             extras += (cache,)
+        if return_deep_cache:
+            extras += (deep_out,)
         if capture_xattn:
             extras += (xattn_out,)
         if capture_sattn:

@@ -50,7 +50,8 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
                   precompute_kv: Optional[Callable] = None,
                   tgate_step: int = 0, tgate_pab: int = 0,
                   pab: Optional[tuple] = None,
-                  pab_range: Optional[tuple] = None) -> jax.Array:
+                  pab_range: Optional[tuple] = None,
+                  deep_cache: int = 0) -> jax.Array:
     """The reference's `unclip_recon` (reference utils.py:302-350), batched.
 
     clip_tokens: [B, 256, 1664] CLIP image tokens (from the prior).
@@ -85,6 +86,10 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
         raise ValueError("pab is exclusive with tgate/encoder_reuse")
     if tgate_pab > 0 and tgate_step <= 0:
         raise ValueError("tgate_pab requires tgate_step > 0")
+    if deep_cache > 1 and (tgate_step > 0 or encoder_reuse > 1
+                           or pab is not None):
+        raise ValueError("deep_cache is exclusive with "
+                         "tgate/encoder_reuse/pab")
     b = clip_tokens.shape[0]
     k_z, k_noise, k_offset, k_uc = jax.random.split(key, 4)
     z = jax.random.normal(k_z, (b, 4, latent_hw, latent_hw))
@@ -197,6 +202,34 @@ def unclip_sample(unet_apply: Callable, unet_params, vae_decode: Callable,
 
         samples_z = sample_euler_pab(denoise_pab, x, sigmas, pab,
                                      pab_range=pab_range, prepare=False)
+    elif deep_cache > 1:
+        # DeepCache (arXiv 2312.00858): full UNet every `deep_cache`-th
+        # step caches the level-0 up-path entry feature; in-between
+        # steps recompute ONLY the shallow level-0 blocks (the depth-10
+        # mid transformer and levels 1-2 are skipped). Same alternating
+        # control flow as encoder reuse, different cache contents.
+        from neurons_tpu.diffusion.samplers import \
+            sample_euler_encoder_reuse
+
+        def denoise_full_deep(xs, s):
+            x2 = jnp.concatenate([xs, xs], axis=0)
+            s2 = jnp.concatenate([s, s], axis=0)
+            t, c_in, c_out, c_skip = _precondition(x2, s2)
+            out, deep = network(x2 * c_in, t, ctx2, vec2,
+                                return_deep_cache=True, **kv_kw)
+            return _combine(out, x2, c_out, c_skip), deep
+
+        def denoise_deep_cached(xs, s, deep):
+            x2 = jnp.concatenate([xs, xs], axis=0)
+            s2 = jnp.concatenate([s, s], axis=0)
+            t, c_in, c_out, c_skip = _precondition(x2, s2)
+            out = network(x2 * c_in, t, ctx2, vec2, deep_cached=deep,
+                          **kv_kw)
+            return _combine(out, x2, c_out, c_skip)
+
+        samples_z = sample_euler_encoder_reuse(
+            denoise_full_deep, denoise_deep_cached, x, sigmas, deep_cache,
+            prepare=False)
     elif encoder_reuse <= 1:
         samples_z = sample_euler(denoise_full, x, sigmas, prepare=False)
     else:

@@ -270,6 +270,53 @@ class TestEncoderReuse:
         assert not np.allclose(np.asarray(fast), np.asarray(base))
 
 
+class TestDeepCache:
+    """DeepCache (arXiv 2312.00858): shallow-only recompute with the
+    deep up-path feature cached."""
+
+    def test_deep_cached_same_step_is_exact(self, rng):
+        """Reusing the deep feature captured at the SAME (x, t) must
+        reproduce the full forward bit-for-bit — the cached path
+        recomputes exactly the level-0 blocks the full path ran."""
+        m, params, cfg = TestEncoderReuse._setup(self)
+        x = jax.random.normal(rng, (2, 4, 8, 8))
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (2, 5, 12))
+        y = jax.random.normal(jax.random.fold_in(rng, 2), (2, 8))
+        t = jnp.full((2,), 3.0)
+        out_full, deep = m.apply({"params": params}, x, t, ctx, y,
+                                 return_deep_cache=True)
+        out_cached = m.apply({"params": params}, x, t, ctx, y,
+                             deep_cached=deep)
+        np.testing.assert_allclose(np.asarray(out_cached),
+                                   np.asarray(out_full), rtol=1e-6,
+                                   atol=1e-6)
+
+    def test_unclip_sample_deep_cache_runs(self, rng):
+        from neurons_tpu.pipelines.keyframe import unclip_sample
+
+        m, params, cfg = TestEncoderReuse._setup(self)
+
+        def unet_apply(p, x, t, crossattn, vector, **kw):
+            return m.apply({"params": p}, x, t, crossattn, vector, **kw)
+
+        vae_decode = lambda z: jnp.tile(z[:, :3], (1, 1, 2, 2))
+        tokens = jax.random.normal(rng, (2, 5, 12)) * 0.1
+        vec = jnp.zeros((2, 8))
+        base = unclip_sample(unet_apply, params, vae_decode,
+                             jax.random.PRNGKey(3), tokens, vector=vec,
+                             num_steps=4, latent_hw=8)
+        fast = unclip_sample(unet_apply, params, vae_decode,
+                             jax.random.PRNGKey(3), tokens, vector=vec,
+                             num_steps=4, latent_hw=8, deep_cache=2)
+        assert np.isfinite(np.asarray(fast)).all()
+        assert not np.allclose(np.asarray(fast), np.asarray(base))
+        with pytest.raises(ValueError):
+            unclip_sample(unet_apply, params, vae_decode,
+                          jax.random.PRNGKey(3), tokens, vector=vec,
+                          num_steps=4, latent_hw=8, deep_cache=2,
+                          tgate_step=2)
+
+
 class TestCrossAttnHoistingAndTGate:
     """Exact K/V hoisting (step-invariant context) and TGATE cross-attn
     gating (PAPERS.md, arXiv 2404.02747)."""

@@ -140,8 +140,12 @@ def _fast_kwargs(opts):
             fast_kwargs["pab_range"] = tuple(
                 int(v) for v in opts["pab_range"].split(","))
             label.append(f"range={opts['pab_range']}")
+    if "deep_cache" in opts:
+        fast_kwargs["deep_cache"] = int(opts["deep_cache"])
+        label.append(f"deep_cache={opts['deep_cache']}")
     if not fast_kwargs:
-        raise SystemExit("pass one of tgate= / enc_reuse= / pab=")
+        raise SystemExit("pass one of tgate= / enc_reuse= / pab= / "
+                         "deep_cache=")
     return fast_kwargs, " ".join(label)
 
 

@@ -57,11 +57,17 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                clip_targets_test: np.ndarray,
                ckpt_dir: Optional[str] = None,
                log_every: int = 50, logger=None,
-               resume: bool = False) -> train_brain.TrainState:
+               resume: bool = False,
+               stop_after_epochs: Optional[int] = None
+               ) -> train_brain.TrainState:
     """Stage-1 training (reference `--no-neurons_decoupler` branch).
     clip_targets_*: precomputed CLIP tables [N, n_frames, 256, 1664].
     `resume=True` restores params/opt-state/epoch from brain_model_last
-    (reference --resume_from_ckpt, train_neurons.py:342-352)."""
+    (reference --resume_from_ckpt, train_neurons.py:342-352).
+    `stop_after_epochs=k` simulates a preemption: save the full-state
+    `_last` checkpoint after k epochs and return (the LR schedule keeps
+    the full num_epochs horizon, so a resumed run is step-identical to
+    an uninterrupted one)."""
     if logger is None:
         from neurons_tpu.utils.metrics_log import MetricLogger
         logger = MetricLogger(log_dir=ckpt_dir)
@@ -135,6 +141,16 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                                opt_state=None, step=int(state.step),
                                epoch=epoch)
             _log(f"  new best metric {metric:.3f} -> saved brain_model")
+        if (stop_after_epochs is not None
+                and epoch + 1 - start_epoch >= stop_after_epochs
+                and epoch + 1 < tcfg.num_epochs):
+            if ckpt_dir:
+                ckpt_lib.save_ckpt(ckpt_dir, "brain_model_last",
+                                   params=state.params,
+                                   opt_state=state.opt_state,
+                                   step=int(state.step), epoch=epoch)
+            _log(f"--- simulated preemption after epoch {epoch} ---")
+            return state
     if ckpt_dir and tcfg.ckpt_saving:
         ckpt_lib.save_ckpt(ckpt_dir, "brain_model_last", params=state.params,
                            opt_state=state.opt_state, step=int(state.step),

@@ -127,8 +127,10 @@ def resume_equivalence(tmp, total=4, split_at=2):
     st_a = run_stage1(bcfg, mk_tcfg(total), mesh, tr, te, ct_tr, ct_te,
                       ckpt_dir=d_straight)
     d_resume = os.path.join(tmp, "resumed")
-    run_stage1(bcfg, mk_tcfg(split_at), mesh, tr, te, ct_tr, ct_te,
-               ckpt_dir=d_resume)           # "killed" after split_at epochs
+    # "kill" after split_at epochs (same num_epochs config, so the LR
+    # schedule horizon matches the straight run), then resume to the end
+    run_stage1(bcfg, mk_tcfg(total), mesh, tr, te, ct_tr, ct_te,
+               ckpt_dir=d_resume, stop_after_epochs=split_at)
     st_b = run_stage1(bcfg, mk_tcfg(total), mesh, tr, te, ct_tr, ct_te,
                       ckpt_dir=d_resume, resume=True)
     deltas = jax.tree_util.tree_map(

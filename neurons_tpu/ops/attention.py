@@ -566,7 +566,12 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         and os.environ.get("NEURONS_TPU_NO_PALLAS") != "1"  # A/B knob
     )
     if use_pallas and bias is not None:
-        use_pallas = os.environ.get("NEURONS_TPU_BIAS_FLASH", "1") == "1"
+        # A/B on the honest e2e bench (v5e, batch 1): bias-flash prior
+        # 6.249 s/clip (stage3 3.06) vs XLA 6.233 (stage3 3.02) — at the
+        # prior's 513-token rows the whole-KV bias kernel does not beat
+        # XLA's fused softmax, so the XLA path stays the default; the
+        # kernel remains available for larger biased shapes.
+        use_pallas = os.environ.get("NEURONS_TPU_BIAS_FLASH", "0") == "1"
     if use_pallas:
         return flash_attention(q, k, v, bias=bias, scale=scale)
     return xla_attention(q, k, v, bias=bias, mask=mask, scale=scale)

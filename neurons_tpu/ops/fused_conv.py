@@ -88,60 +88,50 @@ def _pick_rows(hh: int) -> int:
     return 1
 
 
-def _kernel(x_hbm, gh_ref, bh_ref, w_ref, cb_ref, o_ref, xt_ref, xa_ref,
+def _kernel(x_hbm, gh_ref, bh_ref, w_ref, cb_ref, o_ref, xt_ref,
             acc_ref, sem, *, bh: int, hh: int, ww: int, cin: int,
             n_ht: int, n_cot: int):
+    """Whole-sample variant: one DMA brings x[n] (slicing only the batch
+    dim — partial-tile channel counts like 320 forbid row-sliced DMAs)
+    into a scratch with one zero row of padding top and bottom; the
+    sample is normalized+SiLU'd IN PLACE in row chunks, then each
+    (row-tile, cout-tile) program runs the 9 shifted matmuls against
+    dynamic row windows of the resident activated sample."""
     n = pl.program_id(0)
     ti = pl.program_id(1)
     cot = pl.program_id(2)
 
-    @pl.when(cot == 0)
+    @pl.when(jnp.logical_and(ti == 0, cot == 0))
     def _load_and_activate():
-        # 3 DMAs: body rows + 1-row halos (clamped at the image edges —
-        # the out-of-range halo rows are zeroed AFTER activation below)
-        body = pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(ti * bh, bh)], xt_ref.at[pl.ds(1, bh)], sem)
-        body.start()
+        cp = pltpu.make_async_copy(x_hbm.at[n], xt_ref.at[pl.ds(1, hh)],
+                                   sem)
+        cp.start()
+        cp.wait()
+        # conv zero padding applies to the ACTIVATED tensor; the pad
+        # rows stay zero because activation below touches rows 1..hh
+        xt_ref[pl.ds(0, 1), :, :] = jnp.zeros((1, ww, cin), xt_ref.dtype)
+        xt_ref[pl.ds(hh + 1, 1), :, :] = jnp.zeros((1, ww, cin),
+                                                   xt_ref.dtype)
+        # per-sample affine row from the full [N, C] f32 block (dynamic
+        # dim-0 slices on bf16 would need 2-row sublane alignment)
+        g = gh_ref[pl.ds(n, 1), :]                 # [1, C] f32
+        b = bh_ref[pl.ds(n, 1), :]
 
-        @pl.when(ti > 0)
-        def _top():
-            top = pltpu.make_async_copy(
-                x_hbm.at[n, pl.ds(ti * bh - 1, 1)], xt_ref.at[pl.ds(0, 1)],
-                sem)
-            top.start()
-            top.wait()
+        def act(i, _):
+            rows = xt_ref[pl.ds(1 + i * bh, bh)].astype(jnp.float32)
+            hrow = rows * g[:, None, :] + b[:, None, :]
+            xt_ref[pl.ds(1 + i * bh, bh)] = (
+                hrow * jax.nn.sigmoid(hrow)).astype(xt_ref.dtype)
+            return 0
 
-        @pl.when(ti < n_ht - 1)
-        def _bot():
-            bot = pltpu.make_async_copy(
-                x_hbm.at[n, pl.ds(ti * bh + bh, 1)],
-                xt_ref.at[pl.ds(bh + 1, 1)], sem)
-            bot.start()
-            bot.wait()
-
-        body.wait()
-        g = gh_ref[...].astype(jnp.float32)        # [1, C]
-        b = bh_ref[...].astype(jnp.float32)
-        xw = xt_ref[...].astype(jnp.float32)       # [bh+2, W, C]
-        h = xw * g[:, None, :] + b[:, None, :]
-        xa_ref[...] = (h * jax.nn.sigmoid(h)).astype(xa_ref.dtype)
-
-        # conv zero padding applies to the ACTIVATED tensor: zero the
-        # out-of-image halo rows after activation
-        @pl.when(ti == 0)
-        def _zt():
-            xa_ref[pl.ds(0, 1), :, :] = jnp.zeros((1, ww, cin),
-                                                  xa_ref.dtype)
-
-        @pl.when(ti == n_ht - 1)
-        def _zb():
-            xa_ref[pl.ds(bh + 1, 1), :, :] = jnp.zeros((1, ww, cin),
-                                                       xa_ref.dtype)
+        jax.lax.fori_loop(0, n_ht, act, 0)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    zcol = jnp.zeros((bh, 1, cin), xa_ref.dtype)
+    zcol = jnp.zeros((bh, 1, cin), xt_ref.dtype)
     for dy in (-1, 0, 1):
-        xs = xa_ref[pl.ds(1 + dy, bh), :, :]       # [bh, W, C]
+        # output rows [ti*bh, ti*bh+bh) read activated rows shifted by
+        # dy; scratch row s holds image row s-1
+        xs = xt_ref[pl.ds(ti * bh + dy + 1, bh), :, :]   # [bh, W, C]
         for dx in (-1, 0, 1):
             # y[c] sums x[c + dx] * K[dx + 1]: dx=-1 shifts right
             # (zero col enters on the left), dx=+1 shifts left
@@ -163,16 +153,23 @@ def _pallas_gn_silu_conv(x, gn_scale, gn_bias, kernel, conv_bias, groups,
                          eps, interpret: bool = False):
     n, hh, ww, cin = x.shape
     cout = kernel.shape[-1]
+    # gamma/beta stay f32: Mosaic's dynamic row slice (per-sample affine
+    # lookup in-kernel) requires sublane-aligned indices, and bf16 packs
+    # 2 rows per sublane ("index ... multiple of 2" compile error)
     gamma_hat, beta_hat = _gn_hat(x, gn_scale, gn_bias, groups, eps)
-    gamma_hat = gamma_hat.astype(x.dtype)
-    beta_hat = beta_hat.astype(x.dtype)
     wflat = kernel.reshape(9, cin, cout).astype(x.dtype)
 
     bh = _pick_rows(hh)
     esize = jnp.dtype(x.dtype).itemsize
+    # cout tile: either the whole cout (block == array dim) or a
+    # 128-multiple divisor (Mosaic requires last block dims divisible by
+    # 128 or full); fall back to full cout when no such divisor exists
     bco = cout
-    while 9 * cin * bco * esize > _W_BUDGET and bco % 2 == 0:
-        bco //= 2
+    if 9 * cin * bco * esize > _W_BUDGET:
+        for cand in range(cout - cout % 128, 127, -128):
+            if cout % cand == 0 and 9 * cin * cand * esize <= _W_BUDGET:
+                bco = cand
+                break
     n_ht, n_cot = hh // bh, cout // bco
 
     out = pl.pallas_call(
@@ -181,17 +178,19 @@ def _pallas_gn_silu_conv(x, gn_scale, gn_bias, kernel, conv_bias, groups,
         grid=(n, n_ht, n_cot),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # x in HBM
-            pl.BlockSpec((1, cin), lambda n, ti, cot: (n, 0)),
-            pl.BlockSpec((1, cin), lambda n, ti, cot: (n, 0)),
-            pl.BlockSpec((9, cin, bco), lambda n, ti, cot: (0, 0, cot)),
-            pl.BlockSpec((1, bco), lambda n, ti, cot: (0, cot)),
+            # gamma/beta ride along whole ([N, C] is tiny); the kernel
+            # slices the program's sample row (Mosaic wants full or
+            # (8, 128)-divisible block dims)
+            pl.BlockSpec((n, cin), lambda n_, ti, cot: (0, 0)),
+            pl.BlockSpec((n, cin), lambda n_, ti, cot: (0, 0)),
+            pl.BlockSpec((9, cin, bco), lambda n_, ti, cot: (0, 0, cot)),
+            pl.BlockSpec((1, bco), lambda n_, ti, cot: (0, cot)),
         ],
         out_specs=pl.BlockSpec((None, bh, ww, bco),
                                lambda n, ti, cot: (n, ti, 0, cot)),
         out_shape=jax.ShapeDtypeStruct((n, hh, ww, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2, ww, cin), x.dtype),        # raw window
-            pltpu.VMEM((bh + 2, ww, cin), x.dtype),        # activated
+            pltpu.VMEM((hh + 2, ww, cin), x.dtype),        # whole sample
             pltpu.VMEM((bh * ww, bco), jnp.float32),       # accumulator
             pltpu.SemaphoreType.DMA,
         ],
@@ -216,10 +215,19 @@ def gn_silu_conv(x, gn_scale, gn_bias, kernel, conv_bias, groups: int,
     usable = (
         _HAS_PALLAS and _on_tpu() and _enabled()
         and x.shape[-1] % groups == 0
+        # Mosaic DMA requires lane-aligned channel counts (320 is 2.5
+        # tiles -> "slice must be aligned to tiling (128)"); the 640 and
+        # 1280 UNet levels qualify, the level-0 320/960 blocks take XLA
+        and x.shape[-1] % 128 == 0
         and kernel.shape[0] == kernel.shape[1] == 3
-        # two [bh+2, W, C] windows + weights tile must fit comfortably
-        and 2 * 10 * x.shape[2] * x.shape[3] * jnp.dtype(x.dtype).itemsize
-        <= 6 * 1024 * 1024
+        # measured on v5e (bf16): wins ~6% at 48x48 c640 (763 vs 816 us)
+        # but LOSES 1.9x at 24x24 c1280 (2762 vs 1486 us — skinny
+        # [192, C]x[C, 128] matmuls underfill the MXU), so small-spatial
+        # deep levels stay on XLA
+        and x.shape[1] * x.shape[2] >= 1024
+        # the whole activated sample stays VMEM-resident (+2 pad rows)
+        and (x.shape[1] + 2) * x.shape[2] * x.shape[3]
+        * jnp.dtype(x.dtype).itemsize <= 8 * 1024 * 1024
     )
     if usable:
         return _pallas_gn_silu_conv(x, gn_scale, gn_bias, kernel,

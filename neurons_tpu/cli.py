@@ -104,6 +104,36 @@ def _configs(args, stage2: bool = False):
     return bcfg, pcfg, dcfg, tcfg
 
 
+def _warm_start_overlay(args, bcfg):
+    """Pretrained warm-start layers the reference applies before BOTH
+    training stages (train_neurons.py:208-241): the MindEye2 `last.pth`
+    mixer backbone from --weights_dir (optional accelerator) and the
+    frozen `coco_tokens_avg_proj.pth` clipproj from --root_dir. Returns a
+    partial NeuronsCore params overlay, or None if neither file exists."""
+    from neurons_tpu.utils.checkpoint import merge_overlays
+
+    layers = []
+    mindeye = os.path.join(args.weights_dir, "last.pth")
+    if os.path.exists(mindeye):
+        import torch
+        from neurons_tpu.interop.torch_import import import_mindeye_backbone
+        sd = torch.load(mindeye, map_location="cpu", weights_only=False)
+        sd = sd.get("model_state_dict", sd)
+        overlay, unused = import_mindeye_backbone(sd, n_blocks=bcfg.n_blocks)
+        layers.append(overlay)
+        print(f"--- MindEye2 backbone warm start ({len(unused)} "
+              f"unused keys) ---")
+    coco = os.path.join(args.root_dir, "coco_tokens_avg_proj.pth")
+    if os.path.exists(coco):
+        import torch
+        from neurons_tpu.interop.torch_import import import_coco_clipproj
+        proj, _ = import_coco_clipproj(
+            torch.load(coco, map_location="cpu", weights_only=False))
+        layers.append({"clipproj": proj})
+        print("--- loaded coco_tokens_avg_proj clipproj ---")
+    return merge_overlays(*layers)
+
+
 def _load_decoupler_params(args, params, bcfg, pcfg, gcfg):
     """Overlay the trained decoupler weights: our Orbax checkpoint if
     present, else the reference's released torch ensemble."""
@@ -170,7 +200,8 @@ def cmd_train_brain(args):
     ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
     run_stage1(bcfg, tcfg, mesh, train_split, test_split, ct_train, ct_test,
-               ckpt_dir=ckpt_dir, resume=args.resume_from_ckpt)
+               ckpt_dir=ckpt_dir, resume=args.resume_from_ckpt,
+               warm_start_params=_warm_start_overlay(args, bcfg))
     print("=== stage 1 finished ===")
 
 
@@ -189,10 +220,32 @@ def cmd_train_decoupler(args):
     train_split = _load_data(args, bcfg, tcfg, train=True)
 
     ckpt_dir = os.path.join(args.exp_dir, f"exp_{args.exp}", "checkpoints")
+    # stage-1 core: best-metric `brain_model` preferred (the reference
+    # loads brain_model.pth, train_neurons.py:219), else _last, else the
+    # reference's torch artifact itself
     core_params = None
-    if ckpt_lib.exists(ckpt_dir, "brain_model_last"):
-        core_params = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_last")["params"]
-        print("--- resuming core from brain_model_last ---")
+    for tag in ("brain_model", "brain_model_last"):
+        if ckpt_lib.exists(ckpt_dir, tag):
+            core_params = ckpt_lib.load_ckpt(ckpt_dir, tag)["params"]
+            print(f"--- resuming core from {tag} ---")
+            break
+    torch_core = os.path.join(ckpt_dir, "brain_model.pth")
+    if core_params is None and os.path.exists(torch_core):
+        import torch
+        from neurons_tpu.interop.torch_import import import_neurons_core
+        sd = torch.load(torch_core, map_location="cpu", weights_only=False)
+        sd = sd.get("model_state_dict", sd)
+        core_params, unused = import_neurons_core(sd, n_blocks=bcfg.n_blocks)
+        print(f"--- imported torch brain_model.pth core "
+              f"({len(unused)} unused keys) ---")
+    # warm-start layering, reference order (train_neurons.py:208-241):
+    # MindEye2 backbone, then the stage-1 core over it, then the frozen
+    # coco clipproj over everything
+    warm = _warm_start_overlay(args, bcfg)
+    if warm is not None:
+        core_params = ckpt_lib.merge_overlays(
+            warm, core_params,
+            {"clipproj": warm["clipproj"]} if "clipproj" in warm else None)
 
     tables_exist = os.path.exists(
         os.path.join(args.root_dir, "clip_targets_train.npy"))

@@ -10,9 +10,15 @@ from __future__ import annotations
 import os
 
 
+# name -> (repo_id, repo_type, allow_patterns); mirrors the reference's
+# two snapshot_download calls exactly: the tensor dump is a *dataset*
+# repo pulled whole, the masks/annotations live in the NEURONS *model*
+# repo and MUST be pattern-filtered (the same repo also hosts the >60 GB
+# EXP artifact dump).
 DATASETS = {
-    "cc2017": "gongzx/cc2017_dataset",
-    "neurons_masks": "McGregorW/NEURONS",
+    "cc2017": ("gongzx/cc2017_dataset", "dataset", None),
+    "neurons_masks": ("McGregorW/NEURONS", "model",
+                      ["masks/*", "qwen_annotation/*"]),
 }
 
 
@@ -25,10 +31,11 @@ def download(root_dir: str = "./cc2017_dataset",
                            "dataset") from e
     os.makedirs(root_dir, exist_ok=True)
     for name in repos:
-        repo = DATASETS[name]
-        snapshot_download(repo_id=repo, repo_type="dataset",
+        repo, rtype, patterns = DATASETS[name]
+        kw = {"allow_patterns": patterns} if patterns else {}
+        snapshot_download(repo_id=repo, repo_type=rtype,
                           local_dir=root_dir,
-                          local_dir_use_symlinks=False)
+                          local_dir_use_symlinks=False, **kw)
         print(f"downloaded {repo} -> {root_dir}")
 
 

@@ -748,6 +748,48 @@ def _decoder_video(sd, prefix: str, n_up: int, layers_per_block: int
     return p
 
 
+def _neurons_core(sd, n_blocks: int) -> Dict[str, Any]:
+    """backbone + per-subject ridge + clipproj (the NeuronsCore subtree,
+    reference Neurons container members, BrainModel_neurons.py:204-226)."""
+    core: Dict[str, Any] = {"backbone": _mixer_backbone(sd, n_blocks)}
+    ridge: Dict[str, Any] = {}
+    i = 0
+    while f"ridge.linears.{i}.weight" in sd:
+        ridge[f"subj{i}"] = linear(sd, f"ridge.linears.{i}")
+        i += 1
+    core["ridge"] = ridge
+    core["clipproj"] = {"proj": t2j(sd["clipproj.proj"])}
+    return core
+
+
+def import_neurons_core(state_dict: Dict, n_blocks: int = 4
+                        ) -> Tuple[Dict, List[str]]:
+    """Stage-1 `brain_model.pth` model_state_dict (backbone/ridge/clipproj
+    only) -> NeuronsCore params — the strict=False overlay the reference
+    applies before stage-2 training (train_neurons.py:219-221)."""
+    sd = _Tracker(dict(state_dict))
+    return _neurons_core(sd, n_blocks), sd.unused()
+
+
+def import_mindeye_backbone(state_dict: Dict, n_blocks: int = 4
+                            ) -> Tuple[Dict, List[str]]:
+    """MindEye2 `last.pth` model_state_dict -> shared mixer-backbone
+    overlay (reference train_neurons.py:208-216: strict=False load of the
+    MindEye2 checkpoint to warm-start convergence, after which `ridge` and
+    `clipproj` are re-initialised fresh — so ONLY backbone.* survives)."""
+    sd = _Tracker(dict(state_dict))
+    return {"backbone": _mixer_backbone(sd, n_blocks)}, sd.unused()
+
+
+def import_coco_clipproj(state_dict: Dict) -> Tuple[Dict, List[str]]:
+    """`coco_tokens_avg_proj.pth` -> CLIPProj params (reference
+    train_neurons.py:240-241: the frozen 1664->1280 image-token ->
+    caption-embedding projector, loaded from root_dir for BOTH stages
+    and kept requires_grad_(False) throughout)."""
+    sd = _Tracker(dict(state_dict))
+    return {"proj": t2j(sd["proj"])}, sd.unused()
+
+
 def import_neurons_ensemble(state_dict: Dict, n_blocks: int = 4,
                             prior_depth: int = 6, gpt2_layers: int = 12,
                             decoder_up_blocks: int = 3,
@@ -761,16 +803,7 @@ def import_neurons_ensemble(state_dict: Dict, n_blocks: int = 4,
     sd = _Tracker({k: v for k, v in state_dict.items()
                    if not (k.startswith("diffusion_prior.")
                            and ".net." not in k)})
-    p: Dict[str, Any] = {}
-    core: Dict[str, Any] = {"backbone": _mixer_backbone(sd, n_blocks)}
-    ridge: Dict[str, Any] = {}
-    i = 0
-    while f"ridge.linears.{i}.weight" in sd:
-        ridge[f"subj{i}"] = linear(sd, f"ridge.linears.{i}")
-        i += 1
-    core["ridge"] = ridge
-    core["clipproj"] = {"proj": t2j(sd["clipproj.proj"])}
-    p["core"] = core
+    p: Dict[str, Any] = {"core": _neurons_core(sd, n_blocks)}
     p["prior_net"] = _dalle2_prior_net(sd, prior_depth)
     p["motion_proj"] = {"motion_proj": linear(sd, "motion_proj.motion_proj")}
     p["classifier"] = {

@@ -58,10 +58,15 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                ckpt_dir: Optional[str] = None,
                log_every: int = 50, logger=None,
                resume: bool = False,
-               stop_after_epochs: Optional[int] = None
+               stop_after_epochs: Optional[int] = None,
+               warm_start_params=None,
                ) -> train_brain.TrainState:
     """Stage-1 training (reference `--no-neurons_decoupler` branch).
     clip_targets_*: precomputed CLIP tables [N, n_frames, 256, 1664].
+    `warm_start_params`: partial params overlay applied after init — the
+    reference's MindEye2 `last.pth` backbone + `coco_tokens_avg_proj.pth`
+    clipproj warm start (train_neurons.py:229-241); a `resume` restore
+    takes precedence.
     `resume=True` restores params/opt-state/epoch from brain_model_last
     (reference --resume_from_ckpt, train_neurons.py:342-352).
     `stop_after_epochs=k` simulates a preemption: save the full-state
@@ -75,6 +80,9 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
     key = root_key(tcfg.seed)
     model, state, tx = train_brain.init_stage1(bcfg, tcfg, steps_per_epoch,
                                                key)
+    if warm_start_params is not None:
+        state = state._replace(params=ckpt_lib.restore_into(
+            state.params, warm_start_params))
     step_fn = train_brain.make_stage1_train_step(model, tx, tcfg)
     eval_fn = train_brain.make_stage1_eval_step(model)
 

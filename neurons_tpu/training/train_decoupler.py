@@ -55,9 +55,13 @@ def init_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
     params = model.init(key, voxel, tokens)["params"]
     if core_params is not None:
         # layer the stage-1 checkpoint under the ensemble (the reference's
-        # strict=False load, train_neurons.py:219-221)
+        # strict=False load, train_neurons.py:219-221). Overlay, don't
+        # replace: a partial warm-start (MindEye2 backbone only, or
+        # backbone+clipproj without this run's ridge) keeps the freshly
+        # initialised leaves for whatever it does not cover.
+        from neurons_tpu.utils.checkpoint import restore_into
         params = dict(params)
-        params["core"] = core_params
+        params["core"] = restore_into(params["core"], core_params)
     tx, _ = make_optimizer(tcfg, steps_per_epoch,
                            frozen_fn=freeze_by_prefix(("core",)))
     diffusion = PriorDiffusion.create(pcfg.timesteps, pcfg.cond_drop_prob)

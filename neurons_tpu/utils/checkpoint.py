@@ -86,5 +86,28 @@ def restore_into(target_params: Any, ckpt_params: Any) -> Any:
     return overlay(target_params, ckpt_params)
 
 
+def merge_overlays(*overlays: Any) -> Any:
+    """Deep-merge partial param trees; later overlays win on conflicting
+    leaves. Unlike `restore_into`, keys absent from earlier trees are
+    KEPT — use this to compose several strict=False checkpoint layers
+    (MindEye2 backbone, then a stage-1 ckpt, then the coco clipproj —
+    reference train_neurons.py:208-241) before overlaying the result
+    onto full init params."""
+
+    def merge(a, b):
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            for k, v in b.items():
+                out[k] = merge(a[k], v) if k in a else v
+            return out
+        return b
+
+    result: Any = {}
+    for o in overlays:
+        if o is not None:
+            result = merge(result, o)
+    return result or None
+
+
 def exists(directory: str, tag: str) -> bool:
     return os.path.isdir(os.path.join(directory, tag))

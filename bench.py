@@ -230,12 +230,18 @@ def build():
             return (out[0].astype(jnp.float32),) + out[1:]
         return out.astype(jnp.float32)
 
-    def vae_decode(z):
-        return vae.apply(vae_params, z.astype(DTYPE),
-                         method="decode").astype(jnp.float32)
+    def make_vae_decode(vp):
+        # parametrize on the traced stage3/stage5 argument — a build-time
+        # closure would silently bake the random-init VAE in even when the
+        # caller swaps params["vae"] for imported real weights
+        def vae_decode(z):
+            return vae.apply(vp, z.astype(DTYPE),
+                             method="decode").astype(jnp.float32)
+        return vae_decode
 
     @jax.jit
     def stage3(dec_params, unet2d_params, vae_params, key, voxel):
+        vae_decode = make_vae_decode(vae_params)
         # the full stage-3 forward: encode -> prior -> decoupler heads ->
         # caption -> mask-modulated unCLIP (pipelines/keyframe.py)
         out = reconstruct_keyframes(

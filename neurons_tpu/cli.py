@@ -608,7 +608,7 @@ def cmd_video(args):
         if not (args.tiny or args.synthetic):
             raise RuntimeError(
                 "stage-3 blurry videos missing/malformed in "
-                f"{st3}/recon_videos.npz — rerun stage 3")
+                f"{st3}/recon_videos.pt — rerun stage 3")
         blurry = jnp.asarray(
             g.uniform(size=(keyframes.shape[0], 6, 3, hw, hw)), jnp.float32)
 

@@ -289,35 +289,38 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
     kf = k.reshape(bh, tk, d_)
     vf = v.reshape(bh, tk, d_)
     gf = g.reshape(bh, tq, d_)
-    bias_b = None
-    if bias is not None:
-        bias_b = jnp.broadcast_to(
-            bias.astype(jnp.float32).reshape(
-                (1,) * (4 - bias.ndim) + bias.shape),
-            (b, h, tq, tk)).reshape(bh, tq, tk)
-
     ch = min(512, tq)
     tq_p = _round_up(tq, ch)
+    bias_p = None
+    if bias is not None:
+        # keep the bias UN-broadcast ([Tq,Tk] / [h,Tq,Tk] / [b,h,Tq,Tk]):
+        # broadcasting to [bh,Tq,Tk] scan xs would materialize the full
+        # logits-sized matrix the chunking exists to avoid; instead each
+        # step dynamic-slices its q-rows and lets the [b,h,ch,Tk] view of
+        # s broadcast the add
+        bias_p = bias.astype(jnp.float32)
     if tq_p != tq:
-        # zero-padded g rows contribute nothing to ds/dv (see below)
+        # zero-padded g rows contribute nothing to ds/dv (see below), so
+        # any FINITE bias pad works; 0 keeps the padded rows' softmax
+        # well-conditioned (a true -inf pad would NaN-poison dk/dv)
         qf = jnp.pad(qf, ((0, 0), (0, tq_p - tq), (0, 0)))
         gf = jnp.pad(gf, ((0, 0), (0, tq_p - tq), (0, 0)))
-        if bias_b is not None:
-            bias_b = jnp.pad(bias_b,
-                             ((0, 0), (0, tq_p - tq), (0, 0)),
-                             constant_values=_NEG_INF)
+        if bias_p is not None:
+            pad = [(0, 0)] * (bias_p.ndim - 2) + [(0, tq_p - tq), (0, 0)]
+            bias_p = jnp.pad(bias_p, pad)
     nc = tq_p // ch
     qc_all = qf.reshape(bh, nc, ch, d_).transpose(1, 0, 2, 3)
     gc_all = gf.reshape(bh, nc, ch, d_).transpose(1, 0, 2, 3)
-    bc_all = (bias_b.reshape(bh, nc, ch, tk).transpose(1, 0, 2, 3)
-              if bias_b is not None else
-              jnp.zeros((nc, 1, 1, 1), jnp.float32))
 
     def step(carry, args):
         dk, dv = carry
-        qc, gc, bc = args  # [bh, ch, D], bias chunk [bh, ch, tk]
+        qc, gc, ci = args  # [bh, ch, D], chunk index
         s = jnp.einsum("bqd,bkd->bqk", qc, kf,
-                       preferred_element_type=jnp.float32) * scale + bc
+                       preferred_element_type=jnp.float32) * scale
+        if bias_p is not None:
+            bc = jax.lax.dynamic_slice_in_dim(bias_p, ci * ch, ch,
+                                              axis=bias_p.ndim - 2)
+            s = (s.reshape(b, h, ch, tk) + bc).reshape(bh, ch, tk)
         p = jax.nn.softmax(s, axis=-1)
         pv = p.astype(vf.dtype)
         dv = dv + jnp.einsum("bqk,bqd->bkd", pv, gc,
@@ -330,24 +333,34 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
                           preferred_element_type=jnp.float32) * scale
         dk = dk + jnp.einsum("bqk,bqd->bkd", dsv, qc,
                              preferred_element_type=jnp.float32) * scale
-        return (dk, dv), (dq_c, ds if bias_b is not None else None)
+        # reduce dbias over the broadcast axes INSIDE the scan so the
+        # stacked per-chunk output matches the bias' own shape — stacking
+        # full ds would rematerialize the bh*Tq*Tk matrix the chunking
+        # exists to avoid
+        if bias_p is None:
+            db_c = None
+        elif bias.ndim == 2:
+            db_c = ds.sum(axis=0)                           # [ch, tk]
+        elif bias.ndim == 3:
+            db_c = ds.reshape(b, h, ch, tk).sum(axis=0)     # [h, ch, tk]
+        else:
+            db_c = ds.reshape(b, h, ch, tk)                 # [b,h,ch,tk]
+        return (dk, dv), (dq_c, db_c)
 
     zero = jnp.zeros((bh, tk, d_), jnp.float32)
-    (dk, dv), (dq_chunks, ds_chunks) = jax.lax.scan(
-        step, (zero, zero), (qc_all, gc_all, bc_all))
+    (dk, dv), (dq_chunks, db_chunks) = jax.lax.scan(
+        step, (zero, zero), (qc_all, gc_all, jnp.arange(nc)))
     dq = dq_chunks.transpose(1, 0, 2, 3).reshape(bh, tq_p, d_)[:, :tq]
     dbias = None
-    if bias_b is not None:
-        ds_full = ds_chunks.transpose(1, 0, 2, 3).reshape(
-            bh, tq_p, tk)[:, :tq].reshape(b, h, tq, tk)
-        # reduce over the axes the bias was broadcast across
-        if bias.ndim == 2:
-            dbias = ds_full.sum(axis=(0, 1))
-        elif bias.ndim == 3:
-            dbias = ds_full.sum(axis=0)
-        else:
-            dbias = ds_full
-        dbias = dbias.astype(bias.dtype)
+    if bias_p is not None:
+        # [nc, ..., ch, tk] -> [..., tq, tk]: move the chunk axis next to
+        # ch and merge, then drop the padded rows
+        nd = db_chunks.ndim
+        perm = tuple(range(1, nd - 2)) + (0, nd - 2, nd - 1)
+        lead = db_chunks.shape[1:nd - 2]
+        dbias = (db_chunks.transpose(perm)
+                 .reshape(lead + (tq_p, tk))[..., :tq, :]
+                 .astype(bias.dtype))
     return (dq.reshape(q.shape).astype(q.dtype),
             dk.reshape(k.shape).astype(k.dtype),
             dv.reshape(v.shape).astype(v.dtype),
@@ -460,44 +473,28 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
                     f"bias batch/head dims {bias4.shape[:2]} must be 1 or "
                     f"match q's ({b}, {h})")
                 bmap = lambda bhid, qi: (bhid, qi, 0)
-            call = pl.pallas_call(
-                functools.partial(_flash_kernel_smallkv_bias, scale=scale,
-                                  kv_len=tk, block_k=block_k),
-                grid=(b * h, tq_p // block_q),
-                in_specs=[
-                    pl.BlockSpec((None, block_q, d_p),
-                                 lambda bh, qi: (bh, qi, 0)),
-                    pl.BlockSpec((None, tk_p, d_p),
-                                 lambda bh, qi: (bh, 0, 0)),
-                    pl.BlockSpec((None, tk_p, d_p),
-                                 lambda bh, qi: (bh, 0, 0)),
-                    pl.BlockSpec((None, block_q, tk_p), bmap),
-                ],
-                out_specs=pl.BlockSpec((None, block_q, d_p),
-                                       lambda bh, qi: (bh, qi, 0)),
-                out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
-                interpret=interpret,
-            )
             call_args = (qf, kf, vf, biasf)
         else:
-            call = pl.pallas_call(
-                functools.partial(_flash_kernel_smallkv, scale=scale,
-                                  kv_len=tk, block_k=block_k),
-                grid=(b * h, tq_p // block_q),
-                in_specs=[
-                    pl.BlockSpec((None, block_q, d_p),
-                                 lambda bh, qi: (bh, qi, 0)),
-                    pl.BlockSpec((None, tk_p, d_p),
-                                 lambda bh, qi: (bh, 0, 0)),
-                    pl.BlockSpec((None, tk_p, d_p),
-                                 lambda bh, qi: (bh, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((None, block_q, d_p),
-                                       lambda bh, qi: (bh, qi, 0)),
-                out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
-                interpret=interpret,
-            )
             call_args = (qf, kf, vf)
+        kernel = (_flash_kernel_smallkv_bias if bias is not None
+                  else _flash_kernel_smallkv)
+        in_specs = [
+            pl.BlockSpec((None, block_q, d_p), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, tk_p, d_p), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((None, tk_p, d_p), lambda bh, qi: (bh, 0, 0)),
+        ]
+        if bias is not None:
+            in_specs.append(pl.BlockSpec((None, block_q, tk_p), bmap))
+        call = pl.pallas_call(
+            functools.partial(kernel, scale=scale, kv_len=tk,
+                              block_k=block_k),
+            grid=(b * h, tq_p // block_q),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((None, block_q, d_p),
+                                   lambda bh, qi: (bh, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
+            interpret=interpret,
+        )
         probe = (os.environ.get("NEURONS_TPU_VMEM_PROBE") == "1"
                  and not interpret and _on_tpu())
         cfg_key = ("smallkv", b * h, tq_p, tk_p, d_p, block_q, block_k,

@@ -41,17 +41,8 @@ except Exception:  # pragma: no cover
 # already HBM-bound there.
 _VMEM_LIMIT = 3 * 1024 * 1024
 
-
-def _on_tpu() -> bool:
-    try:
-        # honor `with jax.default_device(...)` overrides (e.g. CPU-side
-        # parameter init in bench.py) before the global backend
-        dev = jax.config.jax_default_device
-        if dev is not None:
-            return getattr(dev, "platform", str(dev)) == "tpu"
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+# single shared backend check (re-exported here for fused_conv)
+from neurons_tpu.ops.attention import _on_tpu  # noqa: E402
 
 
 def group_norm_silu_reference(x: jax.Array, scale: jax.Array,

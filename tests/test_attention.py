@@ -64,8 +64,13 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=2e-5)
 
-    def test_bias_grads_match_xla(self):
-        b, h, tq, tk, d = 1, 2, 130, 140, 16
+    @pytest.mark.parametrize("b,h,tq,tk,d", [
+        (1, 2, 130, 140, 16),
+        # tq > 512 exercises the q-chunk padding path in _flash_bwd
+        # (the prior's 513-token shape pads 511 rows)
+        (1, 1, 513, 140, 8),
+    ])
+    def test_bias_grads_match_xla(self, b, h, tq, tk, d):
         q, k, v = _qkv(jax.random.PRNGKey(3), b, h, tq, tk, d)
         bias = jax.random.normal(jax.random.PRNGKey(4), (h, tq, tk))
         w = jax.random.normal(jax.random.PRNGKey(5), (b, h, tq, d))

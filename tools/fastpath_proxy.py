@@ -42,6 +42,8 @@ def main(argv):
     hw = int(opts.get("hw", "32"))
     frames = int(opts.get("frames", "16"))
     steps = int(opts.get("steps", "25"))
+    # validate fast-path flags BEFORE the expensive model build/compile
+    fast_kwargs, label = _fast_kwargs(opts)
 
     from neurons_tpu.config import SamplerConfig, UNet3DConfig
     from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
@@ -109,8 +111,6 @@ def main(argv):
         uncond_embeddings=jnp.zeros((1, 77, cfg.cross_attention_dim)),
         num_steps=steps, n_frames=frames)
 
-    fast_kwargs, label = _fast_kwargs(opts)
-
     base = np.asarray(reconstruct_video(**common).latents, np.float32)
     fast = np.asarray(reconstruct_video(**common, **fast_kwargs).latents,
                       np.float32)
@@ -141,6 +141,10 @@ def _fast_kwargs(opts):
                 int(v) for v in opts["pab_range"].split(","))
             label.append(f"range={opts['pab_range']}")
     if "deep_cache" in opts:
+        if opts.get("stage") != "3":
+            # only the stage-3 unCLIP sampler implements DeepCache;
+            # fail before the expensive exact baseline runs
+            raise SystemExit("deep_cache= requires stage=3")
         fast_kwargs["deep_cache"] = int(opts["deep_cache"])
         label.append(f"deep_cache={opts['deep_cache']}")
     if not fast_kwargs:

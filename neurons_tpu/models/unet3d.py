@@ -37,6 +37,7 @@ from neurons_tpu.config import UNet3DConfig
 from neurons_tpu.models.unet2d import timestep_embedding, zero_init
 from neurons_tpu.ops.attention import dot_product_attention
 from neurons_tpu.ops.fused_norm import GroupNorm, GroupNormSiLU
+from neurons_tpu.ops.temporal_attention import temporal_attention
 
 
 def temporal_pos_encoding(max_len: int, dim: int) -> jnp.ndarray:
@@ -76,17 +77,10 @@ class TemporalMHA(nn.Module):
         q = nn.Dense(self.dim, use_bias=False, name="to_q")(t)
         k = nn.Dense(self.dim, use_bias=False, name="to_k")(t)
         v = nn.Dense(self.dim, use_bias=False, name="to_v")(t)
-
-        def split(y):
-            return y.reshape(b, f, d, h, hd)
-
-        q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("bidhk,bjdhk->bdhij", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits * (hd ** -0.5)
-        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bdhij,bjdhk->bidhk", w, v)
-        out = out.reshape(bf, d, self.dim)
+        # fused lane-packed kernel on TPU (einsum reference elsewhere):
+        # profiled r2, the XLA einsum path spent ~0.8 s/clip in layout
+        # copies + f32 logits traffic around these 16-frame attentions
+        out = temporal_attention(q, k, v, f, h, hd ** -0.5)
         return nn.Dense(self.dim, name="to_out")(out)
 
 

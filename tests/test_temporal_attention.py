@@ -1,0 +1,107 @@
+"""Fused temporal-attention kernel vs the einsum reference.
+
+The kernel computes per-pixel cross-frame attention in the folded
+[(B F), D, C] layout with lane-packed logits (F*H == 128); these tests
+run it in interpret mode on CPU against temporal_attention_reference
+and against a straightforward per-head loop oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurons_tpu.ops.temporal_attention import (
+    _kernel_eligible, _pick_dblk, _temporal_attention_impl,
+    temporal_attention, temporal_attention_reference)
+
+
+def _qkv(seed, bf, d, c, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return [jax.random.normal(k, (bf, d, c), dtype) for k in ks]
+
+
+def _oracle(q, k, v, f, h, scale):
+    """Per-(pixel, head) loop oracle — independent of both paths."""
+    bf, d, c = q.shape
+    b = bf // f
+    hd = c // h
+    out = np.zeros((bf, d, c), np.float32)
+    qn, kn, vn = (np.asarray(x, np.float32) for x in (q, k, v))
+    for bi in range(b):
+        for di in range(d):
+            for hi in range(h):
+                sl = slice(hi * hd, (hi + 1) * hd)
+                qs = qn[bi * f:(bi + 1) * f, di, sl]       # [f, hd]
+                ks_ = kn[bi * f:(bi + 1) * f, di, sl]
+                vs = vn[bi * f:(bi + 1) * f, di, sl]
+                logits = qs @ ks_.T * scale
+                w = np.exp(logits - logits.max(-1, keepdims=True))
+                w /= w.sum(-1, keepdims=True)
+                out[bi * f:(bi + 1) * f, di, sl] = w @ vs
+    return out
+
+
+class TestTemporalAttention:
+    def test_reference_matches_oracle(self):
+        f, h, d, c = 4, 2, 6, 8
+        q, k, v = _qkv(0, 2 * f, d, c)
+        got = temporal_attention_reference(q, k, v, f, h, 0.5)
+        np.testing.assert_allclose(np.asarray(got), _oracle(q, k, v, f, h, 0.5),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("c,d", [(320, 64), (640, 32), (1280, 16)])
+    def test_kernel_matches_reference(self, c, d):
+        """Production motion-module shapes: F=16, H=8 (F*H = 128)."""
+        f, h = 16, 8
+        q, k, v = _qkv(1, 2 * f, d, c)
+        scale = (c // h) ** -0.5
+        got = _temporal_attention_impl(q, k, v, f, h, scale, True)
+        want = temporal_attention_reference(q, k, v, f, h, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_kernel_bf16(self):
+        f, h, d, c = 16, 8, 32, 320
+        q, k, v = _qkv(2, f, d, c, jnp.bfloat16)
+        scale = 40 ** -0.5
+        got = np.asarray(
+            _temporal_attention_impl(q, k, v, f, h, scale, True), np.float32)
+        want = np.asarray(
+            temporal_attention_reference(q, k, v, f, h, scale), np.float32)
+        assert np.abs(got - want).max() < 0.05
+
+    def test_kernel_multi_d_blocks(self):
+        # d spans several dblk-sized grid steps
+        f, h, c = 16, 8, 320
+        d = _pick_dblk(1024, c) * 3
+        q, k, v = _qkv(3, f, d, c)
+        got = _temporal_attention_impl(q, k, v, f, h, 0.1, True)
+        want = temporal_attention_reference(q, k, v, f, h, 0.1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_grad_matches_reference(self):
+        f, h, d, c = 4, 2, 6, 8
+        q, k, v = _qkv(4, 2 * f, d, c)
+        wgt = jax.random.normal(jax.random.PRNGKey(9), (2 * f, d, c))
+
+        def loss_pub(q, k, v):
+            return jnp.sum(temporal_attention(q, k, v, f, h, 0.5) * wgt)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                temporal_attention_reference(q, k, v, f, h, 0.5) * wgt)
+
+        g1 = jax.grad(loss_pub, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_eligibility_gate(self):
+        # F*H != 128 or misaligned heads must not claim the kernel
+        assert _kernel_eligible(32, 64, 320, 16, 8, jnp.bfloat16)
+        assert not _kernel_eligible(32, 64, 320, 8, 8, jnp.bfloat16)
+        assert not _kernel_eligible(32, 64, 320, 16, 10, jnp.bfloat16)
+        assert not _kernel_eligible(33, 64, 320, 16, 8, jnp.bfloat16)
+        assert not _kernel_eligible(32, 64, 324, 16, 8, jnp.bfloat16)

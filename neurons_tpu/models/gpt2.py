@@ -108,9 +108,11 @@ class TextDecoder(nn.Module):
             tokens, done = carry
             emb = jnp.take(jnp.asarray(self.wte), tokens, axis=0)
             x = jnp.concatenate([prefix, emb], axis=1)
-            logits = self.lm(x, self.wte)          # [B, 1+max_len, V]
-            # next token predicted at position i (prefix occupies pos 0)
-            nxt = jnp.argmax(logits[:, i], axis=-1)
+            # next token predicted at position i (prefix occupies pos 0);
+            # project only that row through the 50k-vocab head — the full
+            # [B, 1+max_len, V] logits are 61x wasted FLOPs per step
+            logits = self.lm(x, self.wte, head_position=i)  # [B, 1, V]
+            nxt = jnp.argmax(logits[:, 0], axis=-1)
             nxt = jnp.where(done, eot_token, nxt)
             tokens = tokens.at[:, i].set(nxt)
             done = done | (nxt == eot_token)
@@ -127,7 +129,10 @@ class _InnerLM(nn.Module):
     cfg: GPT2Config
 
     @nn.compact
-    def __call__(self, inputs_embeds: jax.Array, wte: jax.Array) -> jax.Array:
+    def __call__(self, inputs_embeds: jax.Array, wte: jax.Array,
+                 head_position: Optional[jax.Array] = None) -> jax.Array:
+        """head_position: when given (greedy decode), only that sequence
+        position is projected through the vocab head -> [B, 1, V]."""
         c = self.cfg
         b, t, d = inputs_embeds.shape
         wpe = self.param("wpe", nn.initializers.normal(0.01),
@@ -136,4 +141,6 @@ class _InnerLM(nn.Module):
         for i in range(c.n_layer):
             x = GPT2Block(c, name=f"h_{i}")(x)
         x = nn.LayerNorm(epsilon=c.layer_norm_epsilon, name="ln_f")(x)
+        if head_position is not None:
+            x = jax.lax.dynamic_slice_in_dim(x, head_position, 1, axis=1)
         return x @ wte.T

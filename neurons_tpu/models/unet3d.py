@@ -69,9 +69,7 @@ class TemporalMHA(nn.Module):
 
     @nn.compact
     def __call__(self, t):
-        bf, d, c = t.shape
         f = self.n_frames
-        b = bf // f
         h = self.heads
         hd = self.dim // h
         q = nn.Dense(self.dim, use_bias=False, name="to_q")(t)

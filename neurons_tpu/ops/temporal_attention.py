@@ -24,15 +24,19 @@ shape F=16, H=8 that is exactly 128, one full vector register row.
     broadcasts each head weight across its hd lanes in one matmul;
     a VPU FMA with v_j accumulates the context.
 
-Numerics match the einsum reference (f32 logits/softmax, f32 context
-accumulation). The backward is the reference path's VJP (exact; the
-temporal sites are frozen at inference, so backward perf is not hot).
+Numerics: f32 logits/softmax and f32 context accumulation, like the
+einsum reference. For bf16 inputs the q*k products are computed in f32
+and fed to the selector matmul as a compensated hi+lo bf16 pair (two
+MXU matmuls), so logit accumulation matches the reference's exact
+bf16-product/f32-accumulate einsum to ~2^-16 instead of the ~1% drift
+plain bf16-rounded products show under cancellation. The backward is
+the reference path's VJP (exact; the temporal sites are frozen at
+inference, so backward perf is not hot).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -87,7 +91,6 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, f: int, h: int,
     q = q_ref[...]                       # [f, dblk, c]
     k = k_ref[...]
     v = v_ref[...]
-    q2 = q.reshape(rows, c)
 
     # selector tables: cc (channel) on one axis, packed lane on the other
     cc_s = jax.lax.broadcasted_iota(jnp.int32, (c, fh), 0)
@@ -95,12 +98,26 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, f: int, h: int,
     lane_e = jax.lax.broadcasted_iota(jnp.int32, (fh, c), 0)
     cc_e = jax.lax.broadcasted_iota(jnp.int32, (fh, c), 1)
 
+    compensate = q.dtype == jnp.bfloat16
+    qf = q.astype(jnp.float32) if compensate else q
     logits = jnp.zeros((rows, fh), jnp.float32)
     for j in range(f):
         sj = (lane_s == j * h + cc_s // hd).astype(q.dtype)     # [c, fh]
-        prod = (q * k[j][None]).reshape(rows, c)
-        logits = logits + jnp.dot(prod, sj,
-                                  preferred_element_type=jnp.float32)
+        if compensate:
+            # exact-product accumulation: round the f32 product to a
+            # bf16 hi+lo pair and run both through the (0/1, exact in
+            # bf16) selector — two full-rate MXU matmuls reproduce the
+            # reference einsum's exact-product f32 accumulation
+            p32 = (qf * k[j][None].astype(jnp.float32)).reshape(rows, c)
+            hi = p32.astype(jnp.bfloat16)
+            lo = (p32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            logits = (logits
+                      + jnp.dot(hi, sj, preferred_element_type=jnp.float32)
+                      + jnp.dot(lo, sj, preferred_element_type=jnp.float32))
+        else:
+            prod = (q * k[j][None]).reshape(rows, c)
+            logits = logits + jnp.dot(prod, sj,
+                                      preferred_element_type=jnp.float32)
     logits = logits * scale
 
     # softmax over key frames: each head's F logits sit in lanes
@@ -150,9 +167,11 @@ def _kernel_eligible(bf, d, c, n_frames, heads, dtype) -> bool:
 
 def _temporal_attention_impl(q, k, v, n_frames, heads, scale, interpret):
     bf, d, c = q.shape
-    if not (interpret or
-            (_on_tpu() and _kernel_eligible(bf, d, c, n_frames, heads,
-                                            q.dtype))):
+    # interpret mode emulates the kernel on CPU but must respect the same
+    # shape gate — the lane-roll softmax tree is silently wrong for
+    # non-power-of-2 n_frames, eligible or not is not a backend question
+    if not ((interpret or _on_tpu())
+            and _kernel_eligible(bf, d, c, n_frames, heads, q.dtype)):
         return temporal_attention_reference(q, k, v, n_frames, heads, scale)
     f, h = n_frames, heads
     hd = c // h

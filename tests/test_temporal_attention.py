@@ -61,6 +61,9 @@ class TestTemporalAttention:
                                    rtol=2e-5, atol=2e-5)
 
     def test_kernel_bf16(self):
+        # compensated hi+lo products: the kernel must match the exact
+        # bf16-product/f32-accumulate einsum reference tightly, not just
+        # to within bf16 cancellation drift
         f, h, d, c = 16, 8, 32, 320
         q, k, v = _qkv(2, f, d, c, jnp.bfloat16)
         scale = 40 ** -0.5
@@ -68,7 +71,45 @@ class TestTemporalAttention:
             _temporal_attention_impl(q, k, v, f, h, scale, True), np.float32)
         want = np.asarray(
             temporal_attention_reference(q, k, v, f, h, scale), np.float32)
-        assert np.abs(got - want).max() < 0.05
+        assert np.abs(got - want).max() < 5e-3
+
+    def test_interpret_ineligible_falls_back(self):
+        # non-power-of-2 n_frames breaks the lane-roll tree; interpret
+        # mode must take the reference path, not emulate a wrong kernel
+        f, h, d, c = 12, 8, 8, 64
+        q, k, v = _qkv(7, 2 * f, d, c)
+        got = _temporal_attention_impl(q, k, v, f, h, 0.3, True)
+        want = temporal_attention_reference(q, k, v, f, h, 0.3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_grad_through_interpret_kernel(self):
+        # eligible shape + interpret=True: forward takes the emulated
+        # kernel, backward the reference VJP — the production custom_vjp
+        # combination, which the ineligible-shape grad test never hits
+        f, h, d, c = 16, 8, 8, 64
+        q, k, v = _qkv(8, f, d, c)
+        wgt = jax.random.normal(jax.random.PRNGKey(11), (f, d, c))
+        scale = (c // h) ** -0.5
+
+        def loss_pub(q, k, v):
+            return jnp.sum(
+                temporal_attention(q, k, v, f, h, scale, True) * wgt)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                temporal_attention_reference(q, k, v, f, h, scale) * wgt)
+
+        # forward really is the kernel (not a silent fallback)
+        np.testing.assert_allclose(
+            np.asarray(temporal_attention(q, k, v, f, h, scale, True)),
+            np.asarray(temporal_attention_reference(q, k, v, f, h, scale)),
+            rtol=2e-5, atol=2e-5)
+        g1 = jax.grad(loss_pub, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
 
     def test_kernel_multi_d_blocks(self):
         # d spans several dblk-sized grid steps

@@ -1,0 +1,109 @@
+"""Probe: XLA layout assignment for 320-channel transformer-block streams.
+
+The honest-bench profile (round 2) shows every dot writing the stage-5
+[32,1024,320] token stream runs at ~58 TF/s with output layout {1,2,0}
+(pixels-minor), while 4D NHWC convs at the same channel width run at
+140-190 TF/s c-minor. Hypothesis: flattened [B, HW, 320] dot-only
+regions get pixels-minor layouts (320 pads to 384 lanes, 20% waste), and
+keeping the residual stream 4D [B, H, W, 320] anchors c-minor.
+
+Runs three scanned block variants at the stage-5 shape and prints
+device-time per block plus the {1,2,0} buffer count from the optimized
+HLO. TPU only; single tunnel client (serialize with other TPU jobs).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_default_matmul_precision", "bfloat16")
+import jax.numpy as jnp
+
+B, H, W, C = 32, 32, 32, 320
+MULT = 8  # GEGLU 320 -> 2560 -> (1280 val/gate) -> 320
+STEPS = 200
+
+
+def ln(x, g, b):
+    m = x.mean(-1, keepdims=True)
+    v = x.var(-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + 1e-5) * g + b
+
+
+def block(tokens, p):
+    """LN -> proj(320x320) -> +res ; LN -> GEGLU FF -> +res (the dot-only
+    region between attention sites, where the layout flip happens)."""
+    t = ln(tokens, p["g1"], p["b1"])
+    tokens = tokens + t @ p["w_proj"]
+    t = ln(tokens, p["g2"], p["b2"])
+    h = t @ p["w_in"]
+    val, gate = jnp.split(h, 2, axis=-1)
+    return tokens + (val * jax.nn.silu(gate)) @ p["w_out"]
+
+
+def make_params(key):
+    ks = jax.random.split(key, 3)
+    z = jnp.zeros
+    return {
+        "g1": z((C,), jnp.bfloat16) + 1, "b1": z((C,), jnp.bfloat16),
+        "g2": z((C,), jnp.bfloat16) + 1, "b2": z((C,), jnp.bfloat16),
+        "w_proj": (jax.random.normal(ks[0], (C, C), jnp.bfloat16) * 0.02),
+        "w_in": (jax.random.normal(ks[1], (C, C * MULT), jnp.bfloat16) * 0.02),
+        "w_out": (jax.random.normal(ks[2], (C * MULT // 2, C), jnp.bfloat16)
+                  * 0.02),
+    }
+
+
+def run(name, fn, x, p):
+    jitted = jax.jit(fn)
+    lowered = jitted.lower(x, p)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    flips = hlo.count("{1,2,0")
+    out = jitted(x, p)
+    _ = float(jnp.sum(out.astype(jnp.float32)))  # sync
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = jitted(x, p)
+        _ = float(jnp.sum(out.astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / 3 / STEPS * 1e3
+    print(f"{name:28s} {dt:7.3f} ms/block   {{1,2,0}} buffers in HLO: "
+          f"{flips}", flush=True)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    p = make_params(key)
+    x3 = jax.random.normal(key, (B, H * W, C), jnp.bfloat16)
+    x4 = x3.reshape(B, H, W, C)
+
+    def scan3(x, p):
+        return jax.lax.scan(lambda c, _: (block(c, p), None), x,
+                            None, length=STEPS)[0]
+
+    def scan4(x, p):
+        return jax.lax.scan(lambda c, _: (block(c, p), None), x,
+                            None, length=STEPS)[0]
+
+    def scan4_flat_attn(x, p):
+        # 4D stream, flatten/unflatten inside the block (what the real
+        # refactor would do around attention custom calls)
+        def body(c, _):
+            t = block(c, p)
+            t2 = t.reshape(B, H * W, C)
+            t2 = t2 + 0.0  # stand-in for an attention site
+            return t2.reshape(B, H, W, C), None
+        return jax.lax.scan(body, x, None, length=STEPS)[0]
+
+    run("flat [B,HW,C] (current)", scan3, x3, p)
+    run("4D [B,H,W,C]", scan4, x4, p)
+    run("4D + flat attn boundary", scan4_flat_attn, x4, p)
+
+
+if __name__ == "__main__":
+    main()

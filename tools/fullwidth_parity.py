@@ -162,9 +162,183 @@ def stage5_unet3d():
             "seconds": round(time.time() - t0)}
 
 
+def prior_network():
+    """Full-width diffusion prior (dim 1664, depth 6, dim_head 52,
+    heads 32, 256+1+256 tokens — reference train_neurons.py:159-173)
+    vs the torch dalle2 replica through the real importer."""
+    from neurons_tpu.config import PriorConfig
+    from neurons_tpu.interop.torch_import import _Tracker, _dalle2_prior_net
+    from neurons_tpu.models.prior import PriorNetwork
+    from torch_prior_replica import TorchPriorNetwork
+
+    cfg = PriorConfig()
+    t0 = time.time()
+    tm = TorchPriorNetwork(cfg).eval()
+    n_params = sum(p.numel() for p in tm.parameters())
+    sd = {f"diffusion_prior.net.{k}": v for k, v in tm.state_dict().items()}
+    tr = _Tracker(sd)
+    params = _dalle2_prior_net(tr, cfg.depth)
+    assert sorted(set(sd) - tr.used) == []
+
+    rs = np.random.RandomState(3)
+    img = rs.randn(1, cfg.num_tokens, cfg.dim).astype(np.float32)
+    brain = rs.randn(1, cfg.num_tokens, cfg.dim).astype(np.float32)
+    t = np.asarray([57.0], np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(img), torch.from_numpy(t),
+                  torch.from_numpy(brain)).numpy()
+    got = np.asarray(PriorNetwork(cfg).apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(t),
+        jnp.asarray(brain)))
+    return {"component": "diffusion_prior_fullwidth",
+            "torch_params": n_params,
+            "tokens": f"{2 * cfg.num_tokens + 1}x{cfg.dim}",
+            "rel_err": _rel(got, want),
+            "seconds": round(time.time() - t0)}
+
+
+def mixer_backbone():
+    """Full-width BrainModel mixer backbone + clip_proj (h=4096, the
+    1.7B-param backbone_linear to 256x1664 tokens — reference
+    BrainModel_neurons.py:227-305) vs the torch replica through the
+    real importer."""
+    from neurons_tpu.config import BrainModelConfig
+    from neurons_tpu.interop.torch_import import _Tracker, _mixer_backbone
+    from neurons_tpu.models.brain import BrainBackbone
+    from test_ensemble_import import TorchMixerBackbone
+
+    cfg = BrainModelConfig()
+    t0 = time.time()
+    tm = TorchMixerBackbone(cfg.hidden_dim, cfg.seq_len, cfg.n_blocks,
+                            cfg.clip_seq_dim * cfg.clip_emb_dim,
+                            cfg.clip_emb_dim).eval()
+    n_params = sum(p.numel() for p in tm.parameters())
+    sd = {f"backbone.{k}": v for k, v in tm.state_dict().items()}
+    params = _mixer_backbone(_Tracker(sd), cfg.n_blocks)
+    rs = np.random.RandomState(4)
+    x = rs.randn(1, cfg.seq_len, cfg.hidden_dim).astype(np.float32)
+    with torch.no_grad():
+        v_ref, c_ref = tm(torch.from_numpy(x))
+    del tm, sd
+    v, c = BrainBackbone(cfg).apply({"params": params}, jnp.asarray(x))
+    return {"component": "mixer_backbone_fullwidth",
+            "torch_params": n_params,
+            "rel_err": max(_rel(np.asarray(v), v_ref.numpy()),
+                           _rel(np.asarray(c), c_ref.numpy())),
+            "seconds": round(time.time() - t0)}
+
+
+def gpt2_captioner():
+    """Full-width GPT-2 captioner LM (124M, HF key layout) vs
+    transformers GPT2LMHeadModel built offline from config — covers the
+    stage-3 caption head at production width incl. the weight-tied
+    vocab projection."""
+    from neurons_tpu.interop.torch_import import import_gpt2
+    from neurons_tpu.models.gpt2 import GPT2Config, _InnerLM
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    cfg = GPT2Config()
+    t0 = time.time()
+    hf = GPT2LMHeadModel(HFConfig(
+        vocab_size=cfg.vocab_size, n_positions=cfg.n_positions,
+        n_embd=cfg.n_embd, n_layer=cfg.n_layer, n_head=cfg.n_head)).eval()
+    n_params = sum(p.numel() for p in hf.parameters())
+    params, unused = import_gpt2(hf.state_dict(), cfg.n_layer)
+    assert not unused, unused[:8]
+    rs = np.random.RandomState(5)
+    toks = rs.randint(0, cfg.vocab_size, (1, 33))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(toks)).logits.numpy()
+    del hf
+    # drive the inner LM on token embeddings, the test_torch_parity
+    # pattern (TextDecoder prepends a CLIP prefix token HF has no
+    # equivalent for)
+    wte = jnp.asarray(params["wte"])
+    emb = jnp.take(wte, jnp.asarray(toks), axis=0)
+    got = np.asarray(_InnerLM(cfg).apply(
+        {"params": params["lm"]}, emb, wte))
+    return {"component": "gpt2_captioner_fullwidth",
+            "torch_params": n_params,
+            "rel_err": _rel(got, want),
+            "seconds": round(time.time() - t0)}
+
+
+def clip_text_sd15():
+    """Full-width SD-1.5 CLIP text encoder (openai ViT-L/14 text half,
+    QuickGELU — the stage-5 prompt embedder) vs an offline-config HF
+    CLIPTextModel through the real importer."""
+    from transformers import CLIPTextConfig as HFTextConfig, CLIPTextModel
+    from neurons_tpu.interop.torch_import import import_hf_clip_text
+    from neurons_tpu.models.clip import CLIPTextConfig, CLIPTextTower
+    from neurons_tpu.utils.checkpoint import restore_into
+
+    cfg = CLIPTextConfig.sd15()
+    t0 = time.time()
+    hf = CLIPTextModel(HFTextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.width,
+        intermediate_size=4 * cfg.width, num_hidden_layers=cfg.layers,
+        num_attention_heads=cfg.heads,
+        max_position_embeddings=cfg.context_length,
+        hidden_act="quick_gelu")).eval()
+    n_params = sum(p.numel() for p in hf.parameters())
+    params, unused = import_hf_clip_text(hf.state_dict(), layers=cfg.layers)
+    assert not unused, unused[:8]
+    tower = CLIPTextTower(cfg)
+    init_p = tower.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    params = restore_into(init_p, params)
+    rs = np.random.RandomState(6)
+    ids = rs.randint(1, cfg.vocab_size - 1, (2, cfg.context_length))
+    ids[:, -1] = cfg.vocab_size - 1
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
+    del hf
+    last, _ = tower.apply({"params": params}, jnp.asarray(ids))
+    return {"component": "clip_text_sd15_fullwidth",
+            "torch_params": n_params,
+            "rel_err": _rel(np.asarray(last), want),
+            "seconds": round(time.time() - t0)}
+
+
+def clip_vision_l14():
+    """Full-width openai CLIP ViT-L/14 vision tower (the CLIP-pcc metric
+    tower, reference eval_metrics.py:294-315) vs an offline-config HF
+    CLIPVisionModelWithProjection through the real importer."""
+    from transformers import CLIPVisionConfig as HFVC
+    from transformers import CLIPVisionModelWithProjection
+    from neurons_tpu.interop.torch_import import import_hf_clip_vision
+    from neurons_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+
+    cfg = CLIPVisionConfig.vit_l14()
+    t0 = time.time()
+    hf = CLIPVisionModelWithProjection(HFVC(
+        hidden_size=cfg.width, intermediate_size=4 * cfg.width,
+        num_hidden_layers=cfg.layers, num_attention_heads=cfg.heads,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        projection_dim=cfg.output_dim, hidden_act="quick_gelu")).eval()
+    n_params = sum(p.numel() for p in hf.parameters())
+    params, unused = import_hf_clip_vision(hf.state_dict(),
+                                           layers=cfg.layers)
+    assert not unused, unused[:8]
+    rs = np.random.RandomState(7)
+    x = rs.randn(1, 3, cfg.image_size, cfg.image_size).astype(np.float32)
+    with torch.no_grad():
+        want = hf(pixel_values=torch.from_numpy(x)).image_embeds.numpy()
+    del hf
+    pooled, _ = CLIPVisionTower(cfg).apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x))
+    return {"component": "clip_vision_l14_fullwidth",
+            "torch_params": n_params,
+            "rel_err": _rel(np.asarray(pooled), want),
+            "seconds": round(time.time() - t0)}
+
+
 def main():
     rows = []
-    for fn in (vae_decoder, stage5_unet3d, stage3_unet):
+    for fn in (vae_decoder, prior_network, mixer_backbone, gpt2_captioner,
+               clip_text_sd15, clip_vision_l14,
+               stage5_unet3d, stage3_unet):
         r = fn()
         print(json.dumps(r), flush=True)
         rows.append(r)

@@ -3,12 +3,21 @@
 Usage:
   python tools/trace_analyze.py /tmp/jaxtrace          # category/dtype table
   python tools/trace_analyze.py /tmp/jaxtrace --top 20 # biggest single ops
+  python tools/trace_analyze.py /tmp/jaxtrace --by scope   # tf_op path
+  python tools/trace_analyze.py /tmp/jaxtrace --by source  # file:line
+  python tools/trace_analyze.py /tmp/jaxtrace --by shape   # out shape+layout
 
 Reads the Chrome-trace JSON (vm.trace.json.gz) the profiler writes, keeps
 the device 'XLA Ops' track, buckets leaf ops by (enclosing jit module,
 hlo_category, output dtype), and prints a sorted table. This is how the
 round-1 perf findings were made (f32 promotion, grouped-reshape layout
 copies, attention block sizing) — see CLAUDE.md perf notes.
+
+The --by modes carry achieved TF/s (model_flops / device time) so
+sub-roofline regions stand out; `--by source` attributes whole scan
+loops to their call line (the while op is excluded from every other
+grouping to avoid double counting). The round-2 attribution of the
+5.75 s/clip bench (CLAUDE.md) came from these tables.
 """
 
 import collections
@@ -26,11 +35,39 @@ def load(trace_dir: str):
         return json.load(f)["traceEvents"]
 
 
+def _by_table(ev, ops_tracks, mode):
+    """Group device time by tf_op scope / source line / output
+    shape+layout, with achieved TF/s."""
+    import re
+    agg = collections.defaultdict(lambda: [0.0, 0.0])
+    for e in ev:
+        if e.get("ph") != "X" or (e["pid"], e["tid"]) not in ops_tracks:
+            continue
+        a = e.get("args", {})
+        if a.get("hlo_category") == "while" and mode != "source":
+            continue
+        if mode == "scope":
+            key = re.sub(r"_\d+", "_N",
+                         "/".join(a.get("tf_op", "?").split("/")[:6]))
+        elif mode == "source":
+            key = a.get("source", "?")
+        else:  # shape
+            ln = a.get("long_name", "")
+            m = re.match(r"%\S+ = \(?(\w+\[[\d,]*\]\{[\d,]*)", ln)
+            key = m.group(1) if m else "?"
+        agg[key][0] += e["dur"] / 1e6
+        agg[key][1] += float(a.get("model_flops", 0) or 0)
+    for k, (d, f) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:40]:
+        tfs = f / d / 1e12 if d else 0.0
+        print(f"{d:8.3f}s {tfs:6.1f}TF/s  {k}")
+
+
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"
     top = 0
     if "--top" in sys.argv:
         top = int(sys.argv[sys.argv.index("--top") + 1])
+    by = sys.argv[sys.argv.index("--by") + 1] if "--by" in sys.argv else None
     ev = load(trace_dir)
     # device pid: the process named like a device; ops track tid from
     # thread_name == 'XLA Ops'; module windows from 'XLA Modules'
@@ -43,6 +80,10 @@ def main():
                   if n == "XLA Ops" and k[0] in dev}
     mod_tracks = {k for k, n in tids.items()
                   if n == "XLA Modules" and k[0] in dev}
+
+    if by:
+        _by_table(ev, ops_tracks, by)
+        return
 
     wins = []
     for e in ev:

@@ -133,6 +133,13 @@ def bench_stage2():
     args = (jnp.asarray(0), jnp.asarray(0), jnp.asarray(0.005))
     state, m0 = step(state, key, batch, *args)
     float(m0["loss"])
+    trace_dir = os.environ.get("TRAIN_PROFILE")
+    if trace_dir:  # device-time attribution (tools/trace_analyze.py)
+        with jax.profiler.trace(trace_dir):
+            state, m = step(state, jax.random.fold_in(key, 99), batch,
+                            *args)
+            float(m["loss"])
+        print(f"trace -> {trace_dir}", file=sys.stderr)
     n = 10
     t0 = time.perf_counter()
     for i in range(n):

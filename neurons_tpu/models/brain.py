@@ -56,7 +56,7 @@ class _MixerMLP(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool):
         x = nn.Dense(self.dim)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return nn.Dense(self.dim)(x)
 
@@ -70,13 +70,13 @@ class _Projector(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.LayerNorm()(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.hidden)(x)
         x = nn.LayerNorm()(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.hidden)(x)
         x = nn.LayerNorm()(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.out_dim)(x)
 
 

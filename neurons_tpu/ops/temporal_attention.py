@@ -25,18 +25,24 @@ shape F=16, H=8 that is exactly 128, one full vector register row.
     a VPU FMA with v_j accumulates the context.
 
 Numerics: f32 logits/softmax and f32 context accumulation, like the
-einsum reference. For bf16 inputs the q*k products are computed in f32
-and fed to the selector matmul as a compensated hi+lo bf16 pair (two
-MXU matmuls), so logit accumulation matches the reference's exact
-bf16-product/f32-accumulate einsum to ~2^-16 instead of the ~1% drift
-plain bf16-rounded products show under cancellation. The backward is
-the reference path's VJP (exact; the temporal sites are frozen at
-inference, so backward perf is not hot).
+einsum reference. For bf16 inputs the q*k products are rounded to bf16
+before the selector matmul — measured against a float64 oracle at the
+production shape this sits at the SAME bf16 noise floor as the XLA
+einsum reference (kernel 0.220% rms vs reference's own 0.233% rms;
+tests/test_temporal_attention.py pins the invariant), so the rounding
+is decorrelated noise, not added error. NEURONS_TPU_TA_COMPENSATED=1
+switches to hi+lo compensated products (two MXU matmuls) that track
+the reference's exact-product accumulation to ~2^-16 — useful for
+bit-level A/Bs against the XLA path, costs ~0.2 s/clip on the honest
+bench (5.75 vs 5.90). The backward is the reference path's VJP (exact;
+the temporal sites are frozen at inference, so backward perf is not
+hot).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +89,8 @@ def _roll_lanes(x, shift, interpret):
 
 
 def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, f: int, h: int,
-                     hd: int, scale: float, interpret: bool):
+                     hd: int, scale: float, interpret: bool,
+                     compensate: bool):
     c = h * hd
     fh = f * h
     dblk = q_ref.shape[1]
@@ -98,7 +105,7 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, f: int, h: int,
     lane_e = jax.lax.broadcasted_iota(jnp.int32, (fh, c), 0)
     cc_e = jax.lax.broadcasted_iota(jnp.int32, (fh, c), 1)
 
-    compensate = q.dtype == jnp.bfloat16
+    compensate = compensate and q.dtype == jnp.bfloat16
     qf = q.astype(jnp.float32) if compensate else q
     logits = jnp.zeros((rows, fh), jnp.float32)
     for j in range(f):
@@ -115,6 +122,8 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, f: int, h: int,
                       + jnp.dot(hi, sj, preferred_element_type=jnp.float32)
                       + jnp.dot(lo, sj, preferred_element_type=jnp.float32))
         else:
+            # bf16-rounded products: same 0.22% rms noise floor vs f64
+            # as the reference's own bf16 path (module docstring)
             prod = (q * k[j][None]).reshape(rows, c)
             logits = logits + jnp.dot(prod, sj,
                                       preferred_element_type=jnp.float32)
@@ -165,7 +174,8 @@ def _kernel_eligible(bf, d, c, n_frames, heads, dtype) -> bool:
     return _pick_dblk(d, c) >= 8
 
 
-def _temporal_attention_impl(q, k, v, n_frames, heads, scale, interpret):
+def _temporal_attention_impl(q, k, v, n_frames, heads, scale, interpret,
+                             compensate=None):
     bf, d, c = q.shape
     # interpret mode emulates the kernel on CPU but must respect the same
     # shape gate — the lane-roll softmax tree is silently wrong for
@@ -173,6 +183,8 @@ def _temporal_attention_impl(q, k, v, n_frames, heads, scale, interpret):
     if not ((interpret or _on_tpu())
             and _kernel_eligible(bf, d, c, n_frames, heads, q.dtype)):
         return temporal_attention_reference(q, k, v, n_frames, heads, scale)
+    if compensate is None:
+        compensate = os.environ.get("NEURONS_TPU_TA_COMPENSATED") == "1"
     f, h = n_frames, heads
     hd = c // h
     b = bf // f
@@ -184,7 +196,8 @@ def _temporal_attention_impl(q, k, v, n_frames, heads, scale, interpret):
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_temporal_kernel, f=f, h=h, hd=hd,
-                          scale=scale, interpret=interpret),
+                          scale=scale, interpret=interpret,
+                          compensate=compensate),
         grid=(b, d // dblk),
         in_specs=[spec, spec, spec],
         out_specs=spec,

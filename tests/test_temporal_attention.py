@@ -60,18 +60,49 @@ class TestTemporalAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
-    def test_kernel_bf16(self):
-        # compensated hi+lo products: the kernel must match the exact
-        # bf16-product/f32-accumulate einsum reference tightly, not just
-        # to within bf16 cancellation drift
+    def test_kernel_bf16_compensated(self):
+        # hi+lo compensated products (NEURONS_TPU_TA_COMPENSATED): the
+        # kernel must match the exact bf16-product/f32-accumulate einsum
+        # reference tightly, not just to within bf16 cancellation drift
         f, h, d, c = 16, 8, 32, 320
         q, k, v = _qkv(2, f, d, c, jnp.bfloat16)
         scale = 40 ** -0.5
         got = np.asarray(
-            _temporal_attention_impl(q, k, v, f, h, scale, True), np.float32)
+            _temporal_attention_impl(q, k, v, f, h, scale, True,
+                                     compensate=True), np.float32)
         want = np.asarray(
             temporal_attention_reference(q, k, v, f, h, scale), np.float32)
         assert np.abs(got - want).max() < 5e-3
+
+    def test_kernel_bf16_default_noise_floor(self):
+        """The default (uncompensated) bf16 kernel must sit at the SAME
+        noise floor vs a float64 oracle as the bf16 einsum reference
+        itself — product rounding is decorrelated noise, not added
+        error (the basis for shipping it on the exact path)."""
+        f, h, d, c = 16, 8, 32, 320
+        q, k, v = _qkv(2, f, d, c, jnp.bfloat16)
+        scale = 40 ** -0.5
+        # float64 oracle in numpy (jax_enable_x64 is off in the suite)
+        qn, kn, vn = (np.asarray(x, np.float64) for x in (q, k, v))
+
+        def split64(y):
+            return y.reshape(1, f, d, h, c // h)
+
+        lg = np.einsum("bidhk,bjdhk->bdhij", split64(qn),
+                       split64(kn)) * scale
+        w = np.exp(lg - lg.max(-1, keepdims=True))
+        w /= w.sum(-1, keepdims=True)
+        o64 = np.einsum("bdhij,bjdhk->bidhk", w,
+                        split64(vn)).reshape(f, d, c)
+        ref = np.asarray(temporal_attention_reference(q, k, v, f, h,
+                                                      scale), np.float64)
+        got = np.asarray(_temporal_attention_impl(
+            q, k, v, f, h, scale, True, compensate=False), np.float64)
+
+        def rms(a):
+            return np.sqrt(np.mean((a - o64) ** 2) / np.mean(o64 ** 2))
+
+        assert rms(got) < 1.5 * rms(ref), (rms(got), rms(ref))
 
     def test_interpret_ineligible_falls_back(self):
         # non-power-of-2 n_frames breaks the lane-roll tree; interpret

@@ -137,6 +137,11 @@ class TrainConfig:
     weight_decay: float = 0.0
     ckpt_saving: bool = True
     grad_clip: float = 0.0  # 0 disables
+    # bf16 module forwards with f32 master params/grads/losses — the
+    # reference trains under torch fp16 autocast (train_neurons.py:17,365);
+    # bf16 needs no loss scaling. Measured 620 -> 530 ms/step stage 2
+    # (tools/train_bench.py, single v5e chip).
+    bf16_autocast: bool = True
 
 
 @dataclass(frozen=True)

@@ -96,6 +96,13 @@ class AttnBlock(nn.Module):
         def split(x):
             return x.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
 
+        # Dispatcher (flash on TPU at >=128 tokens): XLA attention is
+        # actually FASTER at the dominant training shape [60,1,4096,32]
+        # (fwd 12.5 vs 16.5 ms, fwd+bwd 29.4 vs 46.5 ms, A/B'd on v5e)
+        # but its backward materializes the [60,4096,4096] logits — the
+        # full stage-2 step then needs 16.66 G of 15.75 G HBM (measured
+        # OOM via tools/train_bench.py). The q-chunked flash backward is
+        # what makes batch-10 stage 2 fit a single v5e chip; keep it.
         out = dot_product_attention(split(q), split(k), split(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.channels)
         out = nn.Dense(self.channels, name="to_out")(out)

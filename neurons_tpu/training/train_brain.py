@@ -50,7 +50,8 @@ def init_stage1(cfg: BrainModelConfig, tcfg: TrainConfig,
 def stage1_loss(model: NeuronsCore, params, key: jax.Array,
                 voxel: jax.Array, clip_target: jax.Array,
                 text_target: jax.Array, mixco_temp: float,
-                use_mixco: bool) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+                use_mixco: bool, bf16_autocast: bool = False
+                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Reference train_neurons.py:389-422. After `mixup_pct` of training the
     reference's MindEye recipe switches from BiMixCo to SoftCLIP; stage 1
     runs with mixup_pct=1.0 so BiMixCo is always on (train_neurons.sh:44),
@@ -59,9 +60,17 @@ def stage1_loss(model: NeuronsCore, params, key: jax.Array,
     state = None
     if use_mixco:
         voxel, state = losses.mixco(k_mix, voxel)
+    if bf16_autocast:
+        # bf16 forward (reference fp16 autocast, train_neurons.py:365);
+        # master params/grads and every loss term stay f32
+        from neurons_tpu.training.train_decoupler import _autocast_trees
+        to_b16, to_f32 = _autocast_trees(True)
+        params, voxel = to_b16(params), to_b16(voxel)
     _, clip_vision, clip_text = model.apply(
         {"params": params}, voxel, deterministic=False,
         rngs={"dropout": k_drop})
+    clip_vision = clip_vision.astype(jnp.float32)
+    clip_text = clip_text.astype(jnp.float32)
 
     v_norm = losses.l2norm(clip_vision.reshape(clip_vision.shape[0], -1))
     t_norm = losses.l2norm(clip_target.reshape(clip_target.shape[0], -1))
@@ -89,7 +98,8 @@ def make_stage1_train_step(model: NeuronsCore, tx, tcfg: TrainConfig):
                    clip_target: jax.Array, text_target: jax.Array):
         def loss_fn(params):
             return stage1_loss(model, params, key, voxel, clip_target,
-                               text_target, tcfg.mixco_temp, use_mixco=True)
+                               text_target, tcfg.mixco_temp, use_mixco=True,
+                               bf16_autocast=tcfg.bf16_autocast)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

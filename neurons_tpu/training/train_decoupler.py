@@ -69,6 +69,27 @@ def init_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
     return Stage2Bundle(model, diffusion, tx), state
 
 
+def _autocast_trees(enabled: bool):
+    """bf16-autocast helpers: module forwards run bf16 (the reference
+    trains under torch fp16 autocast, train_neurons.py:17,365), while
+    master params, gradients, norms-of-losses and every loss term stay
+    f32. bf16 has the f32 exponent, so no loss scaling is needed."""
+    if not enabled:
+        ident = lambda t: t
+        return ident, ident
+
+    def to_b16(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+
+    def to_f32(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, t)
+    return to_b16, to_f32
+
+
 def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
                 batch: Dict[str, jax.Array], soft_temp: jax.Array,
                 weights: jax.Array, tcfg: TrainConfig,
@@ -77,10 +98,14 @@ def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
     model = bundle.model
     k_drop, k_prior, k_dropout = jax.random.split(key, 3)
     rngs = {"dropout": k_dropout}
+    to_b16, to_f32 = _autocast_trees(tcfg.bf16_autocast)
+    params = to_b16(params)
 
     def apply(method, *args, **kw):
-        return model.apply({"params": params}, *args, method=method,
-                           rngs=rngs, **kw)
+        # bf16 in, f32 out: compute in half, keep every loss-side
+        # consumer in full precision
+        return to_f32(model.apply({"params": params}, *to_b16(args),
+                                  method=method, rngs=rngs, **kw))
 
     voxel = batch["voxel"]
     b = voxel.shape[0]
@@ -91,8 +116,9 @@ def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
 
     # ---- prior DDPM loss (reference :430) ----
     def net_apply(p, image_embed, times, brain_embed, **kw):
-        return model.apply({"params": p}, image_embed, times, brain_embed,
-                           method=NeuronsDecoupler.prior_apply, rngs=rngs, **kw)
+        return to_f32(model.apply(
+            {"params": p}, to_b16(image_embed), times, to_b16(brain_embed),
+            method=NeuronsDecoupler.prior_apply, rngs=rngs, **kw))
 
     from neurons_tpu.diffusion.prior import p_losses
     loss_prior, prior_out = p_losses(bundle.diffusion, net_apply, params,
@@ -120,8 +146,9 @@ def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
     # stage-2 memory hot spot (B*F=60 x 64^2 x C per layer saved for the
     # backward); recomputing them trades ~10% step FLOPs for ~3 GB HBM
     def seg_decode_ckpt(params_, flat_motion_, text_, is_seg):
-        return model.apply({"params": params_}, flat_motion_, text_,
-                           flat_motion_.shape[0], is_seg=is_seg,
+        return model.apply({"params": params_}, to_b16(flat_motion_),
+                           to_b16(text_), flat_motion_.shape[0],
+                           is_seg=is_seg,
                            method=NeuronsDecoupler.seg_decode, rngs=rngs,
                            deterministic=False)
 
@@ -160,7 +187,8 @@ def stage2_loss(bundle: Stage2Bundle, params, key: jax.Array,
     vae_lat = vae_lat.reshape(b * f, *vae_lat.shape[2:])
     rec = seg_decode_ckpt(params, flat_motion, pred_text,
                           False)                          # [(B F), 4, h', w']
-    rec = jax.image.resize(rec, rec.shape[:2] + vae_lat.shape[-2:], "nearest")
+    rec = jax.image.resize(rec.astype(jnp.float32),
+                           rec.shape[:2] + vae_lat.shape[-2:], "nearest")
     loss_recon = losses.l1_loss(rec, vae_lat)
 
     # ---- progressive weights (reference :507-513) ----

@@ -430,6 +430,28 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
                 _pick_block(tk, cap_k * 2)) <= _BUDGET:
             cap_k *= 2
         block_q, block_k = cap_q, cap_k
+    else:
+        # streaming-grid programs are launch-overhead bound at the
+        # default 256x256 blocks when d is small: the stage-2 decoder's
+        # [60,1,4096,32] spatial attention ran 15360 programs of ~4
+        # MFLOP each (14.8 ms/site measured vs a ~6 ms matmul+softmax
+        # roofline). Grow blocks under the same VMEM budget — per
+        # program: q tile + f32 out accumulator, double K/V tiles,
+        # f32 logits + value-dtype probs, scratch accumulators.
+        def _stream_est(bq, bk):
+            return (bq * d_p * (esize + 4) + 2 * bk * d_p * esize
+                    + bq * bk * (4 + esize) + 4 * bq * (d_p + 2))
+
+        cap_q, cap_k = block_q, block_k
+        while cap_q < min(tq, 1024) and _stream_est(
+                _pick_block(tq, cap_q * 2),
+                _pick_block(tk, cap_k)) <= _BUDGET:
+            cap_q *= 2
+        while cap_k < min(tk, 1024) and _stream_est(
+                _pick_block(tq, cap_q),
+                _pick_block(tk, cap_k * 2)) <= _BUDGET:
+            cap_k *= 2
+        block_q, block_k = cap_q, cap_k
     block_q = _pick_block(tq, block_q)
     block_k = _pick_block(tk, block_k)
     tq_p = _round_up(tq, block_q)

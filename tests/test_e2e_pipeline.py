@@ -34,8 +34,12 @@ def test_all_stages_chain(tmp_path):
                 ["video"] + common + train + ["--enhance"],
                 ["decoupled-eval"] + common + train,
                 ["eval"] + common + ["--mode", "enhance"]):
+        # 2400s: generous — a tiny-stage subprocess takes ~1-3 min alone
+        # on this 1-core host but can stretch >900s when the core is
+        # shared (measured: a concurrent TPU-bench build pushed
+        # train-decoupler past 13 min and a 900s limit failed spuriously)
         r = subprocess.run(base + cmd, env=env, capture_output=True,
-                           text=True, timeout=900)
+                           text=True, timeout=2400)
         assert r.returncode == 0, (cmd[0], r.stdout[-800:], r.stderr[-800:])
 
     report = json.load(open(tmp_path / "exp_e2e" / "subj_1" /

@@ -334,11 +334,148 @@ def clip_vision_l14():
             "seconds": round(time.time() - t0)}
 
 
+def decoupler_fullwidth():
+    """Full-width TextDrivenDecoder + DecoderVideo (the stage-2/3
+    decoupler seg + blurry-recon head: 1664-d vision tokens, 1280-d text,
+    (32,64,128) decoder channels, 6-frame temporal blend — reference
+    BrainModel_neurons.py:28-112 + video_decoder.py) vs the key-exact
+    torch replica through the real importer mapping."""
+    import test_decoder_video_parity as tdv
+    from neurons_tpu.interop.torch_import import (_Tracker, _decoder_video,
+                                                  conv, linear, norm)
+    from neurons_tpu.models.decoder_video import TextDrivenDecoder
+
+    # production widths (the test module's globals are tiny dims)
+    tdv.CV, tdv.CT, tdv.BO, tdv.G = 1664, 1280, (32, 64, 128), 32
+    t0 = time.time()
+    torch.manual_seed(2)
+    tm = tdv.TTextDrivenDecoder().eval()
+    n_params = sum(p.numel() for p in tm.parameters())
+    with torch.no_grad():  # exercise the temporal path
+        tm.video_decoder.mid_block.weights[0].fill_(0.7)
+        for blk in tm.video_decoder.up_blocks:
+            for w in blk.weights:
+                w.fill_(0.6)
+    sd = {f"text_seg_dec.{k}": v for k, v in tm.state_dict().items()}
+    tr = _Tracker(sd)
+    params = {
+        "q": linear(tr, "text_seg_dec.q"),
+        "k": linear(tr, "text_seg_dec.k"),
+        "v": linear(tr, "text_seg_dec.v"),
+        "out": linear(tr, "text_seg_dec.out"),
+        "norm": norm(tr, "text_seg_dec.norm"),
+        "maps_0": conv(tr, "text_seg_dec.maps_projector.0"),
+        "maps_gn_0": norm(tr, "text_seg_dec.maps_projector.1"),
+        "maps_1": conv(tr, "text_seg_dec.maps_projector.3"),
+        "maps_gn_1": norm(tr, "text_seg_dec.maps_projector.4"),
+        "maps_2": conv(tr, "text_seg_dec.maps_projector.6"),
+        "video_decoder": _decoder_video(
+            tr, "text_seg_dec.video_decoder", 3, 1),
+        "seg_head": conv(tr, "text_seg_dec.seg_head"),
+        "recon_head": conv(tr, "text_seg_dec.recon_head"),
+    }
+    assert tr.unused() == [], tr.unused()
+
+    n_frames = 6
+    jm = TextDrivenDecoder()  # production defaults
+    rs = np.random.RandomState(8)
+    vision = rs.randn(n_frames, 256, 1664).astype(np.float32) * 0.2
+    text = rs.randn(n_frames, 1280).astype(np.float32) * 0.2
+    with torch.no_grad():
+        ref_seg = tm(torch.tensor(vision), torch.tensor(text), n_frames,
+                     True).numpy()
+        ref_rec = tm(torch.tensor(vision), torch.tensor(text), n_frames,
+                     False).numpy()
+    del tm, sd
+    got_seg = jm.apply({"params": params}, jnp.asarray(vision),
+                       jnp.asarray(text), time=n_frames, is_seg=True)
+    got_rec = jm.apply({"params": params}, jnp.asarray(vision),
+                       jnp.asarray(text), time=n_frames, is_seg=False)
+    return {"component": "decoupler_heads_fullwidth",
+            "torch_params": n_params, "frames": n_frames,
+            "rel_err": max(_rel(np.asarray(got_seg), ref_seg),
+                           _rel(np.asarray(got_rec), ref_rec)),
+            "seconds": round(time.time() - t0)}
+
+
+def blip2_fullwidth():
+    """Full-width BLIP-2 captioner (EVA ViT-g 39-layer vision tower,
+    12-layer Q-Former, OPT-2.7B — the stage-4 model, reference
+    caption_keyframe.py:23-48) teacher-forced logits vs an
+    offline-config HF Blip2ForConditionalGeneration."""
+    from transformers import (Blip2Config as HFBlip2Config,
+                              Blip2ForConditionalGeneration,
+                              Blip2QFormerConfig as HFQFormer,
+                              Blip2VisionConfig as HFVision, OPTConfig as
+                              HFOPT)
+    from neurons_tpu.interop.torch_import import import_blip2
+    from neurons_tpu.models.blip2 import Blip2Captioner, Blip2Config
+
+    cfg = Blip2Config()  # production defaults
+    t0 = time.time()
+    hf_cfg = HFBlip2Config.from_vision_qformer_text_configs(
+        HFVision(hidden_size=cfg.vision.hidden_size,
+                 num_hidden_layers=cfg.vision.layers,
+                 num_attention_heads=cfg.vision.heads,
+                 intermediate_size=cfg.vision.intermediate_size,
+                 patch_size=cfg.vision.patch_size,
+                 image_size=cfg.vision.image_size),
+        HFQFormer(hidden_size=cfg.qformer.hidden_size,
+                  num_hidden_layers=cfg.qformer.layers,
+                  num_attention_heads=cfg.qformer.heads,
+                  intermediate_size=cfg.qformer.intermediate_size,
+                  cross_attention_frequency=(
+                      cfg.qformer.cross_attention_frequency),
+                  encoder_hidden_size=cfg.vision.hidden_size),
+        HFOPT(hidden_size=cfg.opt.hidden_size,
+              num_hidden_layers=cfg.opt.layers,
+              num_attention_heads=cfg.opt.heads, ffn_dim=cfg.opt.ffn_dim,
+              vocab_size=cfg.opt.vocab_size,
+              max_position_embeddings=cfg.opt.max_position_embeddings,
+              do_layer_norm_before=True,
+              word_embed_proj_dim=cfg.opt.hidden_size),
+        num_query_tokens=cfg.qformer.num_query_tokens)
+    torch.manual_seed(3)
+    hf = Blip2ForConditionalGeneration(hf_cfg).eval()
+    n_params = sum(p.numel() for p in hf.parameters())
+    params, unused = import_blip2(hf.state_dict(), cfg)
+    assert unused == [], unused[:8]
+
+    rs = np.random.RandomState(9)
+    pix = rs.randn(1, 3, cfg.vision.image_size,
+                   cfg.vision.image_size).astype(np.float32)
+    ids = rs.randint(0, cfg.opt.vocab_size, (1, 7)).astype(np.int64)
+    with torch.no_grad():
+        img = hf.vision_model(torch.tensor(pix)).last_hidden_state
+        q = hf.query_tokens.expand(1, -1, -1)
+        qo = hf.qformer(query_embeds=q,
+                        encoder_hidden_states=img).last_hidden_state
+        proj = hf.language_projection(qo)
+        tok = hf.language_model.model.decoder.embed_tokens(
+            torch.tensor(ids))
+        emb = torch.cat([proj, tok], dim=1)
+        ref = hf.language_model(
+            inputs_embeds=emb,
+            attention_mask=torch.ones(emb.shape[:2], dtype=torch.long)
+        ).logits.numpy()
+    del hf
+    got = np.asarray(Blip2Captioner(cfg).apply(
+        {"params": params}, jnp.asarray(pix), jnp.asarray(ids)))
+    return {"component": "blip2_captioner_fullwidth",
+            "torch_params": n_params,
+            "rel_err": _rel(got, ref), "seconds": round(time.time() - t0)}
+
+
+ALL_ROWS = (vae_decoder, prior_network, mixer_backbone, gpt2_captioner,
+            clip_text_sd15, clip_vision_l14, decoupler_fullwidth,
+            blip2_fullwidth, stage5_unet3d, stage3_unet)
+
+
 def main():
+    names = set(sys.argv[1:])
+    fns = [f for f in ALL_ROWS if not names or f.__name__ in names]
     rows = []
-    for fn in (vae_decoder, prior_network, mixer_backbone, gpt2_captioner,
-               clip_text_sd15, clip_vision_l14,
-               stage5_unet3d, stage3_unet):
+    for fn in fns:
         r = fn()
         print(json.dumps(r), flush=True)
         rows.append(r)
@@ -357,8 +494,16 @@ def main():
                  "importer tests."),
         "fullwidth_parity": rows,
         "pass_bar": "rel_err < 2e-4 per component (f32 forward)",
-        "all_pass": all(r["rel_err"] < 2e-4 for r in rows),
     }
+    if os.path.exists(out_path):  # merge with prior rows by component
+        with open(out_path) as fh:
+            doc = {**json.load(fh), **{"pass_bar": doc["pass_bar"]}}
+        have = {r["component"]: r for r in doc.get("fullwidth_parity", [])}
+        for r in rows:
+            have[r["component"]] = r
+        doc["fullwidth_parity"] = list(have.values())
+    doc["all_pass"] = all(r["rel_err"] < 2e-4
+                          for r in doc["fullwidth_parity"])
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=2)
     print(f"-> {out_path}")

@@ -877,6 +877,25 @@ def cmd_pipeline(args):
         stage_map[s](args)
 
 
+def cmd_serve(args):
+    """HTTP inference serving over the full voxel->video pipeline
+    (batching scheduler + fixed-shape jitted batches; serving.py)."""
+    from neurons_tpu import serving
+
+    if args.tiny:
+        os.environ["BENCH_TINY"] = "1"
+    if args.platform:
+        os.environ["BENCH_PLATFORM"] = args.platform
+    pipeline, n_vox = serving.build_bench_pipeline(args.serve_batch)
+    cfg = serving.ServerConfig(host=args.host, port=args.port,
+                               batch_size=args.serve_batch,
+                               max_wait_ms=args.max_wait_ms)
+    srv = serving.InferenceServer(pipeline, n_vox, cfg)
+    print(f"serving on http://{args.host}:{srv.port}  "
+          f"(batch {cfg.batch_size}, n_voxels {n_vox})", flush=True)
+    srv.serve_forever()
+
+
 def _add_fastpath_args(p):
     """Opt-in approximate sampler fast paths (PAPERS.md: TGATE arXiv
     2404.02747, Faster-Diffusion arXiv 2312.09608, PAB arXiv 2408.12588).
@@ -972,6 +991,18 @@ def main(argv=None):
     _add_common(p)
     _add_train_args(p)
     p.set_defaults(fn=cmd_precompute)
+
+    p = sub.add_parser("serve", help="HTTP inference server over the "
+                                     "full voxel->video pipeline "
+                                     "(neurons_tpu/serving.py)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--serve_batch", type=int, default=1,
+                   help="compiled batch size requests coalesce into")
+    p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", type=str, default=None)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("pipeline", help="run stages in sequence, e.g. "
                                         "'pipeline 123456'")

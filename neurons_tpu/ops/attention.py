@@ -40,6 +40,11 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 _NEG_INF = -1e30
+# Scoped-VMEM budget for block growth: real use runs ~1.9x the estimates
+# below against the 16 MB cap (double-buffered tiles + exp intermediates),
+# so 8 MB keeps tuned configs inside hardware VMEM. See the calibration
+# notes at the _flash_attention_impl block-growth site.
+_BUDGET = 8 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
@@ -123,11 +128,15 @@ def _pick_block(t: int, cap: int) -> int:
     return min(cap, _round_up(t, 128))
 
 
-def _flash_kernel_smallkv(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+def _flash_kernel_smallkv(q_ref, k_ref, v_ref, o_ref, *lse_ref, scale: float,
                           kv_len: int, block_k: int):
     """Whole-KV variant: K/V resident in VMEM, online softmax in
     registers via fori_loop — faster than the streaming grid when the
-    padded KV fits the VMEM budget (the UNet's 576-2304-token attention)."""
+    padded KV fits the VMEM budget (the UNet's 576-2304-token attention).
+
+    When a trailing `lse_ref` output is passed (training/VJP forward),
+    the per-row log-sum-exp of the scaled logits is written for the
+    Pallas backward kernel's softmax recompute."""
     # matmul operands stay in the input dtype (bf16 from the UNets): the
     # MXU multiplies bf16 x bf16 with exact f32 accumulation natively, so
     # upcasting q/k/v to f32 only downgraded the matmuls to the 1/4-rate
@@ -159,8 +168,12 @@ def _flash_kernel_smallkv(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if lse_ref:
+        # padded q rows have l == 0 -> lse = -inf; the backward kernel
+        # masks those rows explicitly
+        lse_ref[0][...] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _flash_kernel_smallkv_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *,
@@ -200,13 +213,18 @@ def _flash_kernel_smallkv_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *,
     o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
                   scale: float, kv_len: int, block_k: int, num_kb: int):
     """Streaming flash attention: grid (bh, q_blocks, kv_blocks); the kv
     axis iterates SEQUENTIALLY with the online-softmax state held in VMEM
     scratch, so only one [block_k, D] K/V tile is resident at a time —
     kv length never bounds VMEM (the 9216-token VAE mid-attention was the
     forcing case)."""
+    if len(rest) == 4:            # (lse output, then VMEM scratch)
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        lse_ref = None
+        acc_ref, m_ref, l_ref = rest
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -240,6 +258,191 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     def _final():
         o_ref[...] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
                       ).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[...] = (m_ref[...]
+                            + jnp.log(jnp.maximum(l_ref[...], 1e-30)))
+
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, dq_acc_ref, dk_acc_ref,
+                      dv_acc_ref, *, scale: float, q_len: int, kv_len: int,
+                      block_q: int, block_k: int, num_kb: int,
+                      num_qb: int):
+    """Flash-attention backward (FlashAttention-2 style recompute).
+
+    Grid (b*h, kv_blocks, q_blocks) — q innermost so every operand is
+    tile-blocked (a whole-q resident design measured 16.75 MB scoped
+    VMEM at [60, 4096, 32]: d=32 rows lane-pad to 128 in VMEM, so
+    [Tq, 1] lse/delta cost 2 MB each and whole-q q/g/dq 1 MB each).
+    The softmax rows are recomputed from the forward's saved
+    log-sum-exp, so the [Tq, Tk] probability/ds matrices only ever
+    exist tile-sized in VMEM — the q-chunked XLA backward this replaces
+    materialized them chunk-sized in HBM (profiled 60 ms of ~0.3 TF/s
+    loop fusions per stage-2 step on top of 12 TF/s matmuls).
+    dk/dv accumulate in scratch across q tiles (flushed per kv block);
+    dq accumulates in a persistent whole-q scratch across kv blocks
+    (flushed at the last one). 5 matmuls total — the flash-backward
+    optimum."""
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    # no dq_acc zero-init: at ki == 0 each qi slice is OVERWRITTEN below
+    # (a whole-array zero at ki == 0 would wipe earlier qi slices, since
+    # the init hook runs once per (ki=0, qi) program)
+
+    @pl.when(qi == 0)
+    def _init_dkdv():
+        dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
+
+    kb = k_ref[...]                                     # [Bk, D]
+    vb = v_ref[...]
+    qs = q_ref[...]                                     # [Bq, D]
+    gs = g_ref[...]
+    lse = lse_ref[...]                                  # [Bq, 1] f32
+    dlt = delta_ref[...]
+
+    s = jax.lax.dot_general(qs, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+    # padded q rows carry lse = -inf; exp(s - lse) would blow up, so
+    # mask them to zero rows (their g rows are zero-padded anyway)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+    p = jnp.where(row < q_len, jnp.exp(s - lse), 0.0)
+    pv = p.astype(vb.dtype)
+    dv_acc_ref[...] += jax.lax.dot_general(
+        pv, gs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(gs, vb, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - dlt) * scale).astype(kb.dtype)
+    dk_acc_ref[...] += jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_upd = jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    sl = pl.ds(qi * block_q, block_q)
+    dq_acc_ref[sl, :] = jnp.where(
+        ki == 0, dq_upd, dq_acc_ref[sl, :] + dq_upd)
+
+    @pl.when(qi == num_qb - 1)
+    def _flush_dkdv():
+        dk_ref[...] = dk_acc_ref[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc_ref[...].astype(dv_ref.dtype)
+
+    @pl.when(ki == num_kb - 1)
+    def _flush_dq():
+        dq_ref[...] = dq_acc_ref[pl.ds(qi * block_q, block_q),
+                                 :].astype(dq_ref.dtype)
+
+
+def _flash_bwd_pallas(q, k, v, g, out, lse, scale, interpret):
+    """Dispatch wrapper for `_flash_bwd_kernel`. Returns (dq, dk, dv) or
+    None when the whole-q residency would not fit the VMEM budget (the
+    caller then takes the q-chunked XLA backward)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bh = b * h
+    d_p = d if d % 8 == 0 else _round_up(d, 8)
+    esize = jnp.dtype(q.dtype).itemsize
+
+    block_q = _pick_block(tq, 512)
+    block_k = _pick_block(tk, 512)
+
+    # VMEM rows lane-pad to 128 regardless of d (T(8,128) tiling), so
+    # estimate with the padded width
+    d_v = max(d_p, 128)
+
+    def _est(bq, bk):
+        """Everything is tile-blocked under the 3-D grid; the big
+        block-independent term is the persistent whole-q dq accumulator
+        (lane-padded f32). s/p/dp/ds live as f32 [bq, bk] tiles
+        simultaneously plus bf16 casts; blocked inputs double-buffer."""
+        tq_p = _round_up(tq, bq)
+        return (tq_p * d_v * 4                    # dq f32 accumulator
+                + 2 * bq * d_v * (3 * esize)      # q, g, dq out (dbl-buf)
+                + 8 * bk * d_v * esize            # k/v + dk/dv (dbl-buf)
+                + 2 * bk * d_v * 4                # dk/dv f32 scratch
+                + 5 * bq * bk * 4                 # s/p/dp/ds + casts
+                + 2 * 2 * bq * 128 * 4)           # lse + delta tiles
+
+    # this estimate counts lane padding and double-buffering explicitly
+    # (unlike the fwd's 1.9x-fudged one), so it can run closer to the
+    # 16 MB hardware cap; 12 MB keeps the decoder's [60, 4096, 32] site
+    # at 512x512 blocks (est 10.1 MB) instead of a launch-bound 256x256
+    _BWD_BUDGET = 12 * 1024 * 1024
+    while _est(block_q, block_k) > _BWD_BUDGET \
+            and max(block_q, block_k) > 128:
+        if block_q >= block_k:
+            block_q = _pick_block(tq, block_q // 2)
+        else:
+            block_k = _pick_block(tk, block_k // 2)
+    if _est(block_q, block_k) > _BWD_BUDGET:
+        return None
+
+    tq_p = _round_up(tq, block_q)
+    tk_p = _round_up(tk, block_k)
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, d_p - d))
+                 ).reshape(bh, tq_p, d_p)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d))
+                 ).reshape(bh, tk_p, d_p)
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d))
+                 ).reshape(bh, tk_p, d_p)
+    gf = jnp.pad(g.astype(q.dtype),
+                 ((0, 0), (0, 0), (0, tq_p - tq), (0, d_p - d))
+                 ).reshape(bh, tq_p, d_p)
+    # delta_i = sum_d g_i * out_i (the softmax-jacobian row term)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).reshape(bh, tq)
+    delta = jnp.pad(delta, ((0, 0), (0, tq_p - tq)))[..., None]
+    lsef = jnp.pad(lse.reshape(bh, tq), ((0, 0), (0, tq_p - tq)))[..., None]
+
+    num_kb = tk_p // block_k
+    num_qb = tq_p // block_q
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale, q_len=tq,
+                          kv_len=tk, block_q=block_q, block_k=block_k,
+                          num_kb=num_kb, num_qb=num_qb),
+        grid=(bh, num_kb, num_qb),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d_p),
+                         lambda bi, ki, qi: (bi, qi, 0)),
+            pl.BlockSpec((None, block_k, d_p),
+                         lambda bi, ki, qi: (bi, ki, 0)),
+            pl.BlockSpec((None, block_k, d_p),
+                         lambda bi, ki, qi: (bi, ki, 0)),
+            pl.BlockSpec((None, block_q, d_p),
+                         lambda bi, ki, qi: (bi, qi, 0)),
+            pl.BlockSpec((None, block_q, 1),
+                         lambda bi, ki, qi: (bi, qi, 0)),
+            pl.BlockSpec((None, block_q, 1),
+                         lambda bi, ki, qi: (bi, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d_p),
+                         lambda bi, ki, qi: (bi, qi, 0)),
+            pl.BlockSpec((None, block_k, d_p),
+                         lambda bi, ki, qi: (bi, ki, 0)),
+            pl.BlockSpec((None, block_k, d_p),
+                         lambda bi, ki, qi: (bi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((bh, tk_p, d_p), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk_p, d_p), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq_p, d_p), jnp.float32),
+            pltpu.VMEM((block_k, d_p), jnp.float32),
+            pltpu.VMEM((block_k, d_p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, gf, lsef, delta)
+
+    dq = dq.reshape(b, h, tq_p, d_p)[:, :, :tq, :d].astype(q.dtype)
+    dk = dk.reshape(b, h, tk_p, d_p)[:, :, :tk, :d].astype(k.dtype)
+    dv = dv.reshape(b, h, tk_p, d_p)[:, :, :tk, :d].astype(v.dtype)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -268,18 +471,38 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
+    if (bias is None
+            and os.environ.get("NEURONS_TPU_PALLAS_BWD", "1") == "1"):
+        # training path: the forward also emits per-row log-sum-exp so
+        # the backward can be the Pallas recompute kernel
+        out, lse = _flash_attention_impl(q, k, v, bias, scale, block_q,
+                                         block_k, interpret,
+                                         return_lse=True)
+        return out, (q, k, v, bias, out, lse)
     out = _flash_attention_impl(q, k, v, bias, scale, block_q, block_k,
                                 interpret)
-    return out, (q, k, v, bias)
+    return out, (q, k, v, bias, None, None)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    """q-chunked attention backward (flash-style, XLA): the naive
+    """Attention backward. With forward-saved log-sum-exp (unbiased
+    training path) this dispatches to the Pallas recompute kernel
+    (`_flash_bwd_kernel`); otherwise — bias present, VMEM-ineligible
+    shape, or NEURONS_TPU_PALLAS_BWD=0 — it falls back to the
+    q-chunked backward (flash-style, XLA) below: the naive
     recompute-everything backward materializes the [BH, Tq, Tk] weight
     matrix — 4 GB per 4096-token site in the stage-2 decoder, which
-    OOM'd HBM. This scan recomputes softmax per q-chunk, so transient
+    OOM'd HBM. The scan recomputes softmax per q-chunk, so transient
     memory is O(chunk * Tk) while dk/dv accumulate in f32."""
-    q, k, v, bias = res
+    q, k, v, bias, out, lse = res
+    if lse is not None:
+        if scale is None:
+            scale_ = q.shape[-1] ** -0.5
+        else:
+            scale_ = scale
+        r = _flash_bwd_pallas(q, k, v, g, out, lse, scale_, interpret)
+        if r is not None:
+            return (*r, None)
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, tq, d_ = q.shape
@@ -371,12 +594,17 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret"))
+                                             "interpret", "return_lse"))
 def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: Optional[jax.Array] = None,
                           scale: Optional[float] = None,
                           block_q: int = 256, block_k: int = 256,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          return_lse: bool = False) -> jax.Array:
+    """With return_lse=True (the VJP forward), additionally returns the
+    per-row log-sum-exp [B, H, Tq] f32 for the Pallas backward kernel;
+    unbiased shapes only."""
+    assert not (return_lse and bias is not None)
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, tq, d = q.shape
@@ -411,7 +639,6 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     # tuned bf16 bench configs (est 6.7 MB -> ~12.7 MB real) while
     # downgrading the f32 training case that overflowed (est 9.9 MB ->
     # 18.7 MB real, observed OOM)
-    _BUDGET = 8 * 1024 * 1024
     # whole-KV only up to tk*itemsize = 4.6 KB/row (2304 tokens bf16 /
     # 1152 f32): the 4096-token f32 training case measured ~18 MB scoped
     # VMEM regardless of block_k (Mosaic stack allocation scales with the
@@ -507,22 +734,35 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
         ]
         if bias is not None:
             in_specs.append(pl.BlockSpec((None, block_q, tk_p), bmap))
+        out_specs = pl.BlockSpec((None, block_q, d_p),
+                                 lambda bh, qi: (bh, qi, 0))
+        out_shape = jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype)
+        if return_lse:
+            out_specs = [out_specs,
+                         pl.BlockSpec((None, block_q, 1),
+                                      lambda bh, qi: (bh, qi, 0))]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((b * h, tq_p, 1),
+                                              jnp.float32)]
         call = pl.pallas_call(
             functools.partial(kernel, scale=scale, kv_len=tk,
                               block_k=block_k),
             grid=(b * h, tq_p // block_q),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((None, block_q, d_p),
-                                   lambda bh, qi: (bh, qi, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )
         probe = (os.environ.get("NEURONS_TPU_VMEM_PROBE") == "1"
                  and not interpret and _on_tpu())
         cfg_key = ("smallkv", b * h, tq_p, tk_p, d_p, block_q, block_k,
-                   str(q.dtype), bias is not None)
+                   str(q.dtype), bias is not None, return_lse)
         if not probe or _probe_ok(cfg_key, call, call_args):
             out = call(*call_args)
+            if return_lse:
+                out, lse = out
+                return (out.reshape(b, h, tq_p, d_p)[:, :, :tq, :d],
+                        lse.reshape(b, h, tq_p)[:, :, :tq])
             return out.reshape(b, h, tq_p, d_p)[:, :, :tq, :d]
         # probe rejected the whole-KV config: biased shapes take the XLA
         # reference, unbiased fall through to the streaming kernel with
@@ -542,6 +782,15 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
         num_kb = tk_p // block_k
 
     grid = (b * h, tq_p // block_q, num_kb)
+    out_specs = pl.BlockSpec((None, block_q, d_p),
+                             lambda bh, qi, ki: (bh, qi, 0))
+    out_shape = jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype)
+    if return_lse:
+        out_specs = [out_specs,
+                     pl.BlockSpec((None, block_q, 1),
+                                  lambda bh, qi, ki: (bh, qi, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b * h, tq_p, 1), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=tk,
                           block_k=block_k, num_kb=num_kb),
@@ -554,9 +803,8 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((None, block_k, d_p),
                          lambda bh, qi, ki: (bh, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d_p),
-                               lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d_p), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, d_p), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -565,6 +813,10 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(qf, kf, vf)
 
+    if return_lse:
+        out, lse = out
+        return (out.reshape(b, h, tq_p, d_p)[:, :, :tq, :d],
+                lse.reshape(b, h, tq_p)[:, :, :tq])
     return out.reshape(b, h, tq_p, d_p)[:, :, :tq, :d]
 
 

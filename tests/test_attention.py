@@ -135,6 +135,79 @@ class TestFlashAttentionGrad:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
 
+    def test_streaming_lse_backward(self):
+        """f32 kv rows > the whole-KV cap route the VJP forward through
+        the STREAMING kernel's lse output; the Pallas backward must
+        still match XLA (decoder-style small d=32)."""
+        rng = np.random.RandomState(7)
+        q = jnp.asarray(rng.randn(1, 1, 1280, 32).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 1, 1280, 32).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 1, 1280, 32).astype(np.float32))
+        w = jnp.asarray(rng.randn(1, 1, 1280, 32).astype(np.float32))
+
+        g_flash = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, interpret=True) * w),
+            argnums=(0, 1, 2))(q, k, v)
+        g_xla = jax.grad(lambda q, k, v: jnp.sum(
+            xla_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_flash, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=3e-4)
+
+    def test_bf16_backward(self):
+        """bf16 operands (the autocast training path): the Pallas
+        backward's f32 accumulation must stay at the bf16 noise floor
+        vs an f32 XLA reference."""
+        rng = np.random.RandomState(11)
+        qf = rng.randn(2, 1, 256, 32).astype(np.float32)
+        kf = rng.randn(2, 1, 256, 32).astype(np.float32)
+        vf = rng.randn(2, 1, 256, 32).astype(np.float32)
+        wf = rng.randn(2, 1, 256, 32).astype(np.float32)
+        qb, kb, vb = (jnp.asarray(x, jnp.bfloat16) for x in (qf, kf, vf))
+        w = jnp.asarray(wf, jnp.bfloat16)
+
+        g_flash = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, interpret=True).astype(jnp.float32)
+            * w.astype(jnp.float32)), argnums=(0, 1, 2))(qb, kb, vb)
+        g_xla = jax.grad(lambda q, k, v: jnp.sum(
+            xla_attention(q, k, v) * wf), argnums=(0, 1, 2))(
+                *(jnp.asarray(x) for x in (qf, kf, vf)))
+        for a, b in zip(g_flash, g_xla):
+            err = np.abs(np.asarray(a, np.float32) - np.asarray(b))
+            assert err.max() < 0.15, err.max()
+
+    def test_env_knob_falls_back_to_chunked(self, monkeypatch):
+        """NEURONS_TPU_PALLAS_BWD=0 must take the q-chunked XLA backward
+        (no lse saved) and still match."""
+        monkeypatch.setenv("NEURONS_TPU_PALLAS_BWD", "0")
+        rng = np.random.RandomState(13)
+        q = jnp.asarray(rng.randn(1, 2, 160, 16).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 2, 192, 16).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 2, 192, 16).astype(np.float32))
+        w = jnp.asarray(rng.randn(1, 2, 160, 16).astype(np.float32))
+
+        g_flash = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, interpret=True) * w),
+            argnums=(0, 1, 2))(q, k, v)
+        g_xla = jax.grad(lambda q, k, v: jnp.sum(
+            xla_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_flash, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_vmem_ineligible_shape_falls_back(self):
+        """9216 q rows x d=512 f32: the persistent dq accumulator alone
+        (~19 MB) exceeds the bwd VMEM budget at any block size —
+        _flash_bwd_pallas returns None and the caller takes the
+        q-chunked XLA backward (whose correctness is pinned by
+        test_env_knob_falls_back_to_chunked)."""
+        from neurons_tpu.ops import attention as A
+        z = jnp.zeros((1, 1, 9216, 512), jnp.float32)
+        zk = jnp.zeros((1, 1, 256, 512), jnp.float32)
+        assert A._flash_bwd_pallas(z, zk, zk, z, z,
+                                   jnp.zeros((1, 1, 9216)),
+                                   512 ** -0.5, True) is None
+
     def test_chunked_backward_multichunk_padding(self):
         """Tq=600 > chunk 512: two chunks with 424 zero-padded rows —
         gradients must still match the dense XLA backward."""

@@ -466,9 +466,69 @@ def blip2_fullwidth():
             "rel_err": _rel(got, ref), "seconds": round(time.time() - t0)}
 
 
+def vit_classifier_fullwidth():
+    """Stage-6 frame classifier (reference eval_metrics.py:72-105,
+    google/vit-base-patch16-224): ViT-base at the production config
+    (768 wide, 12 layers, 1000 classes, 224x224 input)."""
+    from transformers import ViTConfig as HFViTConfig
+    from transformers import ViTForImageClassification
+
+    from neurons_tpu.interop.torch_import import import_hf_vit_classifier
+    from neurons_tpu.models.vit import ViTClassifier, ViTConfig
+
+    t0 = time.time()
+    torch.manual_seed(0)
+    hf = ViTForImageClassification(HFViTConfig(num_labels=1000)).eval()
+    n_params = sum(p.numel() for p in hf.parameters())
+    params, unused = import_hf_vit_classifier(hf.state_dict(), layers=12)
+    assert unused == [], unused
+    x = np.random.RandomState(0).randn(2, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(x)).logits.numpy()
+    del hf
+    got = np.asarray(ViTClassifier(ViTConfig.vit_base_224()).apply(
+        {"params": params}, jnp.asarray(x)))
+    return {"component": "vit_classifier_fullwidth",
+            "torch_params": n_params,
+            "rel_err": _rel(got, ref), "seconds": round(time.time() - t0)}
+
+
+def videomae_classifier_fullwidth():
+    """Stage-6 video classifier (reference eval_metrics.py:107-142,
+    MCG-NJU/videomae-base-finetuned-kinetics): VideoMAE-base at the
+    production config (768 wide, 12 layers, 400 Kinetics classes,
+    16 frames x 224x224, tubelet 2, mean pooling)."""
+    from transformers import VideoMAEConfig, VideoMAEForVideoClassification
+
+    from neurons_tpu.interop.torch_import import import_videomae_classifier
+    from neurons_tpu.models.vit import ViTClassifier, ViTConfig
+
+    t0 = time.time()
+    torch.manual_seed(0)
+    hf = VideoMAEForVideoClassification(VideoMAEConfig(
+        num_frames=16, num_labels=400, use_mean_pooling=True)).eval()
+    n_params = sum(p.numel() for p in hf.parameters())
+    n_tokens = (16 // 2) * (224 // 16) * (224 // 16)
+    params, unused = import_videomae_classifier(hf.state_dict(), layers=12,
+                                                num_tokens=n_tokens)
+    assert unused == [], unused
+    x = np.random.RandomState(1).randn(1, 16, 3, 224, 224).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(x)).logits.numpy()
+    del hf
+    got = np.asarray(ViTClassifier(
+        ViTConfig.videomae_kinetics(16)).apply(
+            {"params": params}, jnp.asarray(x)))
+    return {"component": "videomae_classifier_fullwidth",
+            "torch_params": n_params,
+            "rel_err": _rel(got, ref), "seconds": round(time.time() - t0)}
+
+
 ALL_ROWS = (vae_decoder, prior_network, mixer_backbone, gpt2_captioner,
             clip_text_sd15, clip_vision_l14, decoupler_fullwidth,
-            blip2_fullwidth, stage5_unet3d, stage3_unet)
+            blip2_fullwidth, vit_classifier_fullwidth,
+            videomae_classifier_fullwidth, stage5_unet3d, stage3_unet)
 
 
 def main():

@@ -176,12 +176,14 @@ def _flash_kernel_smallkv(q_ref, k_ref, v_ref, o_ref, *lse_ref, scale: float,
         lse_ref[0][...] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
-def _flash_kernel_smallkv_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *,
-                               scale: float, kv_len: int, block_k: int):
+def _flash_kernel_smallkv_bias(q_ref, k_ref, v_ref, b_ref, o_ref,
+                               *lse_ref, scale: float, kv_len: int,
+                               block_k: int):
     """Whole-KV variant with an additive attention bias (the diffusion
     prior's RelPosBias, reference BrainModel_neurons.py:636-686 via
     dalle2 RelPosBias). The bias tile [block_q, Tk_p] is VMEM-resident
-    like K/V; everything else matches `_flash_kernel_smallkv`."""
+    like K/V; everything else matches `_flash_kernel_smallkv`, including
+    the optional log-sum-exp output for the Pallas backward."""
     q = q_ref[...]                                      # [Bq, D]
     bq, d = q.shape
     tk = k_ref.shape[0]
@@ -209,8 +211,10 @@ def _flash_kernel_smallkv_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *,
             preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if lse_ref:
+        lse_ref[0][...] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
@@ -445,6 +449,194 @@ def _flash_bwd_pallas(q, k, v, g, out, lse, scale, interpret):
     return dq, dk, dv
 
 
+def _flash_bwd_bias_kernel(q_ref, k_ref, v_ref, b_ref, g_ref, lse_ref,
+                           delta_ref, dq_ref, dk_ref, dv_ref, db_ref,
+                           dq_acc_ref, dk_acc_ref, dv_acc_ref, db_acc_ref,
+                           *, scale: float, q_len: int, kv_len: int,
+                           block_q: int, block_k: int, num_kb: int,
+                           num_qb: int, num_r: int):
+    """Biased flash-attention backward (the prior's RelPosBias path).
+
+    Grid (bias_groups, replicas, kv_blocks, q_blocks): the bias array is
+    normalized to [N, Tq, Tk] with N in {1, h, b*h}; `replicas` are the
+    b*h rows sharing each bias group, so dbias accumulates across the
+    replica axis in a whole-[Tq_p, Tk_p] f32 scratch (flushed at the
+    last replica), while dq/dk/dv follow the unbiased kernel's pattern
+    within each (group, replica) pair. ds feeds dbias UNSCALED (the
+    bias adds after the q·k scale)."""
+    ri = pl.program_id(1)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init_dkdv():
+        dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
+
+    kb = k_ref[...]                                     # [Bk, D]
+    vb = v_ref[...]
+    qs = q_ref[...]                                     # [Bq, D]
+    gs = g_ref[...]
+    lse = lse_ref[...]                                  # [Bq, 1] f32
+    dlt = delta_ref[...]
+
+    s = jax.lax.dot_general(qs, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s + b_ref[...].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+    p = jnp.where(row < q_len, jnp.exp(s - lse), 0.0)
+    pv = p.astype(vb.dtype)
+    dv_acc_ref[...] += jax.lax.dot_general(
+        pv, gs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(gs, vb, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds_u = p * (dp - dlt)                               # unscaled: dbias
+    sl_q = pl.ds(qi * block_q, block_q)
+    sl_k = pl.ds(ki * block_k, block_k)
+    db_acc_ref[sl_q, sl_k] = jnp.where(
+        ri == 0, ds_u, db_acc_ref[sl_q, sl_k] + ds_u)
+    ds = (ds_u * scale).astype(kb.dtype)
+    dk_acc_ref[...] += jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_upd = jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dq_acc_ref[sl_q, :] = jnp.where(
+        ki == 0, dq_upd, dq_acc_ref[sl_q, :] + dq_upd)
+
+    @pl.when(qi == num_qb - 1)
+    def _flush_dkdv():
+        dk_ref[...] = dk_acc_ref[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc_ref[...].astype(dv_ref.dtype)
+
+    @pl.when(ki == num_kb - 1)
+    def _flush_dq():
+        dq_ref[...] = dq_acc_ref[sl_q, :].astype(dq_ref.dtype)
+
+    @pl.when(ri == num_r - 1)
+    def _flush_db():
+        db_ref[...] = db_acc_ref[sl_q, sl_k].astype(db_ref.dtype)
+
+
+def _flash_bwd_pallas_bias(q, k, v, bias, g, out, lse, scale, interpret):
+    """Dispatch wrapper for `_flash_bwd_bias_kernel`. Returns
+    (dq, dk, dv, dbias) or None when the whole-[Tq, Tk] dbias scratch
+    would not fit the VMEM budget (the caller then takes the q-chunked
+    XLA backward)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bh = b * h
+    d_p = d if d % 8 == 0 else _round_up(d, 8)
+    esize = jnp.dtype(q.dtype).itemsize
+    d_v = max(d_p, 128)
+
+    # normalize bias to [N, tq, tk], N in {1, h, b*h} (fwd convention)
+    bias4 = bias.reshape((1,) * (4 - bias.ndim) + bias.shape)
+    bb, bh_ = bias4.shape[:2]
+    if not ((bb == 1 or bb == b) and (bh_ == 1 or bh_ == h)):
+        return None
+    n_groups = bb * bh_
+    if n_groups == bh:                    # per-(b, h) bias: no reduction
+        num_r, row_of = 1, (lambda g_, r_: g_)
+    elif n_groups == 1:                   # shared bias: sum over b*h
+        num_r, row_of = bh, (lambda g_, r_: r_)
+    elif bh_ == h:                        # per-head bias: sum over b
+        num_r, row_of = b, (lambda g_, r_, h_=h: r_ * h_ + g_)
+    else:                                 # per-batch bias [b,1,tq,tk]
+        num_r, row_of = h, (lambda g_, r_, h_=h: g_ * h_ + r_)
+
+    block_q = _pick_block(tq, 512)
+    block_k = _pick_block(tk, 512)
+
+    def _est(bq, bk):
+        tq_p = _round_up(tq, bq)
+        tk_p = _round_up(tk, bk)
+        return (tq_p * tk_p * 4                   # dbias f32 accumulator
+                + tq_p * d_v * 4                  # dq f32 accumulator
+                + 2 * bq * d_v * (3 * esize)      # q, g, dq out (dbl-buf)
+                + 8 * bk * d_v * esize            # k/v + dk/dv (dbl-buf)
+                + 2 * bk * d_v * 4                # dk/dv f32 scratch
+                + 6 * bq * bk * 4                 # s/p/dp/ds + bias + db out
+                + 2 * 2 * bq * 128 * 4)           # lse + delta tiles
+
+    _BWD_BUDGET = 12 * 1024 * 1024
+    while _est(block_q, block_k) > _BWD_BUDGET \
+            and max(block_q, block_k) > 128:
+        if block_q >= block_k:
+            block_q = _pick_block(tq, block_q // 2)
+        else:
+            block_k = _pick_block(tk, block_k // 2)
+    if _est(block_q, block_k) > _BWD_BUDGET:
+        return None
+
+    tq_p = _round_up(tq, block_q)
+    tk_p = _round_up(tk, block_k)
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, d_p - d))
+                 ).reshape(bh, tq_p, d_p)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d))
+                 ).reshape(bh, tk_p, d_p)
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d))
+                 ).reshape(bh, tk_p, d_p)
+    gf = jnp.pad(g.astype(q.dtype),
+                 ((0, 0), (0, 0), (0, tq_p - tq), (0, d_p - d))
+                 ).reshape(bh, tq_p, d_p)
+    biasf = jnp.pad(bias4.reshape(n_groups, tq, tk).astype(jnp.float32),
+                    ((0, 0), (0, tq_p - tq), (0, tk_p - tk)))
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).reshape(bh, tq)
+    delta = jnp.pad(delta, ((0, 0), (0, tq_p - tq)))[..., None]
+    lsef = jnp.pad(lse.reshape(bh, tq), ((0, 0), (0, tq_p - tq)))[..., None]
+
+    num_kb = tk_p // block_k
+    num_qb = tq_p // block_q
+    qspec = pl.BlockSpec((None, block_q, d_p),
+                         lambda gi, ri, ki, qi: (row_of(gi, ri), qi, 0))
+    kspec = pl.BlockSpec((None, block_k, d_p),
+                         lambda gi, ri, ki, qi: (row_of(gi, ri), ki, 0))
+    vecspec = pl.BlockSpec((None, block_q, 1),
+                           lambda gi, ri, ki, qi: (row_of(gi, ri), qi, 0))
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_flash_bwd_bias_kernel, scale=scale, q_len=tq,
+                          kv_len=tk, block_q=block_q, block_k=block_k,
+                          num_kb=num_kb, num_qb=num_qb, num_r=num_r),
+        grid=(n_groups, num_r, num_kb, num_qb),
+        in_specs=[
+            qspec, kspec, kspec,
+            pl.BlockSpec((None, block_q, block_k),
+                         lambda gi, ri, ki, qi: (gi, qi, ki)),
+            qspec, vecspec, vecspec,
+        ],
+        out_specs=[
+            qspec, kspec, kspec,
+            pl.BlockSpec((None, block_q, block_k),
+                         lambda gi, ri, ki, qi: (gi, qi, ki)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((bh, tk_p, d_p), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk_p, d_p), v.dtype),
+            jax.ShapeDtypeStruct((n_groups, tq_p, tk_p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq_p, d_p), jnp.float32),
+            pltpu.VMEM((block_k, d_p), jnp.float32),
+            pltpu.VMEM((block_k, d_p), jnp.float32),
+            pltpu.VMEM((tq_p, tk_p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, biasf, gf, lsef, delta)
+
+    dq = dq.reshape(b, h, tq_p, d_p)[:, :, :tq, :d].astype(q.dtype)
+    dk = dk.reshape(b, h, tk_p, d_p)[:, :, :tk, :d].astype(k.dtype)
+    dv = dv.reshape(b, h, tk_p, d_p)[:, :, :tk, :d].astype(v.dtype)
+    db = db[:, :tq, :tk].reshape(bias4.shape[:2] + (tq, tk))
+    db = db.reshape(bias.shape).astype(bias.dtype)
+    return dq, dk, dv, db
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array] = None,
@@ -471,10 +663,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
-    if (bias is None
-            and os.environ.get("NEURONS_TPU_PALLAS_BWD", "1") == "1"):
+    if os.environ.get("NEURONS_TPU_PALLAS_BWD", "1") == "1":
         # training path: the forward also emits per-row log-sum-exp so
-        # the backward can be the Pallas recompute kernel
+        # the backward can be the Pallas recompute kernel (lse comes
+        # back None when a biased shape fell back to the XLA forward)
         out, lse = _flash_attention_impl(q, k, v, bias, scale, block_q,
                                          block_k, interpret,
                                          return_lse=True)
@@ -500,9 +692,15 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
             scale_ = q.shape[-1] ** -0.5
         else:
             scale_ = scale
-        r = _flash_bwd_pallas(q, k, v, g, out, lse, scale_, interpret)
-        if r is not None:
-            return (*r, None)
+        if bias is not None:
+            rb = _flash_bwd_pallas_bias(q, k, v, bias, g, out, lse,
+                                        scale_, interpret)
+            if rb is not None:
+                return rb
+        else:
+            r = _flash_bwd_pallas(q, k, v, g, out, lse, scale_, interpret)
+            if r is not None:
+                return (*r, None)
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, tq, d_ = q.shape
@@ -602,9 +800,16 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
                           interpret: bool = False,
                           return_lse: bool = False) -> jax.Array:
     """With return_lse=True (the VJP forward), additionally returns the
-    per-row log-sum-exp [B, H, Tq] f32 for the Pallas backward kernel;
-    unbiased shapes only."""
-    assert not (return_lse and bias is not None)
+    per-row log-sum-exp [B, H, Tq] f32 for the Pallas backward kernel —
+    or None for it when a biased shape falls back to the XLA reference
+    (bias is only kernelized in the whole-KV regime)."""
+    if (bias is not None and not return_lse
+            and os.environ.get("NEURONS_TPU_BIAS_FLASH", "0") != "1"):
+        # primal (inference) biased path: A/B on the honest e2e bench
+        # showed XLA's fused softmax wins at the prior's 513-token rows
+        # (6.233 vs 6.249 s/clip) — the kernel fwd is reserved for the
+        # VJP forward, where it feeds the Pallas backward
+        return xla_attention(q, k, v, bias=bias, scale=scale)
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, tq, d = q.shape
@@ -702,7 +907,8 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     if bias is not None and not smallkv:
         # biased attention is only kernelized in the whole-KV regime (the
         # 513-token prior); larger biased shapes take the XLA reference
-        return xla_attention(q, k, v, bias=bias, scale=scale)
+        out = xla_attention(q, k, v, bias=bias, scale=scale)
+        return (out, None) if return_lse else out
     if smallkv:
         if bias is not None:
             # normalize bias to [N, Tq_p, Tk_p], N in {1, h, b*h}; the
@@ -768,7 +974,8 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
         # reference, unbiased fall through to the streaming kernel with
         # the base (ungrown) blocks re-derived + re-padded
         if bias is not None:
-            return xla_attention(q, k, v, bias=bias, scale=scale)
+            out = xla_attention(q, k, v, bias=bias, scale=scale)
+            return (out, None) if return_lse else out
         block_q = _pick_block(tq, 256)
         block_k = _pick_block(tk, 256)
         tq_p = _round_up(tq, block_q)
@@ -837,11 +1044,20 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         and os.environ.get("NEURONS_TPU_NO_PALLAS") != "1"  # A/B knob
     )
     if use_pallas and bias is not None:
-        # A/B on the honest e2e bench (v5e, batch 1): bias-flash prior
-        # 6.249 s/clip (stage3 3.06) vs XLA 6.233 (stage3 3.02) — at the
-        # prior's 513-token rows the whole-KV bias kernel does not beat
-        # XLA's fused softmax, so the XLA path stays the default; the
-        # kernel remains available for larger biased shapes.
+        # biased attention stays on XLA unless opted in, for BOTH
+        # inference and training, measured on the prior's multi-query
+        # 513-token rows (A/B on the honest benches):
+        #  - inference fwd: bias-flash 6.249 s/clip vs XLA 6.233 —
+        #    XLA's fused softmax wins;
+        #  - training: routing bias through the custom-VJP kernels made
+        #    the stage-2 step 293 vs 284 ms/step. The prior broadcasts
+        #    K/V across its 32 heads (multi-query); XLA's autodiff
+        #    fuses that broadcast end-to-end, while the kernel path
+        #    must materialize + pad the broadcast K/V into residuals
+        #    (profiled ~9 ms/step of pads + broadcasts) — more than the
+        #    bias backward kernel saves at this shape.
+        # The lse-emitting bias forward + Pallas bias backward remain
+        # available (and grad-tested) for genuinely large biased shapes.
         use_pallas = os.environ.get("NEURONS_TPU_BIAS_FLASH", "0") == "1"
     if use_pallas:
         return flash_attention(q, k, v, bias=bias, scale=scale)

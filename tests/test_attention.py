@@ -51,9 +51,12 @@ class TestFlashAttention:
         assert np.abs(got - ref).max() < 0.05
 
     @pytest.mark.parametrize("bias_shape", ["hqk", "bhqk", "qk"])
-    def test_bias_matches_xla(self, rng, bias_shape):
+    def test_bias_matches_xla(self, rng, bias_shape, monkeypatch):
         """Bias-capable whole-KV kernel (the prior's RelPosBias path,
-        513 q tokens x 514 kv incl. the learned null token, d=52)."""
+        513 q tokens x 514 kv incl. the learned null token, d=52).
+        The primal routes biased shapes to XLA unless
+        NEURONS_TPU_BIAS_FLASH=1 — set it so the kernel is exercised."""
+        monkeypatch.setenv("NEURONS_TPU_BIAS_FLASH", "1")
         b, h, tq, tk, d = 2, 4, 513, 514, 52
         q, k, v = _qkv(rng, b, h, tq, tk, d)
         shape = {"hqk": (h, tq, tk), "bhqk": (b, h, tq, tk),
@@ -66,11 +69,13 @@ class TestFlashAttention:
 
     @pytest.mark.parametrize("b,h,tq,tk,d", [
         (1, 2, 130, 140, 16),
-        # tq > 512 exercises the q-chunk padding path in _flash_bwd
-        # (the prior's 513-token shape pads 511 rows)
+        # tq > 512 exercises the q padding path in the Pallas backward
+        # (the prior's 513-token shape pads rows)
         (1, 1, 513, 140, 8),
     ])
     def test_bias_grads_match_xla(self, b, h, tq, tk, d):
+        """Routes through the lse-emitting bias forward + the Pallas
+        bias backward (dbias per-head, summed over batch)."""
         q, k, v = _qkv(jax.random.PRNGKey(3), b, h, tq, tk, d)
         bias = jax.random.normal(jax.random.PRNGKey(4), (h, tq, tk))
         w = jax.random.normal(jax.random.PRNGKey(5), (b, h, tq, d))
@@ -87,6 +92,26 @@ class TestFlashAttention:
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=2e-4, rtol=2e-4)
+
+    @pytest.mark.parametrize("bias_shape", ["qk", "bhqk", "hqk"])
+    def test_bias_grad_reductions(self, bias_shape):
+        """dbias reduction semantics across the three bias ranks with
+        b > 1 AND h > 1: [Tq,Tk] sums over b*h replicas, [h,Tq,Tk] sums
+        over b, [b,h,Tq,Tk] sums over nothing — the Pallas bias backward
+        accumulates each across its replica grid axis."""
+        b, h, tq, tk, d = 3, 2, 160, 140, 16
+        q, k, v = _qkv(jax.random.PRNGKey(7), b, h, tq, tk, d)
+        shape = {"hqk": (h, tq, tk), "bhqk": (b, h, tq, tk),
+                 "qk": (tq, tk)}[bias_shape]
+        bias = jax.random.normal(jax.random.PRNGKey(8), shape)
+        w = jax.random.normal(jax.random.PRNGKey(9), (b, h, tq, d))
+
+        g1 = jax.grad(lambda bias: jnp.sum(flash_attention(
+            q, k, v, bias=bias, interpret=True) * w))(bias)
+        g2 = jax.grad(lambda bias: jnp.sum(xla_attention(
+            q, k, v, bias=bias) * w))(bias)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=2e-4, rtol=2e-4)
 
     def test_dispatch_uses_xla_for_bias_and_small(self, rng):
         # tiny sequences must route to XLA; biased attention routes to the

@@ -274,6 +274,7 @@ def cmd_train_decoupler(args):
 
 def cmd_recon(args):
     _setup(args)
+    _apply_fast_preset(args, "recon")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -485,6 +486,7 @@ def cmd_caption(args):
 
 def cmd_video(args):
     _setup(args)
+    _apply_fast_preset(args, "video")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -896,10 +898,49 @@ def cmd_serve(args):
     srv.serve_forever()
 
 
+# Named fast presets: the measured TGATE x PAB frontier (CLAUDE.md perf
+# table; per-stage proxy rms vs the exact trajectory in parentheses).
+# Values are the stage-specific --tgate / --tgate_pab expansions.
+FAST_PRESETS = {
+    # sub-5% stage-3 deviation — the validated quality bar
+    "quality": {"recon": dict(tgate=33, tgate_pab=2),    # 4.7% rms
+                "video": dict(tgate=10, tgate_pab=2)},   # 0.5% rms
+    # mid frontier: ~4.0 s/clip at stage-3 10.7% rms
+    "balanced": {"recon": dict(tgate=20, tgate_pab=2),
+                 "video": dict(tgate=10, tgate_pab=2)},
+    # fastest measured: ~3.6 s/clip at stage-3 21% rms
+    "max": {"recon": dict(tgate=10, tgate_pab=2),
+            "video": dict(tgate=10, tgate_pab=2)},
+}
+
+
+def _apply_fast_preset(args, stage):
+    """Expand --fast into the per-stage knobs, without clobbering any
+    knob the user set explicitly (explicit flags win over the preset).
+    Re-entrant across stages: `pipeline` reuses one namespace, so knobs
+    a previous stage's expansion set are re-expanded, not treated as
+    user-explicit."""
+    name = getattr(args, "fast", None)
+    if not name:
+        return
+    preset_owned = getattr(args, "_preset_knobs", set())
+    for knob, value in FAST_PRESETS[name][stage].items():
+        if not getattr(args, knob, 0) or knob in preset_owned:
+            setattr(args, knob, value)
+            preset_owned.add(knob)
+    args._preset_knobs = preset_owned
+
+
 def _add_fastpath_args(p):
     """Opt-in approximate sampler fast paths (PAPERS.md: TGATE arXiv
     2404.02747, Faster-Diffusion arXiv 2312.09608, PAB arXiv 2408.12588).
     Default is exact reference sampling."""
+    p.add_argument("--fast", choices=sorted(FAST_PRESETS), default=None,
+                   help="named fast preset expanding to the measured "
+                        "TGATE x PAB knobs (quality: sub-5%% stage-3 "
+                        "proxy deviation at ~4.5 s/clip; balanced: "
+                        "~4.0 s/clip; max: ~3.6 s/clip); explicit "
+                        "--tgate/--tgate_pab flags override")
     p.add_argument("--tgate", type=int, default=0, metavar="STEP",
                    help="TGATE: freeze cross-attn + collapse CFG from "
                         "this step (0 = off)")

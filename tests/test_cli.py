@@ -28,3 +28,44 @@ class TestParser:
         with pytest.raises(SystemExit):
             cli.main(["pipeline", "9", "--synthetic", "--tiny",
                       "--platform", "cpu"])
+
+
+class TestFastPreset:
+    def _ns(self, **kw):
+        import argparse
+        kw.setdefault("fast", None)
+        kw.setdefault("tgate", 0)
+        kw.setdefault("tgate_pab", 0)
+        return argparse.Namespace(**kw)
+
+    def test_quality_expands_per_stage(self):
+        a = self._ns(fast="quality")
+        cli._apply_fast_preset(a, "recon")
+        assert (a.tgate, a.tgate_pab) == (33, 2)
+        b = self._ns(fast="quality")
+        cli._apply_fast_preset(b, "video")
+        assert (b.tgate, b.tgate_pab) == (10, 2)
+
+    def test_explicit_flag_wins(self):
+        a = self._ns(fast="max", tgate=25)
+        cli._apply_fast_preset(a, "recon")
+        assert a.tgate == 25 and a.tgate_pab == 2
+
+    def test_reentrant_across_pipeline_stages(self):
+        # `pipeline` reuses one namespace: recon's expansion must not be
+        # mistaken for an explicit flag when video expands next
+        a = self._ns(fast="quality")
+        cli._apply_fast_preset(a, "recon")
+        cli._apply_fast_preset(a, "video")
+        assert a.tgate == 10
+
+    def test_off_is_noop(self):
+        a = self._ns()
+        cli._apply_fast_preset(a, "recon")
+        assert (a.tgate, a.tgate_pab) == (0, 0)
+
+    def test_parser_accepts_fast(self):
+        p = cli.main  # smoke via argparse error path
+        with pytest.raises(SystemExit) as e:
+            cli.main(["recon", "--fast", "nonsense"])
+        assert e.value.code != 0

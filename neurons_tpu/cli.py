@@ -888,6 +888,17 @@ def cmd_serve(args):
         os.environ["BENCH_TINY"] = "1"
     if args.platform:
         os.environ["BENCH_PLATFORM"] = args.platform
+    if getattr(args, "fast", None):
+        # the serving pipeline is built from bench.build(), which reads
+        # the BENCH_* env knobs — expand the named preset into them
+        os.environ.setdefault(
+            "BENCH_TGATE", str(FAST_PRESETS[args.fast]["recon"]["tgate"]))
+        os.environ.setdefault(
+            "BENCH_TGATE_VIDEO",
+            str(FAST_PRESETS[args.fast]["video"]["tgate"]))
+        os.environ.setdefault(
+            "BENCH_TGATE_PAB",
+            str(FAST_PRESETS[args.fast]["recon"]["tgate_pab"]))
     pipeline, n_vox = serving.build_bench_pipeline(args.serve_batch)
     cfg = serving.ServerConfig(host=args.host, port=args.port,
                                batch_size=args.serve_batch,
@@ -1043,6 +1054,10 @@ def main(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--fast", choices=sorted(FAST_PRESETS), default=None,
+                   help="serve with a named fast preset (expands to the "
+                        "BENCH_TGATE* env knobs the serving pipeline "
+                        "honors; explicit env vars win)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("pipeline", help="run stages in sequence, e.g. "
@@ -1051,6 +1066,10 @@ def main(argv=None):
                    help="stage string: subset of 12345e6, in order")
     _add_common(p)
     _add_train_args(p)
+    # sampler fast paths apply per stage: _apply_fast_preset is
+    # re-entrant, so `pipeline 35 --fast quality` expands to the
+    # stage-3 gate in recon and the stage-5 gate in video
+    _add_fastpath_args(p)
     p.add_argument("--enhance", action="store_true")
     p.add_argument("--mode", type=str, default=None)
     p.add_argument("--caption_mode", type=str, default="auto",

@@ -65,7 +65,38 @@ class TestFastPreset:
         assert (a.tgate, a.tgate_pab) == (0, 0)
 
     def test_parser_accepts_fast(self):
-        p = cli.main  # smoke via argparse error path
         with pytest.raises(SystemExit) as e:
             cli.main(["recon", "--fast", "nonsense"])
         assert e.value.code != 0
+
+    def test_serve_preset_env_expansion(self, monkeypatch):
+        for v in ("BENCH_TGATE", "BENCH_TGATE_VIDEO", "BENCH_TGATE_PAB",
+                  "BENCH_TINY", "BENCH_PLATFORM"):  # all restored at teardown
+            monkeypatch.delenv(v, raising=False)
+        import argparse
+        import os
+        # stub the heavy build: we only assert the env expansion
+        class _Boom(Exception):
+            pass
+
+        def boom(*a, **k):
+            raise _Boom
+
+        import neurons_tpu.serving as serving
+        monkeypatch.setattr(serving, "build_bench_pipeline", boom)
+        args = argparse.Namespace(tiny=True, platform="cpu",
+                                  fast="quality", serve_batch=1,
+                                  host="127.0.0.1", port=0,
+                                  max_wait_ms=1.0)
+        with pytest.raises(_Boom):
+            cli.cmd_serve(args)
+        assert os.environ["BENCH_TGATE"] == "33"
+        assert os.environ["BENCH_TGATE_VIDEO"] == "10"
+        assert os.environ["BENCH_TGATE_PAB"] == "2"
+
+    def test_pipeline_parser_accepts_fast(self):
+        # pipeline forwards one namespace through every stage; --fast
+        # must parse there so `pipeline 35 --fast quality` works
+        with pytest.raises(SystemExit) as e:
+            cli.main(["pipeline", "--fast", "quality", "--help"])
+        assert e.value.code == 0

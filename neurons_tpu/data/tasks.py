@@ -142,15 +142,27 @@ def gen_caption_embeds(captions: Sequence[str],
                        out_dir: str, mode: str,
                        batch_size: int = 64) -> np.ndarray:
     """reference gen_GT_clip_embeds.py:9-49: embed Qwen captions with the
-    CLIP-bigG text tower (pooled 1280-d); writes GT_{mode}_caption_qwen
-    files. `embed_fn` is the batched text embedder."""
+    CLIP-bigG text tower (pooled 1280-d); writes the reference's exact
+    artifact names — `GT_{mode}_caption_qwen.pt` (the caption list) and
+    `GT_{mode}_caption_qwen_emb.pt` (f32 tensor) — so downstream
+    reference consumers (gen_decoupled_outputs.py:223-224) interoperate.
+    `embed_fn` is the batched text embedder. Falls back to .txt/.npy when
+    torch is unavailable."""
     embs = []
     for start in range(0, len(captions), batch_size):
         embs.append(np.asarray(embed_fn(captions[start:start + batch_size])))
     all_embs = np.concatenate(embs, axis=0)
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, f"GT_{mode}_caption_qwen.txt"), "w") as f:
-        f.write("\n".join(captions))
-    np.save(os.path.join(out_dir, f"GT_{mode}_caption_qwen_emb.npy"),
-            all_embs)
+    try:
+        import torch
+        torch.save(list(captions),
+                   os.path.join(out_dir, f"GT_{mode}_caption_qwen.pt"))
+        torch.save(torch.from_numpy(np.asarray(all_embs, np.float32)),
+                   os.path.join(out_dir, f"GT_{mode}_caption_qwen_emb.pt"))
+    except ImportError:
+        with open(os.path.join(out_dir,
+                               f"GT_{mode}_caption_qwen.txt"), "w") as f:
+            f.write("\n".join(captions))
+        np.save(os.path.join(out_dir, f"GT_{mode}_caption_qwen_emb.npy"),
+                all_embs)
     return all_embs

@@ -33,9 +33,10 @@ import os
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -77,8 +78,10 @@ class BatchingScheduler:
         self._queued_clips = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
-        self._latencies_ms: List[float] = []
-        self._batch_sizes: List[int] = []
+        # bounded so a long-running server's stats don't grow unboundedly;
+        # percentiles are over the most recent window
+        self._latencies_ms: "deque[float]" = deque(maxlen=10000)
+        self._batch_sizes: "deque[int]" = deque(maxlen=10000)
         self.served = 0
         self._seed = 0
         self._worker = threading.Thread(target=self._run, daemon=True,
@@ -163,19 +166,21 @@ class BatchingScheduler:
                 k = r.voxels.shape[0]
                 r.result = video[off:off + k]
                 off += k
-                self._latencies_ms.append((now - r.enqueued) * 1e3)
+                with self._lock:
+                    self._latencies_ms.append((now - r.enqueued) * 1e3)
                 r.done.set()
-            self._batch_sizes.append(clips)
+            with self._lock:
+                self._batch_sizes.append(clips)
             self.served += clips
 
     def stats(self) -> dict:
-        lat = sorted(self._latencies_ms)
+        with self._lock:  # deques must not be iterated during appends
+            lat, bs = sorted(self._latencies_ms), list(self._batch_sizes)
 
         def pct(p):
             return round(lat[min(len(lat) - 1,
                                  int(p / 100 * len(lat)))], 2) if lat else None
 
-        bs = self._batch_sizes
         return {
             "served_clips": self.served,
             "batches": len(bs),

@@ -96,3 +96,24 @@ class TestKeyObjectRules:
         assert info["0"]["category"] == "car"
         arr = np.load(tmp_path / "key_objects_masks_train.npz")["masks"]
         assert arr.shape[0] == 2
+
+
+class TestCaptionEmbeds:
+    def test_reference_pt_dialect(self, tmp_path):
+        """gen_caption_embeds must emit the reference's exact artifact
+        names (gen_GT_clip_embeds.py:25-29) so its consumers
+        (gen_decoupled_outputs.py:223-224) interoperate."""
+        import torch
+
+        caps = [f"a caption {i}" for i in range(5)]
+        out = tasks.gen_caption_embeds(
+            caps, lambda b: np.full((len(b), 8), 0.5, np.float32),
+            str(tmp_path), "test", batch_size=2)
+        assert out.shape == (5, 8)
+        got_caps = torch.load(tmp_path / "GT_test_caption_qwen.pt",
+                              weights_only=False)
+        assert got_caps == caps
+        emb = torch.load(tmp_path / "GT_test_caption_qwen_emb.pt",
+                         weights_only=False)
+        assert emb.dtype == torch.float32
+        np.testing.assert_allclose(emb.numpy(), out)

@@ -44,16 +44,29 @@ _platform = os.environ.get("BENCH_PLATFORM",
 if _platform:
     jax.config.update("jax_platforms", _platform)
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from neurons_tpu.utils import compile_cache  # noqa: E402
+
+# Host-partitioned persistent cache: TPU executables are host-independent
+# and shared across machines (a warm cache survives a driver-host change);
+# CPU entries are machine-featured and partitioned (round-2 driver logs
+# were full of cpu_aot_loader errors from foreign-host AOT entries).
+compile_cache.setup("cpu" if _platform == "cpu" else "tpu")
 jax.config.update("jax_default_matmul_precision", "bfloat16")
 
 import jax.numpy as jnp
 import numpy as np
 
 DTYPE = jnp.bfloat16
+
+_T0 = time.perf_counter()
+
+
+def note(msg):
+    """Progress heartbeat on stderr (stdout carries only the JSON result
+    line): the driver runs this cold with a finite timeout, so partial
+    output must be diagnostic."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _cast(tree):
@@ -74,7 +87,9 @@ def _init_bf16(init_fn, *args):
     ensemble alone is ~9 GB f32) would otherwise transiently double HBM
     use next to their bf16 copies."""
     cpus = jax.devices("cpu")
-    with jax.default_device(cpus[0]):
+    # no_persistence: CPU-backend init compiles are host-featured AOT code
+    # and must not land in the shared tpu cache dir (compile_cache docs)
+    with compile_cache.no_persistence(), jax.default_device(cpus[0]):
         tree = _cast(init_fn(*args))
     dev = jax.devices()[0]
     if dev.platform == "cpu":
@@ -136,11 +151,13 @@ def build():
     ctx_len = tcfg.context_length
 
     decoupler = NeuronsDecoupler(bcfg, pcfg, dcfg, gcfg)
+    note("init: Neurons ensemble (ridge+mixer+prior+decoupler+GPT-2)")
     voxel0 = jnp.zeros((1, 1, bcfg.voxel_counts[0]), DTYPE)
     dec_params = _init_bf16(lambda: decoupler.init(
         key, voxel0, jnp.zeros((1, 8), jnp.int32))["params"])
 
     # ---- unCLIP UNet @ 96x96 latents ----
+    note("init: unCLIP UNet + VAE + SD text tower")
     unet2d = UNetModel(ucfg)
     x2 = jnp.zeros((1, 4, lat_kf, lat_kf), DTYPE)
     ctx = jnp.zeros((1, bcfg.clip_seq_dim, bcfg.clip_emb_dim), DTYPE)
@@ -160,6 +177,7 @@ def build():
         key, jnp.zeros((1, ctx_len), jnp.int32))["params"])
 
     # ---- video UNet + SparseCtrl @ 32x32 latents, 16 frames ----
+    note("init: UNet3D + SparseCtrl")
     n_frames = scfg.n_video_frames
     unet3d = UNet3DModel(u3cfg, n_frames=n_frames)
     x3 = jnp.zeros((1, 4, n_frames, lat_vid, lat_vid), DTYPE)
@@ -325,18 +343,20 @@ def build():
     return stage3, stage5, params, n_vox
 
 
-def run_once(stage3, stage5, params, key, batch, n_vox=13447):
+def run_once(stage3, stage5, params, key, batch, n_vox=13447,
+             verbose=None):
     """One batched pass: `batch` clips amortize the fixed sampler
     overheads exactly as the reference batches stage 3 (batch 20,
     reference recon_keyframe_neurons.py:350)."""
-    verbose = os.environ.get("BENCH_VERBOSE") == "1"
+    if verbose is None:
+        verbose = os.environ.get("BENCH_VERBOSE") == "1"
     voxel = jax.random.normal(key, (batch, 1, n_vox)) * 0.5
     t0 = time.perf_counter()
     keyframe, blurry, captions = stage3(params["dec"], params["unet2d"],
                                         params["vae"], key, voxel)
     if verbose:
         float(jnp.sum(keyframe))  # host-scalar sync (see stage-5 note)
-        print(f"  stage3: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        note(f"  stage3: {time.perf_counter() - t0:.2f}s")
     t1 = time.perf_counter()
     video = stage5(params["unet3d"], params["cn"], params["vae"],
                    params["text"], key, blurry, keyframe, captions)
@@ -347,28 +367,47 @@ def run_once(stage3, stage5, params, key, batch, n_vox=13447):
     checksum = float(jnp.sum(video))
     assert np.isfinite(checksum), f"non-finite video (checksum {checksum})"
     if verbose:
-        print(f"  stage5: {time.perf_counter() - t1:.2f}s", file=sys.stderr)
+        note(f"  stage5: {time.perf_counter() - t1:.2f}s")
     return video
 
 
 def main():
+    note(f"platform={jax.devices()[0].platform} devices={len(jax.devices())}"
+         f" cache={jax.config.jax_compilation_cache_dir}")
+    note("building models (host-side param init) ...")
     stage3, stage5, params, n_vox = build()
     key = jax.random.PRNGKey(0)
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    # warmup / compile
-    run_once(stage3, stage5, params, key, batch, n_vox)
-    n_iters = int(os.environ.get("BENCH_ITERS", "3"))
+    note("build done; warmup pass compiles both stage scans "
+         "(cold >10 min, warm persistent cache: seconds)")
+    run_once(stage3, stage5, params, key, batch, n_vox, verbose=True)
+    # Budget-aware measurement: ONE measured iteration by default so the
+    # JSON line lands as soon as the compile does (round-2 lesson:
+    # BENCH_ITERS=3 + no heartbeat = driver timeout with parsed=null).
+    # Run-to-run spread on this path is ~±0.03 s/clip (CLAUDE.md), so one
+    # iteration is a faithful sample; BENCH_ITERS>1 refines on stderr.
+    n_iters = int(os.environ.get("BENCH_ITERS", "1"))
+    note("warmup done; measuring")
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        run_once(stage3, stage5, params, jax.random.PRNGKey(i + 1), batch,
-                 n_vox)
-    sec_per_clip = (time.perf_counter() - t0) / (n_iters * batch)
-    print(json.dumps({
-        "metric": "sec_per_clip_e2e_stage3+5",
-        "value": round(sec_per_clip, 3),
-        "unit": "s/clip",
-        "vs_baseline": round(10.0 / sec_per_clip, 3),
-    }))
+    run_once(stage3, stage5, params, jax.random.PRNGKey(1), batch, n_vox)
+    sec_per_clip = (time.perf_counter() - t0) / batch
+
+    def result(sec):
+        return json.dumps({
+            "metric": "sec_per_clip_e2e_stage3+5",
+            "value": round(sec, 3),
+            "unit": "s/clip",
+            "vs_baseline": round(10.0 / sec, 3),
+        })
+
+    print(result(sec_per_clip), flush=True)
+    if n_iters > 1:
+        t0 = time.perf_counter()
+        for i in range(n_iters - 1):
+            run_once(stage3, stage5, params, jax.random.PRNGKey(i + 2),
+                     batch, n_vox)
+        refined = (time.perf_counter() - t0) / ((n_iters - 1) * batch)
+        note(f"refined over {n_iters - 1} more iters: {result(refined)}")
 
 
 if __name__ == "__main__":

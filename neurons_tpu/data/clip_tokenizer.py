@@ -159,15 +159,39 @@ class _ByteFallbackTokenizer:
 
 
 def tokenize(texts: Sequence[str], context_length: int = CONTEXT_LENGTH,
-             bpe_path: Optional[str] = None) -> List[List[int]]:
+             bpe_path: Optional[str] = None,
+             allow_fallback: Optional[bool] = None) -> List[List[int]]:
     """open_clip.tokenize-compatible: [SOT] + bpe + [EOT], truncated to
     `context_length` (EOT forced at the end when truncating). Returns Python
-    lists (callers pad to their own fixed length)."""
+    lists (callers pad to their own fixed length).
+
+    Without the merges file this is a HARD ERROR unless the caller is an
+    explicitly-synthetic path (`allow_fallback=True`, or the
+    NEURONS_TPU_ALLOW_BYTE_TOKENIZER=1 env the --tiny/--synthetic CLI
+    modes set): the byte-level stand-in produces ids that are not in
+    CLIP's vocabulary, which would make stage-5 caption re-embedding
+    (reference scripts/neuroclips_video.py:254-260) semantically wrong
+    while LOOKING healthy. The merges table itself (CLIP's
+    bpe_simple_vocab_16e6.txt.gz) cannot be vendored from this
+    zero-egress image — it ships with any open_clip/CLIP install and
+    with the reference weight bundle; point CLIP_BPE_PATH at it."""
     global _tokenizer
+    if allow_fallback is None:
+        allow_fallback = os.environ.get(
+            "NEURONS_TPU_ALLOW_BYTE_TOKENIZER") == "1"
     if _tokenizer is None:
         try:
             _tokenizer = SimpleTokenizer(bpe_path)
         except FileNotFoundError:
+            if not allow_fallback:
+                raise FileNotFoundError(
+                    "CLIP BPE merges file not found. Set CLIP_BPE_PATH to "
+                    "bpe_simple_vocab_16e6.txt.gz (ships with open_clip/"
+                    "CLIP and with the reference weight bundle). The "
+                    "byte-level fallback is only permitted on synthetic "
+                    "paths (--tiny/--synthetic, or "
+                    "NEURONS_TPU_ALLOW_BYTE_TOKENIZER=1), because its ids "
+                    "are not CLIP-compatible.")
             import warnings
             warnings.warn("CLIP BPE merges file missing - using the "
                           "byte-level fallback tokenizer (ids are NOT "

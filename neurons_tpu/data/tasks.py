@@ -155,7 +155,10 @@ def gen_caption_embeds(captions: Sequence[str],
     os.makedirs(out_dir, exist_ok=True)
     try:
         import torch
-        torch.save(list(captions),
+        # numpy string array, not a Python list: the reference saves
+        # np.hstack(captions) (gen_GT_clip_embeds.py) and downstream
+        # array ops (.shape, fancy indexing) must behave identically
+        torch.save(np.asarray(list(captions)),
                    os.path.join(out_dir, f"GT_{mode}_caption_qwen.pt"))
         torch.save(torch.from_numpy(np.asarray(all_embs, np.float32)),
                    os.path.join(out_dir, f"GT_{mode}_caption_qwen_emb.pt"))

@@ -94,8 +94,10 @@ class DiffusionEngine:
                cfg_scale: Optional[float] = None) -> jax.Array:
         """EulerEDM sampling with VanillaCFG (reference sampling.py:
         102-135 + guiders.py:24-42). crossattn: [B, 256, 1664] CLIP
-        tokens; uncond defaults to zeros (the reference uses random
-        placeholder tokens). Returns first-stage latents [B, 4, h, w]."""
+        tokens; uncond defaults to RANDOM tokens exactly like the
+        reference's unclip_recon (utils.py:312-318) and the production
+        path (pipelines/keyframe.py). Returns first-stage latents
+        [B, 4, h, w]."""
         scfg = self.sampler_cfg
         num_steps = num_steps or scfg.unclip_steps
         cfg_scale = cfg_scale if cfg_scale is not None \
@@ -103,8 +105,10 @@ class DiffusionEngine:
         b = crossattn.shape[0]
         if shape is None:
             shape = (b, self.unet_cfg.in_channels, 96, 96)
+        key, k_uc = jax.random.split(key)
         if uc_crossattn is None:
-            uc_crossattn = jnp.zeros_like(crossattn)
+            uc_crossattn = jax.random.normal(k_uc, crossattn.shape,
+                                             crossattn.dtype)
         vector = self.conditioner(b)
         sigmas = sd_sigmas(num_steps)
 

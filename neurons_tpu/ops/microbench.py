@@ -98,9 +98,8 @@ if __name__ == "__main__":
     # the fused GN+SiLU dispatch is opt-in; the microbench exists to
     # compare it, so force it on for this process
     os.environ["NEURONS_TPU_FUSED_NORM"] = "1"
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.getcwd(), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from neurons_tpu.utils import compile_cache
+    compile_cache.setup("tpu")
     print("device:", jax.devices()[0])
     bench_attention()
     bench_groupnorm()

@@ -9,4 +9,5 @@ from neurons_tpu.parallel.mesh import (
     fsdp_sharding,
     shard_opt_state,
     shard_opt_state_like,
+    opt_sharding_fn,
 )

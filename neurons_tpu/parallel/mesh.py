@@ -155,21 +155,35 @@ def shard_opt_state_like(mesh: Mesh, opt_state, params_sharded,
     sharing a shape with different shardings would be ambiguous — the
     first spec wins (in this framework only the uniquely-shaped wide
     projections carry non-trivial specs)."""
+    sharding_of = opt_sharding_fn(mesh, params_sharded, axis)
+
+    def place(x):
+        s = sharding_of(x)
+        return jax.device_put(x, s) if s is not None else x
+
+    return jax.tree_util.tree_map(place, opt_state)
+
+
+def opt_sharding_fn(mesh: Mesh, params_sharded, axis: str = "data"):
+    """The leaf -> NamedSharding rule `shard_opt_state_like` applies
+    (None for non-array leaves), as a callable. `params_sharded` may
+    hold real arrays or `ShapeDtypeStruct`s with `.sharding` — the
+    latter enables AOT lowering of full-size steps without
+    materializing the state."""
     spec_by_shape = {}
     for p in jax.tree_util.tree_leaves(params_sharded):
         sh = getattr(p, "sharding", None)
         spec = sh.spec if isinstance(sh, NamedSharding) else P()
         spec_by_shape.setdefault(tuple(p.shape), spec)
 
-    def place(x):
+    def sharding_of(x):
         if not hasattr(x, "shape"):
-            return x
+            return None
         spec = spec_by_shape.get(tuple(x.shape), P())
-        return jax.device_put(
-            x, NamedSharding(mesh, _refine_with_axis(mesh, spec, x.shape,
-                                                     axis)))
+        return NamedSharding(mesh, _refine_with_axis(mesh, spec, x.shape,
+                                                     axis))
 
-    return jax.tree_util.tree_map(place, opt_state)
+    return sharding_of
 
 
 def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):

@@ -114,7 +114,7 @@ class BatchingScheduler:
         return req.result
 
     # ---- worker side ----
-    def _take_batch(self) -> Optional[List[_Request]]:
+    def _take_batch(self) -> Optional[list[_Request]]:
         try:
             first = self._q.get(timeout=0.1)
         except queue.Empty:
@@ -162,34 +162,42 @@ class BatchingScheduler:
                 continue
             now = time.perf_counter()
             off = 0
+            # one lock acquisition for the whole batch's stats (served is
+            # read by stats()/health() — keep its update under the lock
+            # so /stats snapshots are internally consistent)
+            with self._lock:
+                for r in batch:
+                    self._latencies_ms.append((now - r.enqueued) * 1e3)
+                self._batch_sizes.append(clips)
+                self.served += clips
             for r in batch:
                 k = r.voxels.shape[0]
                 r.result = video[off:off + k]
                 off += k
-                with self._lock:
-                    self._latencies_ms.append((now - r.enqueued) * 1e3)
                 r.done.set()
-            with self._lock:
-                self._batch_sizes.append(clips)
-            self.served += clips
 
     def stats(self) -> dict:
         with self._lock:  # deques must not be iterated during appends
             lat, bs = sorted(self._latencies_ms), list(self._batch_sizes)
+            served, queued = self.served, self._queued_clips
 
         def pct(p):
             return round(lat[min(len(lat) - 1,
                                  int(p / 100 * len(lat)))], 2) if lat else None
 
         return {
-            "served_clips": self.served,
+            "served_clips": served,
             "batches": len(bs),
             "mean_batch_occupancy": round(sum(bs) / len(bs), 3) if bs
             else None,
             "latency_ms_p50": pct(50),
             "latency_ms_p95": pct(95),
-            "queued_clips": self._queued_clips,
+            "queued_clips": queued,
         }
+
+    def served_clips(self) -> int:
+        with self._lock:
+            return self.served
 
     def close(self):
         self._stop.set()
@@ -287,7 +295,7 @@ class InferenceServer:
         return {"status": "ok", "platform": platform,
                 "n_voxels": self.scheduler.n_voxels,
                 "batch_size": self.cfg.batch_size,
-                "served_clips": self.scheduler.served}
+                "served_clips": self.scheduler.served_clips()}
 
     def start(self):
         self._thread.start()

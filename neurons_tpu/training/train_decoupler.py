@@ -69,6 +69,29 @@ def init_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
     return Stage2Bundle(model, diffusion, tx), state
 
 
+def init_stage2_abstract(bcfg: BrainModelConfig, pcfg: PriorConfig,
+                         dcfg: DecouplerConfig, tcfg: TrainConfig,
+                         gpt2_cfg: GPT2Config, steps_per_epoch: int,
+                         key: jax.Array) -> Tuple[Stage2Bundle, TrainState]:
+    """Shape-only `init_stage2`: the same bundle, but a TrainState of
+    `jax.ShapeDtypeStruct`s. For AOT lowering/compile of the train step
+    (layout/memory validation) without materializing the 2.2B-param
+    ensemble — full-size compile checks on hosts that could never hold
+    or step the real arrays."""
+    model = NeuronsDecoupler(bcfg, pcfg, dcfg, gpt2_cfg)
+    voxel = jax.ShapeDtypeStruct((2, bcfg.seq_len, bcfg.voxel_counts[0]),
+                                 jnp.float32)
+    tokens = jax.ShapeDtypeStruct((2, 8), jnp.int32)
+    params = jax.eval_shape(
+        lambda k, v, t: model.init(k, v, t)["params"], key, voxel, tokens)
+    tx, _ = make_optimizer(tcfg, steps_per_epoch,
+                           frozen_fn=freeze_by_prefix(("core",)))
+    diffusion = PriorDiffusion.create(pcfg.timesteps, pcfg.cond_drop_prob)
+    opt = jax.eval_shape(tx.init, params)
+    state = TrainState(params, opt, jax.ShapeDtypeStruct((), jnp.int32))
+    return Stage2Bundle(model, diffusion, tx), state
+
+
 def _autocast_trees(enabled: bool):
     """bf16-autocast helpers: module forwards run bf16 (the reference
     trains under torch fp16 autocast, train_neurons.py:17,365), while

@@ -1,0 +1,279 @@
+"""Persistent-compilation-cache hygiene.
+
+JAX's persistent cache key does NOT include host CPU features, so an
+XLA:CPU AOT executable compiled on one machine fails to load on a
+different-featured machine (``cpu_aot_loader.cc`` errors on every
+process start — both round-2 driver artifacts' tails were full of
+them).  TPU executables have no such host dependence: they are lowered
+for the TPU target and are safe to share across hosts that reach the
+same chip.
+
+Scheme:
+  - CPU-backend work caches under ``.jax_cache/hv2-<host_fingerprint>``
+    (fingerprint = hash of the REAL CPUID family/model/stepping +
+    feature words — NOT /proc/cpuinfo, which this sandbox masks to a
+    generic "Intel Xeon @ 2.10GHz" string identical across different
+    physical hosts; LLVM reads CPUID directly, so the fingerprint must
+    too).  A different machine gets a different subdirectory — a cold
+    cache, never a load error.
+  - TPU processes cache under the shared ``.jax_cache/tpu`` so a warm
+    bench cache survives a host change.  Their incidental CPU-backend
+    compiles (parameter init on the host) must not be persisted into
+    the shared dir — wrap them in :func:`no_persistence`.
+  - Legacy flat ``*-cache`` files at the cache root (written by earlier
+    rounds, machine of origin unknown) are pruned once at setup.
+
+Reference has no counterpart (torch has no persistent compile cache in
+the NEURONS scripts); this is TPU-build operational plumbing.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import ctypes
+import hashlib
+import mmap
+import os
+import platform
+import struct
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _cpuid_reader():
+    """Userspace CPUID via an executable page (x86_64 SysV).
+
+    /proc/cpuinfo is NOT trustworthy here: the sandbox bind-mounts a
+    generic file (model "Intel Xeon @ 2.10GHz", flags ending at sse2)
+    that is byte-identical across physically different hosts, while
+    XLA's LLVM detects the real chip (avx512fp16/amx on this one) with
+    CPUID.  Round 2's cpuinfo-hash fingerprint therefore collided
+    across hosts and the "partitioned" cache still served
+    foreign-machine AOT code.  Reading CPUID directly sees exactly what
+    LLVM sees — family/model/stepping drives -mtune (e.g.
+    prefer-no-scatter) and the feature words drive the target features.
+    """
+    code = bytes([
+        0x53,                    # push rbx (callee-saved, cpuid clobbers)
+        0x49, 0x89, 0xd1,        # mov r9, rdx        (out buffer)
+        0x89, 0xf8,              # mov eax, edi       (leaf)
+        0x89, 0xf1,              # mov ecx, esi       (subleaf)
+        0x0f, 0xa2,              # cpuid
+        0x41, 0x89, 0x01,        # mov [r9],    eax
+        0x41, 0x89, 0x59, 0x04,  # mov [r9+4],  ebx
+        0x41, 0x89, 0x49, 0x08,  # mov [r9+8],  ecx
+        0x41, 0x89, 0x51, 0x0c,  # mov [r9+12], edx
+        0x5b,                    # pop rbx
+        0xc3,                    # ret
+    ])
+    buf = mmap.mmap(-1, mmap.PAGESIZE,
+                    prot=mmap.PROT_READ | mmap.PROT_WRITE | mmap.PROT_EXEC)
+    buf.write(code)
+    fn = ctypes.CFUNCTYPE(None, ctypes.c_uint32, ctypes.c_uint32,
+                          ctypes.c_void_p)(
+        ctypes.addressof(ctypes.c_char.from_buffer(buf)))
+
+    def cpuid(leaf, subleaf=0):
+        out = (ctypes.c_uint32 * 4)()
+        fn(leaf, subleaf, ctypes.addressof(out))
+        return tuple(out)
+
+    cpuid._keepalive = (buf, fn)  # the page must outlive the closure
+    return cpuid
+
+
+def host_fingerprint() -> str:
+    """Hash of the CPU identity that affects XLA:CPU AOT codegen."""
+    parts = [platform.machine()]
+    if platform.machine() == "x86_64":
+        try:
+            cpuid = _cpuid_reader()
+            words = []
+            # identity + tuning: family/model/stepping (leaf 1 eax)
+            # features: leaf 1 ecx/edx, leaf 7 subleaves 0-1 (avx512*,
+            # amx*, avx-vnni...), extended leaf 0x80000001 ecx/edx, and
+            # the brand string (masked here, but free to include)
+            words.append(cpuid(1)[0])
+            words.extend(cpuid(1)[2:])
+            for sub in (0, 1):
+                words.extend(cpuid(7, sub))
+            words.extend(cpuid(0x80000001)[2:])
+            blob = struct.pack(f"<{len(words)}I", *words)
+            for leaf in (0x80000002, 0x80000003, 0x80000004):
+                blob += struct.pack("<4I", *cpuid(leaf))
+            return hashlib.sha256(blob).hexdigest()[:12]
+        except Exception:
+            pass  # non-ELF sandbox / W^X policy: fall through
+    # non-x86 or CPUID unavailable: best-effort /proc/cpuinfo hash
+    try:
+        with open("/proc/cpuinfo") as f:
+            parts.append(f.read(65536))
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
+def cache_dir(platform_hint: str, root: str | None = None) -> str:
+    """Partitioned cache path for this process.
+
+    platform_hint: "cpu" for CPU-only processes (tests, dryrun, tools),
+    "tpu" for processes whose hot compiles target the TPU (bench, cli
+    on the accelerator).
+    """
+    root = root or os.path.join(_REPO_ROOT, ".jax_cache")
+    if platform_hint == "tpu":
+        return os.path.join(root, "tpu")
+    return os.path.join(root, f"hv2-{host_fingerprint()}")
+
+
+def _prune_legacy(root: str) -> None:
+    """Delete poisoned legacy cache layouts: (a) pre-partitioning flat
+    entries at the root, (b) v1 ``h-*`` dirs keyed on the sandbox's
+    masked /proc/cpuinfo — identical across different physical hosts,
+    so those dirs mix machines (the round-2 cpu_aot_loader failure)."""
+    import shutil
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    pruned = 0
+    for name in names:
+        p = os.path.join(root, name)
+        try:
+            if os.path.isfile(p) and name.endswith("-cache"):
+                os.remove(p)
+                pruned += 1
+            elif os.path.isdir(p) and name.startswith("h-"):
+                shutil.rmtree(p)
+                pruned += 1
+        except OSError:
+            pass
+    if pruned:
+        print(f"[compile_cache] pruned {pruned} legacy cache "
+              f"entries/dirs from {root}", file=sys.stderr, flush=True)
+
+
+def setup(platform_hint: str, root: str | None = None) -> str:
+    """Point JAX's persistent cache at the partitioned directory.
+
+    Must run before the first compilation (import-time in entry
+    scripts). Returns the directory used.
+    """
+    import jax
+
+    root = root or os.path.join(_REPO_ROOT, ".jax_cache")
+    d = cache_dir(platform_hint, root)
+    os.makedirs(d, exist_ok=True)
+    _prune_legacy(root)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if ("pytest" not in sys.modules
+            and os.environ.get("NEURONS_TPU_FILTER_AOT_NOISE") != "0"
+            and not getattr(setup, "_filter_installed", False)):
+        setup._filter_installed = True
+        install_spurious_aot_error_filter()
+    return d
+
+
+_AOT_NOISE_MARKERS = ("cpu_aot_loader.cc",
+                      "Machine type used for XLA:CPU compilation")
+_aot_noise_count = [0]
+
+
+def install_spurious_aot_error_filter() -> None:
+    """Filter the KNOWN-SPURIOUS ``cpu_aot_loader.cc`` E-logs off fd 2.
+
+    Upstream XLA bug (jaxlib 0.9.0): persistent-cache CPU AOT entries
+    compiled on THIS VERY machine fail the loader's feature check,
+    because compile-time LLVM *tuning* flags (``+prefer-no-scatter``,
+    ``+prefer-no-gather`` — model-based, added for this Xeon) are not in
+    the loader's host-feature probe.  Proven by isolation: fresh cache
+    dir, same process rerun, same machine -> 2 multi-KB error lines per
+    loaded entry; the load still succeeds (warm runs are measurably
+    faster) and ``--xla_cpu_max_isa`` does not remove the tuning flags.
+    Round 2's driver logs were drowned in these (misdiagnosed there as
+    cross-machine poisoning; the cross-machine case is now truly fixed
+    by the CPUID-partitioned cache dirs).
+
+    Installs a pipe over fd 2 with a reader thread that drops exactly
+    the lines carrying both markers above and forwards everything else
+    unchanged; at exit, one summary line reports the suppressed count.
+    Entry scripts (dryrun, bench, CLI) call this; pytest manages its own
+    capture, so `setup()` skips it when pytest is loaded.
+    """
+    import atexit
+    import threading
+
+    real = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+    sys.stderr = os.fdopen(os.dup(2), "w", buffering=1,
+                           errors="backslashreplace")
+
+    def pump():
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(r, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            for ln in lines:
+                if all(m.encode() in ln for m in _AOT_NOISE_MARKERS):
+                    _aot_noise_count[0] += 1
+                else:
+                    os.write(real, ln + b"\n")
+        if buf and not all(m.encode() in buf for m in _AOT_NOISE_MARKERS):
+            os.write(real, buf)
+
+    t = threading.Thread(target=pump, daemon=True, name="aot-noise-filter")
+    t.start()
+
+    filtered_stderr = sys.stderr
+
+    def shutdown():
+        # drain-then-restore: route fd 2 back to the real stderr, close
+        # every write end of the pipe so the pump sees EOF and flushes
+        # its carry, then report.
+        try:
+            filtered_stderr.flush()
+        except Exception:
+            pass
+        os.dup2(real, 2)
+        if sys.stderr is filtered_stderr:
+            sys.stderr = os.fdopen(os.dup(real), "w", buffering=1,
+                                   errors="backslashreplace")
+        try:
+            filtered_stderr.close()
+        except Exception:
+            pass
+        t.join(timeout=5)
+        if _aot_noise_count[0]:
+            os.write(real, (
+                f"[compile_cache] suppressed {_aot_noise_count[0]} spurious "
+                "cpu_aot_loader machine-feature errors (upstream XLA bug — "
+                "same-machine tuning-flag mismatch; loads succeeded; see "
+                "neurons_tpu/utils/compile_cache.py)\n").encode())
+
+    atexit.register(shutdown)
+
+
+@contextlib.contextmanager
+def no_persistence():
+    """Suspend persistent-cache reads/writes (e.g. around CPU-backend
+    parameter init inside a TPU process, so host-dependent CPU AOT
+    entries never land in the shared tpu cache dir)."""
+    import jax
+
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)

@@ -29,10 +29,20 @@ assert jax.devices()[0].platform == "cpu" or \
         "initialized before conftest could force it")
 
 # Persistent compilation cache: XLA compiles block on a slow path in this
-# environment (~10-60 s wall each), so cache aggressively across runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# environment (~10-60 s wall each), so cache aggressively across runs —
+# in the host-partitioned dir (see neurons_tpu/utils/compile_cache.py).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neurons_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.setup("cpu")
+
+# Tests are synthetic by definition: permit the byte-level tokenizer
+# stand-in (real runs hard-error without the CLIP BPE asset — see
+# neurons_tpu/data/clip_tokenizer.py).
+os.environ.setdefault("NEURONS_TPU_ALLOW_BYTE_TOKENIZER", "1")
 
 import pytest  # noqa: E402
 

@@ -112,7 +112,10 @@ class TestCaptionEmbeds:
         assert out.shape == (5, 8)
         got_caps = torch.load(tmp_path / "GT_test_caption_qwen.pt",
                               weights_only=False)
-        assert got_caps == caps
+        # numpy string array, matching the reference's np.hstack dialect
+        assert isinstance(got_caps, np.ndarray)
+        assert got_caps.shape == (5,)
+        assert list(got_caps) == caps
         emb = torch.load(tmp_path / "GT_test_caption_qwen_emb.pt",
                          weights_only=False)
         assert emb.dtype == torch.float32

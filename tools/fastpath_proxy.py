@@ -21,11 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(
-                      os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from neurons_tpu.utils import compile_cache  # noqa: E402
+compile_cache.setup("tpu")
 # the axon plugin re-pins JAX_PLATFORMS at interpreter startup; force the
 # requested platform through jax.config (wins until backend init)
 if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):

@@ -20,6 +20,7 @@ matmuls unless the carry chain is unfoldable, and trace device-time for
 while-body ops is not per-iteration — trust only the chained-square
 wall numbers above (REPS matmuls inside ONE jit, scalar-materialized).
 """
+import os
 import sys
 import time
 from functools import partial
@@ -28,8 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neurons_tpu.utils import compile_cache  # noqa: E402
+compile_cache.setup("tpu")
 
 SHAPES = [
     (1152, 1280, 5120),

@@ -21,8 +21,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from neurons_tpu.utils import compile_cache
+compile_cache.setup("tpu")
 jax.config.update("jax_default_matmul_precision", "bfloat16")
 import jax.numpy as jnp
 

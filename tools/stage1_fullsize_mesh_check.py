@@ -26,11 +26,8 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(
-                      os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from neurons_tpu.utils import compile_cache  # noqa: E402
+compile_cache.setup("cpu")
 
 import jax.numpy as jnp
 import numpy as np

@@ -82,19 +82,41 @@ def _cast_f32(tree):
 
 
 def _init_bf16(init_fn, *args):
-    """Initialize parameters on the CPU backend, cast to bf16, then move
-    to the accelerator: full-size f32 init trees (the 2.2B-param Neurons
-    ensemble alone is ~9 GB f32) would otherwise transiently double HBM
-    use next to their bf16 copies."""
-    cpus = jax.devices("cpu")
-    # no_persistence: CPU-backend init compiles are host-featured AOT code
-    # and must not land in the shared tpu cache dir (compile_cache docs)
-    with compile_cache.no_persistence(), jax.default_device(cpus[0]):
-        tree = _cast(init_fn(*args))
-    dev = jax.devices()[0]
-    if dev.platform == "cpu":
-        return tree
-    return jax.device_put(tree, dev)
+    """Abstract init + host-side numpy fill, no XLA involved.
+
+    `jax.eval_shape` traces the flax init into a shape tree without
+    compiling or materializing anything; each leaf is then filled with
+    numpy randomness at flax-like scales (normal/sqrt(fan_in) kernels,
+    zero biases, unit norm scales, 0.02-std embeddings) directly in
+    bf16, and device_put once.  The previous real flax init compiled
+    multi-minute XLA:CPU programs per model on a 1-core host — the
+    dominant cold-start cost of this bench (~10 min before the first
+    heartbeat moved).  Values only need plausible-scale randomness: the
+    bench measures sampling compute, activations must stay finite
+    (asserted per run), and compiled graphs key on shapes, not values."""
+    import ml_dtypes
+
+    shapes = jax.eval_shape(init_fn, *args)
+    rng = np.random.default_rng(0)
+
+    def fill(path, sd):
+        name = str(getattr(path[-1], "key", path[-1])) if path else ""
+        if not jnp.issubdtype(sd.dtype, jnp.floating):
+            return np.zeros(sd.shape, sd.dtype)
+        if name == "bias" or sd.ndim <= 1 and name != "scale":
+            arr = np.zeros(sd.shape, np.float32)
+        elif name == "scale" or sd.ndim == 0:
+            arr = np.ones(sd.shape, np.float32)
+        elif name == "embedding":
+            arr = rng.standard_normal(sd.shape, np.float32) * 0.02
+        else:  # dense/conv kernels: lecun-normal-like scale
+            fan_in = max(1, int(np.prod(sd.shape[:-1])))
+            arr = rng.standard_normal(sd.shape, np.float32) \
+                * (1.0 / np.sqrt(fan_in))
+        return arr.astype(ml_dtypes.bfloat16)
+
+    tree = jax.tree_util.tree_map_with_path(fill, shapes)
+    return jax.device_put(tree, jax.devices()[0])
 
 
 def build():

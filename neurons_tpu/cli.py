@@ -42,6 +42,10 @@ def _add_common(p):
                    help="capture a jax.profiler trace of the stage to DIR")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (numerical sanitizer)")
+    p.add_argument("--n_test", type=int, default=0,
+                   help="cap the number of test clips stages 3/5/6 "
+                        "process (0 = 4 with --synthetic, else the full "
+                        "test split — 1200 on CC2017)")
 
 
 def _add_train_args(p):
@@ -103,8 +107,20 @@ def _configs(args, stage2: bool = False):
         neurons_decoupler=stage2, n_frames=args.n_frames, seed=args.seed,
         ckpt_saving=args.ckpt_saving,
         num_train_samples=32 if args.synthetic else 4320,
-        num_test_samples=16 if args.synthetic else 1200)
+        num_test_samples=(max(16, getattr(args, "n_test", 0))
+                          if args.synthetic else 1200))
     return bcfg, pcfg, dcfg, tcfg
+
+
+def _test_clip_count(args, available: int) -> int:
+    """How many test clips a generation stage should process: --n_test
+    when given; otherwise 4 in synthetic smoke mode (random weights make
+    more clips pure waste) or the whole split (the reference's 1200-clip
+    contract, run_metrics.py:36-47)."""
+    n = getattr(args, "n_test", 0)
+    if not n:
+        n = 4 if (args.synthetic or args.tiny) else available
+    return max(1, min(n, available))
 
 
 def _warm_start_overlay(args, bcfg):
@@ -354,57 +370,88 @@ def cmd_recon(args):
             size=(dcfg.num_classes, dcfg.clip_txt_emb_dim)
         ).astype(np.float32))
 
-    bs = 4 if (args.tiny or args.synthetic) else args.batch_size
-    voxel = jnp.asarray(test_split.voxel[:bs, :1], jnp.float32)
-    out = reconstruct_keyframes(
-        decoupler_apply=dec_apply, decoupler_params=dec_params,
-        unet_apply=lambda p, x, t, ca, v, **kw: unet.apply(
-            {"params": p}, x, t, ca, v, **kw),
-        unet_params=unet_params,
-        vae_decode=lambda z: vae.apply(vae_params, z,
-                                       method=AutoencoderKL.decode),
-        key=key, voxel=voxel, class_text_embeds=class_embeds,
-        sampler_cfg=scfg, n_frames=dcfg.n_frames, latent_hw=latent_hw,
-        enhance=args.enhance, caption_len=12 if args.tiny else 60,
-        prior_bias=prior_attn_bias(dec_params["prior_net"],
-                                   pcfg.num_tokens),
-        sampler_opts=dict(
-            tgate_step=getattr(args, "tgate", 0),
-            tgate_pab=getattr(args, "tgate_pab", 0),
-            encoder_reuse=getattr(args, "encoder_reuse", 1),
-            pab=_parse_ints(getattr(args, "pab", None)),
-            pab_range=_parse_ints(getattr(args, "pab_range", None)),
-            deep_cache=getattr(args, "deep_cache", 0)))
-
-    # decode the blurry latents to pixel video — the artifact contract is
-    # pixel space (reference recon_keyframe_neurons.py:323-333 decodes
-    # before saving recon_videos.pt; stage 5 consumes pixels)
-    blurry_px = vae.apply(vae_params, jnp.asarray(out.blurry_latents),
-                          method=AutoencoderKL.decode)
-    blurry_px = jnp.clip(blurry_px / 2 + 0.5, 0.0, 1.0)
-    f = dcfg.n_frames
-    blurry_px = np.asarray(blurry_px).reshape(
-        bs, f, *blurry_px.shape[1:])
-
     from neurons_tpu.ops.resize import resize_reference
-    recons = jnp.asarray(out.keyframes)
-    if not args.tiny:
-        # reference resizes to 256 before saving (recon_keyframe
-        # _neurons.py:444-445, transforms.Resize on a tensor under
-        # torchvision 0.16 = bilinear WITHOUT antialias — ops/resize.py)
-        # and stores blurry at 224 (stage 5 reshapes recon_videos.pt as
-        # [1200*6, 3, 224, 224])
-        recons = resize_reference(recons, (256, 256))
-        if blurry_px.shape[-1] != 224:
-            blurry_px = np.asarray(resize_reference(
-                jnp.asarray(blurry_px), (224, 224)))
+
+    n_total = _test_clip_count(args, test_split.voxel.shape[0])
+    bs = 4 if (args.tiny or args.synthetic) else args.batch_size
+    bs = max(1, min(bs, n_total))
+    f = dcfg.n_frames
+    prior_bias = prior_attn_bias(dec_params["prior_net"], pcfg.num_tokens)
+
+    # ONE jitted per-batch program reused across the whole split (the
+    # reference batches stage 3 the same way: batch 20 over 1200 clips,
+    # recon_keyframe_neurons.py:350). The artifact-dialect resizes run
+    # on-device inside it; eager per-batch calls would re-trace the
+    # sampler scans every iteration.
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(4,))  # voxel buffer
+    def _run_batch(dec_p, unet_p, vae_p, k, voxel):
+        out = reconstruct_keyframes(
+            decoupler_apply=dec_apply, decoupler_params=dec_p,
+            unet_apply=lambda p, x, t, ca, v, **kw: unet.apply(
+                {"params": p}, x, t, ca, v, **kw),
+            unet_params=unet_p,
+            vae_decode=lambda z: vae.apply(vae_p, z,
+                                           method=AutoencoderKL.decode),
+            key=k, voxel=voxel, class_text_embeds=class_embeds,
+            sampler_cfg=scfg, n_frames=f, latent_hw=latent_hw,
+            enhance=args.enhance, caption_len=12 if args.tiny else 60,
+            prior_bias=prior_bias,
+            sampler_opts=dict(
+                tgate_step=getattr(args, "tgate", 0),
+                tgate_pab=getattr(args, "tgate_pab", 0),
+                encoder_reuse=getattr(args, "encoder_reuse", 1),
+                pab=_parse_ints(getattr(args, "pab", None)),
+                pab_range=_parse_ints(getattr(args, "pab_range", None)),
+                deep_cache=getattr(args, "deep_cache", 0)))
+        # blurry latents -> pixel video: the artifact contract is pixel
+        # space (reference recon_keyframe_neurons.py:323-333; stage 5
+        # consumes pixels)
+        blurry_px = vae.apply(vae_p, out.blurry_latents,
+                              method=AutoencoderKL.decode)
+        blurry_px = jnp.clip(blurry_px / 2 + 0.5, 0.0, 1.0)
+        blurry_px = blurry_px.reshape(voxel.shape[0], f,
+                                      *blurry_px.shape[1:])
+        recons = out.keyframes
+        if not args.tiny:
+            # reference resizes recons to 256 before saving (recon_
+            # keyframe_neurons.py:444-445, transforms.Resize on a tensor
+            # under torchvision 0.16 = bilinear WITHOUT antialias —
+            # ops/resize.py) and stores blurry at 224 (stage 5 reshapes
+            # recon_videos.pt as [1200*6, 3, 224, 224])
+            recons = resize_reference(recons, (256, 256))
+            if blurry_px.shape[-1] != 224:
+                blurry_px = resize_reference(blurry_px, (224, 224))
+        return recons, blurry_px, out.captions
+
+    import time as _time
+    all_recons, all_blurry, all_caps = [], [], []
+    t0 = _time.perf_counter()
+    for i in range(0, n_total, bs):
+        vox = np.asarray(test_split.voxel[i:i + bs, :1], np.float32)
+        pad = bs - vox.shape[0]
+        if pad:  # fixed shapes keep the jit cache hot on the last batch
+            vox = np.concatenate([vox, np.repeat(vox[-1:], pad, 0)])
+        recons, blurry_px, caps = _run_batch(
+            dec_params, unet_params, vae_params,
+            jax.random.fold_in(key, i), jnp.asarray(vox))
+        k = bs - pad
+        all_recons.append(np.asarray(recons)[:k])
+        all_blurry.append(np.asarray(blurry_px)[:k])
+        all_caps.extend(
+            f"tokens:{list(map(int, c[:8]))}" for c in np.asarray(caps)[:k])
+        done = min(i + bs, n_total)
+        el = _time.perf_counter() - t0
+        print(f"--- stage 3: {done}/{n_total} clips "
+              f"({el / done:.2f} s/clip) ---", flush=True)
 
     out_dir = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
     io.save_stage3_artifacts(
-        out_dir, args.subj, all_recons=np.asarray(recons),
-        all_gts=np.asarray(test_split.images[:bs, 2]),
-        captions=[f"tokens:{list(map(int, c[:8]))}" for c in out.captions],
-        blurry_videos=blurry_px)
+        out_dir, args.subj, all_recons=np.concatenate(all_recons, 0),
+        all_gts=np.asarray(test_split.images[:n_total, 2]),
+        captions=all_caps,
+        blurry_videos=np.concatenate(all_blurry, 0))
     print(f"=== stage 3 finished -> {out_dir} ===")
 
 
@@ -569,6 +616,8 @@ def cmd_video(args):
         sel = np.arange(shard, len(art["all_recons"]), num_shards)
         if args.tiny:
             sel = sel[:2]
+        elif getattr(args, "n_test", 0):
+            sel = sel[:args.n_test]
         keyframes = jnp.asarray(art["all_recons"][sel], jnp.float32)
         # GT video source preference: the dataset's GT_test_3fps.pt
         # (what the reference composites into the GIFs,
@@ -655,49 +704,78 @@ def cmd_video(args):
                                           ctx0.shape[1], ctx_dim)) * 0.1,
                            jnp.float32)
 
-    out = reconstruct_video(
-        unet3d_apply=lambda p, x, t, c, d, m, **kw: unet.apply(
-            {"params": p}, x, t, c, d, m, **kw),
-        unet3d_params=uparams,
-        controlnet_apply=lambda p, x, t, c, cond, mask, s: cn.apply(
-            {"params": p}, x, t, c, cond, mask, s),
-        controlnet_params=cparams,
-        vae_encode_mode=lambda x: vae.apply(
-            vparams, x, method=AutoencoderKL.encode).mode(),
-        vae_decode=lambda z: vae.apply(vparams, z,
-                                       method=AutoencoderKL.decode),
-        key=key, blurry_video=blurry, keyframe=keyframes,
-        text_embeddings=text, uncond_embeddings=jnp.zeros_like(text),
-        num_steps=steps, n_frames=n_frames,
-        tgate_step=getattr(args, "tgate", 0),
-        tgate_pab=getattr(args, "tgate_pab", 0),
-        encoder_reuse=getattr(args, "encoder_reuse", 1),
-        pab=_parse_ints(getattr(args, "pab", None)),
-        pab_range=_parse_ints(getattr(args, "pab_range", None)))
+    # ONE jitted per-batch denoise program, looped over the clip set.
+    # Per-clip compute already saturates the chip (CLAUDE.md: batch 2
+    # measured 9.6 s/clip vs 5.75 at batch 1), so full-size default is
+    # batch 1; smoke modes batch 2 (matches the tiny artifact count).
+    import functools
+    import time as _time
+
+    @functools.partial(jax.jit, donate_argnums=(4, 5))
+    def _run_batch(up, cp, vp, k, blur, kf, txt):
+        out = reconstruct_video(
+            unet3d_apply=lambda p, x, t, c, d, m, **kw: unet.apply(
+                {"params": p}, x, t, c, d, m, **kw),
+            unet3d_params=up,
+            controlnet_apply=lambda p, x, t, c, cond, mask, s: cn.apply(
+                {"params": p}, x, t, c, cond, mask, s),
+            controlnet_params=cp,
+            vae_encode_mode=lambda x: vae.apply(
+                vp, x, method=AutoencoderKL.encode).mode(),
+            vae_decode=lambda z: vae.apply(vp, z,
+                                           method=AutoencoderKL.decode),
+            key=k, blurry_video=blur, keyframe=kf,
+            text_embeddings=txt, uncond_embeddings=jnp.zeros_like(txt),
+            num_steps=steps, n_frames=n_frames,
+            tgate_step=getattr(args, "tgate", 0),
+            tgate_pab=getattr(args, "tgate_pab", 0),
+            encoder_reuse=getattr(args, "encoder_reuse", 1),
+            pab=_parse_ints(getattr(args, "pab", None)),
+            pab_range=_parse_ints(getattr(args, "pab_range", None)))
+        return out.video
 
     mode = "enhance" if args.enhance else "motion"
     out_dir = io.video_dir(args.exp_dir, args.exp, args.subj, mode)
     os.makedirs(out_dir, exist_ok=True)
-    video = np.asarray(out.video)
-    for i in range(video.shape[0]):
-        gt_i = np.asarray(gts[i])[:video.shape[1]]
-        if gt_i.shape[0] < video.shape[1]:
-            reps = -(-video.shape[1] // gt_i.shape[0])
-            gt_i = np.tile(gt_i, (reps, 1, 1, 1))[:video.shape[1]]
-        gt_i = np.asarray(jax.image.resize(
-            jnp.asarray(gt_i), (video.shape[1], 3, video.shape[3],
-                                video.shape[4]), "linear"))
-        side = np.concatenate([gt_i[None], video[i][None]], axis=-1)
-        org_idx = int(sel[i]) if i < len(sel) else i
-        # the reference's artifact-naming dialect: {org_idx}-{prompt}.gif
-        # with the prompt dash-joined after dropping '/'
-        # (scripts/neuroclips_video.py:318-327)
-        prompt = ""
-        if len(captions) > org_idx:
-            prompt = str(captions[org_idx])
-        prompt = "-".join(prompt.replace("/", "").split(" "))
-        io.save_video_grid(side, os.path.join(out_dir,
-                                              f"{org_idx}-{prompt}.gif"))
+    n_sel = int(keyframes.shape[0])
+    vb = 2 if (args.tiny or args.synthetic) else 1
+    vb = max(1, min(vb, n_sel))
+    gts = np.asarray(gts)
+    t0 = _time.perf_counter()
+    for i in range(0, n_sel, vb):
+        sl = slice(i, i + vb)
+        blur_b, kf_b, txt_b = blurry[sl], keyframes[sl], text[sl]
+        pad = vb - kf_b.shape[0]
+        if pad:  # fixed shapes keep the jit cache hot on the last batch
+            rep = lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, 0)], 0)
+            blur_b, kf_b, txt_b = rep(blur_b), rep(kf_b), rep(txt_b)
+        video = np.asarray(_run_batch(uparams, cparams, vparams,
+                                      jax.random.fold_in(key, i),
+                                      blur_b, kf_b, txt_b))[:vb - pad]
+        for j in range(video.shape[0]):
+            gt_i = gts[min(i + j, len(gts) - 1)][:video.shape[1]]
+            if gt_i.shape[0] < video.shape[1]:
+                reps = -(-video.shape[1] // gt_i.shape[0])
+                gt_i = np.tile(gt_i, (reps, 1, 1, 1))[:video.shape[1]]
+            gt_i = np.asarray(jax.image.resize(
+                jnp.asarray(gt_i), (video.shape[1], 3, video.shape[3],
+                                    video.shape[4]), "linear"))
+            side = np.concatenate([gt_i[None], video[j][None]], axis=-1)
+            org_idx = int(sel[i + j]) if i + j < len(sel) else i + j
+            # the reference's artifact-naming dialect:
+            # {org_idx}-{prompt}.gif with the prompt dash-joined after
+            # dropping '/' (scripts/neuroclips_video.py:318-327)
+            prompt = ""
+            if len(captions) > org_idx:
+                prompt = str(captions[org_idx])
+            prompt = "-".join(prompt.replace("/", "").split(" "))
+            io.save_video_grid(side, os.path.join(
+                out_dir, f"{org_idx}-{prompt}.gif"))
+        done = min(i + vb, n_sel)
+        el = _time.perf_counter() - t0
+        print(f"--- stage 5: {done}/{n_sel} clips "
+              f"({el / done:.2f} s/clip) ---", flush=True)
     print(f"=== stage 5 finished -> {out_dir} ===")
 
 
@@ -885,9 +963,29 @@ def cmd_pipeline(args):
     for s in args.stages:
         if s not in stage_map:
             raise SystemExit(f"unknown stage '{s}' (use 12345e6)")
+    import time
+    rows = []
     for s in args.stages:
         print(f"=== pipeline: stage {s} ===")
+        t0 = time.perf_counter()
         stage_map[s](args)
+        row = {"stage": s, "seconds": round(time.perf_counter() - t0, 2)}
+        try:  # allocator peak is per-process-monotonic; still diagnostic
+            import jax
+            ms = jax.local_devices()[0].memory_stats() or {}
+            if "peak_bytes_in_use" in ms:
+                row["peak_hbm_gb"] = round(
+                    ms["peak_bytes_in_use"] / 2 ** 30, 3)
+        except Exception:
+            pass
+        rows.append(row)
+        print(f"=== pipeline: stage {s} done in {row['seconds']}s"
+              + (f", peak HBM {row['peak_hbm_gb']} GB"
+                 if "peak_hbm_gb" in row else "") + " ===", flush=True)
+    report = os.environ.get("NEURONS_TPU_PIPELINE_REPORT")
+    if report:  # machine-readable per-stage report (tools/e2e_drive.py)
+        with open(report, "w") as fh:
+            json.dump(rows, fh, indent=1)
 
 
 def cmd_serve(args):

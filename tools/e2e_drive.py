@@ -1,0 +1,93 @@
+"""Production-scale end-to-end drive: N clips voxel -> GIF -> metrics.
+
+bench.py times one clip through the fused stage-3+5 compute graphs; this
+drives the actual CLI pipeline (stages 3 -> 4 -> 5 -> 6) at FULL model
+size over a real clip set, exercising the artifact IO contract the
+reference runs at 1200 clips (run_metrics.py:36-47): stage-3 .pt bundles
+(recon/blurry/caption dialects), BLIP-2 captioning over the saved
+recons, per-clip GIF encoding through the native C++ codec, and the
+stage-6 metric runner over the GIF directory.
+
+Records per-stage wall time + peak HBM (via the in-process pipeline
+report), clips/hour, and total artifact bytes; writes E2E_r{N}.json.
+
+Run ON THE TPU from /root/repo (no PYTHONPATH — axon plugin discovery):
+    python tools/e2e_drive.py --n_test 50
+Weights are synthetic (zero egress: the released ckpts are unfetchable),
+so METRIC VALUES are meaningless; the throughput/IO/memory numbers and
+the artifact contract are what this measures.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def dir_bytes(path):
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_test", type=int, default=50)
+    ap.add_argument("--exp_dir", type=str, default="/tmp/e2e_drive")
+    ap.add_argument("--stages", type=str, default="3456")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force jax platform (default: ambient = TPU)")
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(_REPO, "E2E_r03.json"))
+    args = ap.parse_args()
+
+    report_path = os.path.join(args.exp_dir, "pipeline_report.json")
+    os.makedirs(args.exp_dir, exist_ok=True)
+    os.environ["NEURONS_TPU_PIPELINE_REPORT"] = report_path
+
+    from neurons_tpu import cli
+
+    argv = ["pipeline", args.stages, "--synthetic",
+            "--exp_dir", args.exp_dir, "--n_test", str(args.n_test)]
+    if args.platform:
+        argv += ["--platform", args.platform]
+    t0 = time.perf_counter()
+    cli.main(argv)
+    wall = time.perf_counter() - t0
+
+    rows = json.load(open(report_path))
+    gen_secs = sum(r["seconds"] for r in rows if r["stage"] in "345")
+    doc = {
+        "n_clips": args.n_test,
+        "stages": args.stages,
+        "total_wall_s": round(wall, 1),
+        "per_stage": rows,
+        "clips_per_hour_gen": round(args.n_test / gen_secs * 3600, 1)
+        if gen_secs else None,
+        "sec_per_clip_gen": round(gen_secs / args.n_test, 3)
+        if gen_secs else None,
+        "peak_hbm_gb": max((r.get("peak_hbm_gb", 0) for r in rows),
+                           default=None),
+        "artifact_bytes": dir_bytes(args.exp_dir),
+        "weights": "synthetic (zero egress; throughput/IO contract run, "
+                   "not a quality run)",
+    }
+    import jax
+    doc["platform"] = jax.devices()[0].platform
+    with open(args.out, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc, indent=1))
+    print(f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -82,41 +82,11 @@ def _cast_f32(tree):
 
 
 def _init_bf16(init_fn, *args):
-    """Abstract init + host-side numpy fill, no XLA involved.
-
-    `jax.eval_shape` traces the flax init into a shape tree without
-    compiling or materializing anything; each leaf is then filled with
-    numpy randomness at flax-like scales (normal/sqrt(fan_in) kernels,
-    zero biases, unit norm scales, 0.02-std embeddings) directly in
-    bf16, and device_put once.  The previous real flax init compiled
-    multi-minute XLA:CPU programs per model on a 1-core host — the
-    dominant cold-start cost of this bench (~10 min before the first
-    heartbeat moved).  Values only need plausible-scale randomness: the
-    bench measures sampling compute, activations must stay finite
-    (asserted per run), and compiled graphs key on shapes, not values."""
-    import ml_dtypes
-
-    shapes = jax.eval_shape(init_fn, *args)
-    rng = np.random.default_rng(0)
-
-    def fill(path, sd):
-        name = str(getattr(path[-1], "key", path[-1])) if path else ""
-        if not jnp.issubdtype(sd.dtype, jnp.floating):
-            return np.zeros(sd.shape, sd.dtype)
-        if name == "bias" or sd.ndim <= 1 and name != "scale":
-            arr = np.zeros(sd.shape, np.float32)
-        elif name == "scale" or sd.ndim == 0:
-            arr = np.ones(sd.shape, np.float32)
-        elif name == "embedding":
-            arr = rng.standard_normal(sd.shape, np.float32) * 0.02
-        else:  # dense/conv kernels: lecun-normal-like scale
-            fan_in = max(1, int(np.prod(sd.shape[:-1])))
-            arr = rng.standard_normal(sd.shape, np.float32) \
-                * (1.0 / np.sqrt(fan_in))
-        return arr.astype(ml_dtypes.bfloat16)
-
-    tree = jax.tree_util.tree_map_with_path(fill, shapes)
-    return jax.device_put(tree, jax.devices()[0])
+    """Abstract init + host-side numpy fill, no XLA involved — the real
+    flax init compiled multi-minute XLA:CPU programs per model (the
+    dominant cold-start cost of this bench). See utils/synth_init.py."""
+    from neurons_tpu.utils.synth_init import synth_params
+    return synth_params(init_fn, *args, dtype=DTYPE, note=note)
 
 
 def build():

@@ -326,7 +326,18 @@ def cmd_recon(args):
     key = jax.random.PRNGKey(args.seed)
     model = NeuronsDecoupler(bcfg, pcfg, dcfg, gcfg)
     voxel0 = jnp.zeros((1, 1, bcfg.voxel_counts[0]))
-    dec_params = model.init(key, voxel0, jnp.zeros((1, 8), jnp.int32))["params"]
+    if args.synthetic and not args.tiny:
+        # full-size synthetic: host-filled shapes, not a device init —
+        # a real init of the 2.2B ensemble compiles minutes of XLA and
+        # doubles HBM transiently (utils/synth_init.py)
+        from neurons_tpu.utils.synth_init import synth_params
+        dec_params = synth_params(
+            lambda: model.init(key, voxel0,
+                               jnp.zeros((1, 8), jnp.int32))["params"],
+            seed=args.seed)
+    else:
+        dec_params = model.init(key, voxel0,
+                                jnp.zeros((1, 8), jnp.int32))["params"]
 
     dec_params = _load_decoupler_params(args, dec_params, bcfg, pcfg, gcfg)
 
@@ -345,13 +356,24 @@ def cmd_recon(args):
         if not (args.tiny or args.synthetic):
             raise FileNotFoundError(f"{unclip_ckpt} missing")
         x0 = jnp.zeros((1, 4, latent_hw, latent_hw))
-        unet_params = unet.init(key, x0, jnp.zeros((1,)),
-                                jnp.zeros((1, bcfg.clip_seq_dim,
-                                           bcfg.clip_emb_dim)),
-                                jnp.zeros((1, ucfg.adm_in_channels))
-                                )["params"]
         img_hw = latent_hw * 2 ** (len(vcfg.block_out_channels) - 1)
-        vae_params = vae.init(key, jnp.zeros((1, 3, img_hw, img_hw)))
+
+        def _unet_init():
+            return unet.init(key, x0, jnp.zeros((1,)),
+                             jnp.zeros((1, bcfg.clip_seq_dim,
+                                        bcfg.clip_emb_dim)),
+                             jnp.zeros((1, ucfg.adm_in_channels))
+                             )["params"]
+
+        def _vae_init():
+            return vae.init(key, jnp.zeros((1, 3, img_hw, img_hw)))
+
+        if args.synthetic and not args.tiny:
+            from neurons_tpu.utils.synth_init import synth_params
+            unet_params = synth_params(_unet_init, seed=args.seed + 1)
+            vae_params = synth_params(_vae_init, seed=args.seed + 2)
+        else:
+            unet_params, vae_params = _unet_init(), _vae_init()
 
     def dec_apply(p, method, *a, **kw):
         return model.apply({"params": p}, *a, method=method, **kw)
@@ -499,8 +521,16 @@ def cmd_caption(args):
             raise FileNotFoundError(
                 f"{wfile} not found; run with --tiny/--synthetic or place "
                 "the HF blip2-opt state dict there")
-        params = model.init(key, imgs[:1],
-                            jnp.zeros((1, 2), jnp.int32))["params"]
+        if args.synthetic and not args.tiny:
+            # 3.74B params: host-filled, never a 15 GB f32 device init
+            from neurons_tpu.utils.synth_init import synth_params
+            params = synth_params(
+                lambda: model.init(key, imgs[:1],
+                                   jnp.zeros((1, 2), jnp.int32))["params"],
+                seed=args.seed)
+        else:
+            params = model.init(key, imgs[:1],
+                                jnp.zeros((1, 2), jnp.int32))["params"]
 
     max_len = 8 if args.tiny else 30
     gen = jax.jit(lambda p, x: model.apply({"params": p}, x, max_len=max_len,
@@ -595,12 +625,31 @@ def cmd_video(args):
     else:
         if not (args.tiny or args.synthetic):
             raise FileNotFoundError(f"{mm_path} missing")
-        uparams = unet.init(key, x0, jnp.zeros((1,)), ctx0)["params"]
-        cparams = cn.init(key, x0, jnp.zeros((1,)), ctx0,
-                          jnp.zeros((1, 4, n_frames, lat_hw, lat_hw)),
-                          jnp.zeros((1, 1, n_frames, lat_hw, lat_hw))
-                          )["params"]
-        vparams = vae.init(key, jnp.zeros((1, 3, hw, hw)))
+
+        def _u_init():
+            return unet.init(key, x0, jnp.zeros((1,)), ctx0)["params"]
+
+        def _c_init():
+            return cn.init(key, x0, jnp.zeros((1,)), ctx0,
+                           jnp.zeros((1, 4, n_frames, lat_hw, lat_hw)),
+                           jnp.zeros((1, 1, n_frames, lat_hw, lat_hw))
+                           )["params"]
+
+        def _v_init():
+            return vae.init(key, jnp.zeros((1, 3, hw, hw)))
+
+        if args.synthetic and not args.tiny:
+            # host-filled shapes (utils/synth_init.py); NOTE: this also
+            # randomizes the module's zero-init conv_out / motion
+            # proj_out heads, which is what a synthetic DRIVE wants — a
+            # zero-eps UNet3D makes the sampler comparison vacuous
+            # (verify-skill gotcha)
+            from neurons_tpu.utils.synth_init import synth_params
+            uparams = synth_params(_u_init, seed=args.seed + 3)
+            cparams = synth_params(_c_init, seed=args.seed + 4)
+            vparams = synth_params(_v_init, seed=args.seed + 5)
+        else:
+            uparams, cparams, vparams = _u_init(), _c_init(), _v_init()
 
     # stage-3 artifacts (blurry videos + keyframes); synthetic fallback
     st3 = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)

@@ -802,6 +802,11 @@ def cmd_video(args):
         video = np.asarray(_run_batch(uparams, cparams, vparams,
                                       jax.random.fold_in(key, i),
                                       blur_b, kf_b, txt_b))[:vb - pad]
+        if not args.tiny:
+            # the reference's saved-GIF frame dialect: drop the first 4
+            # frames, then every other — 16 -> 6 frames, matching the
+            # 6-frame 3fps GT row (scripts/neuroclips_video.py:43-45,325)
+            video = video[:, 4:][:, ::2]
         for j in range(video.shape[0]):
             gt_i = gts[min(i + j, len(gts) - 1)][:video.shape[1]]
             if gt_i.shape[0] < video.shape[1]:

@@ -46,6 +46,14 @@ def _add_common(p):
                    help="cap the number of test clips stages 3/5/6 "
                         "process (0 = 4 with --synthetic, else the full "
                         "test split — 1200 on CC2017)")
+    p.add_argument("--dtype", type=str, default=None,
+                   choices=["bf16", "f32"],
+                   help="module compute dtype for generation stages "
+                        "(sampler math stays f32). Default: bf16 at "
+                        "full size — the reference serves stage 5 under "
+                        "fp16 autocast, and f32 activations blow the "
+                        "16 GB v5e HBM at production batch sizes — and "
+                        "f32 with --tiny")
 
 
 def _add_train_args(p):
@@ -110,6 +118,56 @@ def _configs(args, stage2: bool = False):
         num_test_samples=(max(16, getattr(args, "n_test", 0))
                           if args.synthetic else 1200))
     return bcfg, pcfg, dcfg, tcfg
+
+
+def _stage_dtype(args):
+    """Module compute dtype for the generation stages (see --dtype)."""
+    import jax.numpy as jnp
+    name = getattr(args, "dtype", None) or (
+        "f32" if args.tiny else "bf16")
+    return jnp.bfloat16 if name == "bf16" else jnp.float32
+
+
+def _boundary_casts(dt):
+    """bench.py's apply-boundary convention: module forwards run in
+    `dt`, sampler math stays f32 (cast inputs down, outputs back)."""
+    import jax.numpy as jnp
+
+    def cast_in(x):
+        return (x.astype(dt) if hasattr(x, "dtype")
+                and jnp.issubdtype(x.dtype, jnp.floating) else x)
+
+    def cast_out(x):
+        return (x.astype(jnp.float32) if hasattr(x, "dtype")
+                and jnp.issubdtype(x.dtype, jnp.floating) else x)
+
+    return cast_in, cast_out
+
+
+def _cast_host_tree(tree, dt):
+    """Cast imported host-numpy param trees to `dt` BEFORE device_put —
+    casting 2.2B-param f32 trees on a 16 GB chip would transiently hold
+    both copies."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+    import torch
+
+    if dt == jnp.float32:
+        return tree
+
+    def cast(x):
+        if not (hasattr(x, "dtype") and
+                jnp.issubdtype(np.asarray(x).dtype, jnp.floating)):
+            return x
+        if isinstance(x, np.ndarray):
+            t = torch.from_numpy(np.ascontiguousarray(x, np.float32))
+            return t.to(torch.bfloat16).view(torch.uint16).numpy() \
+                .view(ml_dtypes.bfloat16)
+        return x.astype(dt)  # already a device array
+
+    return jax.tree_util.tree_map(cast, tree)
 
 
 def _test_clip_count(args, available: int) -> int:
@@ -375,8 +433,19 @@ def cmd_recon(args):
         else:
             unet_params, vae_params = _unet_init(), _vae_init()
 
+    # module compute dtype (bf16 at full size — f32 activations at
+    # production batches exceed the 16 GB v5e HBM; sampler math f32)
+    dt = _stage_dtype(args)
+    ci, co = _boundary_casts(dt)
+    dec_params = _cast_host_tree(dec_params, dt)
+    unet_params = _cast_host_tree(unet_params, dt)
+    vae_params = _cast_host_tree(vae_params, dt)
+
     def dec_apply(p, method, *a, **kw):
-        return model.apply({"params": p}, *a, method=method, **kw)
+        a = [ci(x) for x in a]
+        kw = {kk: ci(v) for kk, v in kw.items()}
+        return jax.tree_util.tree_map(
+            co, model.apply({"params": p}, *a, method=method, **kw))
 
     # class-name CLIP text embeds: precomputed table if present
     # (neurons precompute -> class_text_embeds.npy), random in smoke mode
@@ -398,7 +467,6 @@ def cmd_recon(args):
     bs = 4 if (args.tiny or args.synthetic) else args.batch_size
     bs = max(1, min(bs, n_total))
     f = dcfg.n_frames
-    prior_bias = prior_attn_bias(dec_params["prior_net"], pcfg.num_tokens)
 
     # ONE jitted per-batch program reused across the whole split (the
     # reference batches stage 3 the same way: batch 20 over 1200 clips,
@@ -409,17 +477,28 @@ def cmd_recon(args):
 
     @functools.partial(jax.jit, donate_argnums=(4,))  # voxel buffer
     def _run_batch(dec_p, unet_p, vae_p, k, voxel):
+        def unet_apply(p, x, t, ca, v, **kw):
+            out = unet.apply({"params": p}, ci(x), t, ci(ca), ci(v),
+                             **{kk: ci(vv) for kk, vv in kw.items()})
+            return jax.tree_util.tree_map(co, out)
+
+        def vae_decode(z):
+            return co(vae.apply(vae_p, ci(z), method=AutoencoderKL.decode))
+
         out = reconstruct_keyframes(
             decoupler_apply=dec_apply, decoupler_params=dec_p,
-            unet_apply=lambda p, x, t, ca, v, **kw: unet.apply(
-                {"params": p}, x, t, ca, v, **kw),
+            unet_apply=unet_apply,
             unet_params=unet_p,
-            vae_decode=lambda z: vae.apply(vae_p, z,
-                                           method=AutoencoderKL.decode),
+            vae_decode=vae_decode,
             key=k, voxel=voxel, class_text_embeds=class_embeds,
             sampler_cfg=scfg, n_frames=f, latent_hw=latent_hw,
             enhance=args.enhance, caption_len=12 if args.tiny else 60,
-            prior_bias=prior_bias,
+            # f32 bias math on the traced params; XLA DCEs all but the
+            # bias table's cast (bench.py does the same)
+            prior_bias=prior_attn_bias(
+                jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), dec_p["prior_net"]),
+                pcfg.num_tokens).astype(dt),
             sampler_opts=dict(
                 tgate_step=getattr(args, "tgate", 0),
                 tgate_pab=getattr(args, "tgate_pab", 0),
@@ -429,9 +508,9 @@ def cmd_recon(args):
                 deep_cache=getattr(args, "deep_cache", 0)))
         # blurry latents -> pixel video: the artifact contract is pixel
         # space (reference recon_keyframe_neurons.py:323-333; stage 5
-        # consumes pixels)
-        blurry_px = vae.apply(vae_p, out.blurry_latents,
-                              method=AutoencoderKL.decode)
+        # consumes pixels). lax.map bounds the decoder peaks per frame.
+        blurry_px = jax.lax.map(lambda zi: vae_decode(zi[None])[0],
+                                out.blurry_latents)
         blurry_px = jnp.clip(blurry_px / 2 + 0.5, 0.0, 1.0)
         blurry_px = blurry_px.reshape(voxel.shape[0], f,
                                       *blurry_px.shape[1:])
@@ -651,6 +730,14 @@ def cmd_video(args):
         else:
             uparams, cparams, vparams = _u_init(), _c_init(), _v_init()
 
+    # module compute dtype (see --dtype; reference stage 5 runs fp16,
+    # scripts/neuroclips_video.py:212-215)
+    dt = _stage_dtype(args)
+    ci, co = _boundary_casts(dt)
+    uparams = _cast_host_tree(uparams, dt)
+    cparams = _cast_host_tree(cparams, dt)
+    vparams = _cast_host_tree(vparams, dt)
+
     # stage-3 artifacts (blurry videos + keyframes); synthetic fallback
     st3 = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
     g = np.random.default_rng(args.seed)
@@ -762,17 +849,24 @@ def cmd_video(args):
 
     @functools.partial(jax.jit, donate_argnums=(4, 5))
     def _run_batch(up, cp, vp, k, blur, kf, txt):
+        def u3(p, x, t, c, down, mid, **kw):
+            out = unet.apply({"params": p}, ci(x), t, ci(c), down, mid,
+                             **{kk: ci(vv) for kk, vv in kw.items()})
+            return jax.tree_util.tree_map(co, out)
+
+        def cna(p, x, t, c, cond, mask, s):
+            return cn.apply({"params": p}, ci(x), t, ci(c), ci(cond),
+                            ci(mask), s)
+
         out = reconstruct_video(
-            unet3d_apply=lambda p, x, t, c, d, m, **kw: unet.apply(
-                {"params": p}, x, t, c, d, m, **kw),
+            unet3d_apply=u3,
             unet3d_params=up,
-            controlnet_apply=lambda p, x, t, c, cond, mask, s: cn.apply(
-                {"params": p}, x, t, c, cond, mask, s),
+            controlnet_apply=cna,
             controlnet_params=cp,
-            vae_encode_mode=lambda x: vae.apply(
-                vp, x, method=AutoencoderKL.encode).mode(),
-            vae_decode=lambda z: vae.apply(vp, z,
-                                           method=AutoencoderKL.decode),
+            vae_encode_mode=lambda x: co(vae.apply(
+                vp, ci(x), method=AutoencoderKL.encode).mode()),
+            vae_decode=lambda z: co(vae.apply(
+                vp, ci(z), method=AutoencoderKL.decode)),
             key=k, blurry_video=blur, keyframe=kf,
             text_embeddings=txt, uncond_embeddings=jnp.zeros_like(txt),
             num_steps=steps, n_frames=n_frames,

@@ -207,14 +207,14 @@ class MultiQueryAttention(nn.Module):
 
         if not self.causal and (deterministic or self.dropout == 0.0):
             # dispatcher path: on TPU this takes the bias-capable whole-KV
-            # flash kernel (ops/attention.py) for the 513-token rows; K/V
-            # broadcast across heads realizes the multi-query layout
+            # flash kernel (ops/attention.py) for the 513-token rows. K/V
+            # pass UNBROADCAST as [b, 1, n+1, dh] — the kernels are
+            # multi-query-aware (the shared kv row is read via the index
+            # map; XLA fuses the broadcast on its paths), so the [b, h,
+            # n+1, dh] copy is never materialized
             from neurons_tpu.ops.attention import dot_product_attention
-            kb = jnp.broadcast_to(k[:, None],
-                                  (b, self.heads) + k.shape[1:])
-            vb = jnp.broadcast_to(v[:, None],
-                                  (b, self.heads) + v.shape[1:])
-            out = dot_product_attention(q, kb, vb, bias=attn_bias,
+            out = dot_product_attention(q, k[:, None], v[:, None],
+                                        bias=attn_bias,
                                         scale=1.0)  # q is pre-scaled
         else:
             # logits [b, h, n, n+1]; K/V broadcast across heads (multi-query)

@@ -66,8 +66,14 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """Reference attention: softmax(q k^T * scale + bias) v, fp32 softmax.
 
     q: [..., Tq, D], k/v: [..., Tk, D]; bias/mask broadcastable to
-    [..., Tq, Tk].
+    [..., Tq, Tk]. Multi-query: k/v may carry 1 where q carries H on the
+    head axis (rank 4) — the broadcast is explicit here, and XLA fuses
+    it into the einsums (no materialization).
     """
+    if (q.ndim == 4 and k.ndim == 4 and k.shape[1] == 1
+            and q.shape[1] != 1):
+        k = jnp.broadcast_to(k, q.shape[:2] + k.shape[2:])
+        v = jnp.broadcast_to(v, q.shape[:2] + v.shape[2:])
     if scale is None:
         scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("...qd,...kd->...qk", q, k,
@@ -529,6 +535,12 @@ def _flash_bwd_pallas_bias(q, k, v, bias, g, out, lse, scale, interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bh = b * h
+    # multi-query k/v [B, 1, Tk, D]: the kernel reads the SHARED kv row
+    # for every head (no broadcast materialized); dk/dv still come out
+    # per-(b, h) and are head-summed after (a tiny f32 reduction — the
+    # r2 loss was materializing + padding broadcast K/V into residuals)
+    mq = k.shape[1] == 1 and h > 1
+    h_kv = 1 if mq else h
     d_p = d if d % 8 == 0 else _round_up(d, 8)
     esize = jnp.dtype(q.dtype).itemsize
     d_v = max(d_p, 128)
@@ -577,9 +589,9 @@ def _flash_bwd_pallas_bias(q, k, v, bias, g, out, lse, scale, interpret):
     qf = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, d_p - d))
                  ).reshape(bh, tq_p, d_p)
     kf = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d))
-                 ).reshape(bh, tk_p, d_p)
+                 ).reshape(b * h_kv, tk_p, d_p)
     vf = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d))
-                 ).reshape(bh, tk_p, d_p)
+                 ).reshape(b * h_kv, tk_p, d_p)
     gf = jnp.pad(g.astype(q.dtype),
                  ((0, 0), (0, 0), (0, tq_p - tq), (0, d_p - d))
                  ).reshape(bh, tq_p, d_p)
@@ -594,8 +606,13 @@ def _flash_bwd_pallas_bias(q, k, v, bias, g, out, lse, scale, interpret):
     num_qb = tq_p // block_q
     qspec = pl.BlockSpec((None, block_q, d_p),
                          lambda gi, ri, ki, qi: (row_of(gi, ri), qi, 0))
-    kspec = pl.BlockSpec((None, block_k, d_p),
-                         lambda gi, ri, ki, qi: (row_of(gi, ri), ki, 0))
+    # k/v INPUT row: the shared kv row under multi-query, else per-head
+    kv_of = ((lambda g_, r_: row_of(g_, r_) // h) if mq else row_of)
+    kspec_in = pl.BlockSpec((None, block_k, d_p),
+                            lambda gi, ri, ki, qi: (kv_of(gi, ri), ki, 0))
+    # dk/dv OUTPUT rows stay per-(b, h); head-summed after the call
+    kspec_out = pl.BlockSpec((None, block_k, d_p),
+                             lambda gi, ri, ki, qi: (row_of(gi, ri), ki, 0))
     vecspec = pl.BlockSpec((None, block_q, 1),
                            lambda gi, ri, ki, qi: (row_of(gi, ri), qi, 0))
     dq, dk, dv, db = pl.pallas_call(
@@ -604,13 +621,13 @@ def _flash_bwd_pallas_bias(q, k, v, bias, g, out, lse, scale, interpret):
                           num_kb=num_kb, num_qb=num_qb, num_r=num_r),
         grid=(n_groups, num_r, num_kb, num_qb),
         in_specs=[
-            qspec, kspec, kspec,
+            qspec, kspec_in, kspec_in,
             pl.BlockSpec((None, block_q, block_k),
                          lambda gi, ri, ki, qi: (gi, qi, ki)),
             qspec, vecspec, vecspec,
         ],
         out_specs=[
-            qspec, kspec, kspec,
+            qspec, kspec_out, kspec_out,
             pl.BlockSpec((None, block_q, block_k),
                          lambda gi, ri, ki, qi: (gi, qi, ki)),
         ],
@@ -630,8 +647,13 @@ def _flash_bwd_pallas_bias(q, k, v, bias, g, out, lse, scale, interpret):
     )(qf, kf, vf, biasf, gf, lsef, delta)
 
     dq = dq.reshape(b, h, tq_p, d_p)[:, :, :tq, :d].astype(q.dtype)
-    dk = dk.reshape(b, h, tk_p, d_p)[:, :, :tk, :d].astype(k.dtype)
-    dv = dv.reshape(b, h, tk_p, d_p)[:, :, :tk, :d].astype(v.dtype)
+    dk = dk.reshape(b, h, tk_p, d_p)[:, :, :tk, :d]
+    dv = dv.reshape(b, h, tk_p, d_p)[:, :, :tk, :d]
+    if mq:  # grad of the head share: f32 sum over heads
+        dk = dk.astype(jnp.float32).sum(axis=1, keepdims=True)
+        dv = dv.astype(jnp.float32).sum(axis=1, keepdims=True)
+    dk = dk.astype(k.dtype)
+    dv = dv.astype(v.dtype)
     db = db[:, :tq, :tk].reshape(bias4.shape[:2] + (tq, tk))
     db = db.reshape(bias.shape).astype(bias.dtype)
     return dq, dk, dv, db
@@ -643,7 +665,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: Optional[float] = None,
                     block_q: int = 256, block_k: int = 256,
                     interpret: bool = False) -> jax.Array:
-    """Pallas flash attention. q: [B, H, Tq, D], k/v: [B, H, Tk, D].
+    """Pallas flash attention. q: [B, H, Tq, D], k/v: [B, H, Tk, D] —
+    or multi-query [B, 1, Tk, D] shared across q's heads (the prior's
+    layout): the kernels read the shared kv row through the BlockSpec
+    index map, never materializing the broadcast, and dk/dv come back
+    head-summed at [B, 1, Tk, D].
 
     `bias` is an optional additive attention bias broadcastable to
     [B, H, Tq, Tk] (accepted as [Tq, Tk] / [H, Tq, Tk] / [B, H, Tq, Tk]) —
@@ -693,14 +719,34 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
         else:
             scale_ = scale
         if bias is not None:
+            # natively multi-query-aware (reads the shared kv row,
+            # head-sums dk/dv)
             rb = _flash_bwd_pallas_bias(q, k, v, bias, g, out, lse,
                                         scale_, interpret)
             if rb is not None:
                 return rb
-        else:
-            r = _flash_bwd_pallas(q, k, v, g, out, lse, scale_, interpret)
-            if r is not None:
-                return (*r, None)
+    # the remaining paths are dense: realize the multi-query broadcast
+    # (XLA fuses it into the einsums) and head-sum dk/dv at the end
+    mq_shape = None
+    if k.ndim == 4 and k.shape[1] == 1 and q.shape[1] != 1:
+        mq_shape = k.shape
+        k = jnp.broadcast_to(k, q.shape[:2] + k.shape[2:])
+        v = jnp.broadcast_to(v, q.shape[:2] + v.shape[2:])
+
+    def _mq_reduce(dk, dv):
+        if mq_shape is None:
+            return dk, dv
+        return (dk.astype(jnp.float32).sum(axis=1, keepdims=True)
+                .astype(dk.dtype),
+                dv.astype(jnp.float32).sum(axis=1, keepdims=True)
+                .astype(dv.dtype))
+
+    if lse is not None and bias is None:
+        r = _flash_bwd_pallas(q, k, v, g, out, lse, scale_, interpret)
+        if r is not None:
+            dq, dk, dv = r
+            dk, dv = _mq_reduce(dk, dv)
+            return (dq, dk, dv, None)
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, tq, d_ = q.shape
@@ -782,10 +828,9 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
         dbias = (db_chunks.transpose(perm)
                  .reshape(lead + (tq_p, tk))[..., :tq, :]
                  .astype(bias.dtype))
+    dk, dv = _mq_reduce(dk.reshape(k.shape), dv.reshape(v.shape))
     return (dq.reshape(q.shape).astype(q.dtype),
-            dk.reshape(k.shape).astype(k.dtype),
-            dv.reshape(v.shape).astype(v.dtype),
-            dbias)
+            dk.astype(k.dtype), dv.astype(v.dtype), dbias)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -814,6 +859,10 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
         scale = q.shape[-1] ** -0.5
     b, h, tq, d = q.shape
     tk = k.shape[2]
+    # multi-query: k/v [B, 1, Tk, D] shared across q's H heads (the
+    # prior's layout). The kernels read the shared row via the BlockSpec
+    # index map — no [B, H, Tk, D] broadcast is ever materialized.
+    mq = k.shape[1] == 1 and h > 1
 
     # sublane-aligned head dims (64 in the unCLIP UNet, 40/80/160 in the
     # video UNet) stay unpadded: Mosaic tiles the short minor dim in VMEM
@@ -889,13 +938,16 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)
 
+    h_kv = 1 if mq else h
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, d_p - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d)))
 
     qf = qp.reshape(b * h, tq_p, d_p)
-    kf = kp.reshape(b * h, tk_p, d_p)
-    vf = vp.reshape(b * h, tk_p, d_p)
+    kf = kp.reshape(b * h_kv, tk_p, d_p)
+    vf = vp.reshape(b * h_kv, tk_p, d_p)
+    # program (b, h) -> its kv row
+    kv_of = (lambda bhid: bhid // h) if mq else (lambda bhid: bhid)
 
     num_kb = tk_p // block_k
     # whole-KV kernel while the program's footprint fits the budget;
@@ -935,8 +987,10 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
                   else _flash_kernel_smallkv)
         in_specs = [
             pl.BlockSpec((None, block_q, d_p), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((None, tk_p, d_p), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((None, tk_p, d_p), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((None, tk_p, d_p),
+                         lambda bh, qi: (kv_of(bh), 0, 0)),
+            pl.BlockSpec((None, tk_p, d_p),
+                         lambda bh, qi: (kv_of(bh), 0, 0)),
         ]
         if bias is not None:
             in_specs.append(pl.BlockSpec((None, block_q, tk_p), bmap))
@@ -984,8 +1038,8 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
         kp = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d)))
         vp = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, d_p - d)))
         qf = qp.reshape(b * h, tq_p, d_p)
-        kf = kp.reshape(b * h, tk_p, d_p)
-        vf = vp.reshape(b * h, tk_p, d_p)
+        kf = kp.reshape(b * h_kv, tk_p, d_p)
+        vf = vp.reshape(b * h_kv, tk_p, d_p)
         num_kb = tk_p // block_k
 
     grid = (b * h, tq_p // block_q, num_kb)
@@ -1006,9 +1060,9 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((None, block_q, d_p),
                          lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((None, block_k, d_p),
-                         lambda bh, qi, ki: (bh, ki, 0)),
+                         lambda bh, qi, ki: (kv_of(bh), ki, 0)),
             pl.BlockSpec((None, block_k, d_p),
-                         lambda bh, qi, ki: (bh, ki, 0)),
+                         lambda bh, qi, ki: (kv_of(bh), ki, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,

@@ -252,3 +252,119 @@ class TestFlashAttentionGrad:
         for a, b in zip(g_flash, g_xla):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=3e-4, atol=3e-5)
+
+
+class TestMultiQuery:
+    """Multi-query k/v [B, 1, Tk, D] shared across q's H heads (the
+    prior's layout): kernels read the shared kv row via the index map;
+    dk/dv return head-summed at the kv shape."""
+
+    def _mq(self, key, b, h, tq, tk, d):
+        ks = jax.random.split(key, 3)
+        q = jax.random.normal(ks[0], (b, h, tq, d))
+        k = jax.random.normal(ks[1], (b, 1, tk, d))
+        v = jax.random.normal(ks[2], (b, 1, tk, d))
+        return q, k, v
+
+    def _dense(self, q, k, v):
+        kb = jnp.broadcast_to(k, q.shape[:2] + k.shape[2:])
+        vb = jnp.broadcast_to(v, q.shape[:2] + v.shape[2:])
+        return kb, vb
+
+    def test_fwd_matches_dense_wholekv(self):
+        q, k, v = self._mq(jax.random.PRNGKey(0), 2, 4, 200, 180, 16)
+        got = flash_attention(q, k, v, interpret=True)
+        kb, vb = self._dense(q, k, v)
+        want = xla_attention(q, kb, vb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_fwd_matches_dense_streaming(self):
+        # long kv -> streaming grid; mq index map on the block axis
+        q, k, v = self._mq(jax.random.PRNGKey(1), 1, 3, 256, 3000, 16)
+        got = flash_attention(q, k, v, interpret=True)
+        kb, vb = self._dense(q, k, v)
+        want = xla_attention(q, kb, vb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_fwd_bias_matches_dense(self, monkeypatch):
+        monkeypatch.setenv("NEURONS_TPU_BIAS_FLASH", "1")
+        b, h, tq, tk, d = 2, 4, 513, 514, 52  # the prior's shape
+        q, k, v = self._mq(jax.random.PRNGKey(2), b, h, tq, tk, d)
+        bias = jax.random.normal(jax.random.PRNGKey(3), (h, tq, tk))
+        got = flash_attention(q, k, v, bias=bias, interpret=True)
+        kb, vb = self._dense(q, k, v)
+        want = xla_attention(q, kb, vb, bias=bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.parametrize("bias_shape", ["qk", "hqk", "bhqk"])
+    def test_bias_grads_match_dense(self, bias_shape):
+        """The MQ Pallas bias backward: dk/dv head-summed at [B,1,Tk,D],
+        dbias reductions across all three ranks."""
+        b, h, tq, tk, d = 2, 3, 160, 140, 16
+        q, k, v = self._mq(jax.random.PRNGKey(4), b, h, tq, tk, d)
+        shape = {"hqk": (h, tq, tk), "bhqk": (b, h, tq, tk),
+                 "qk": (tq, tk)}[bias_shape]
+        bias = jax.random.normal(jax.random.PRNGKey(5), shape)
+        w = jax.random.normal(jax.random.PRNGKey(6), (b, h, tq, d))
+
+        def loss_mq(q, k, v, bias):
+            return jnp.sum(flash_attention(q, k, v, bias=bias,
+                                           interpret=True) * w)
+
+        def loss_dense(q, k, v, bias):
+            kb, vb = self._dense(q, k, v)
+            return jnp.sum(xla_attention(q, kb, vb, bias=bias) * w)
+
+        g1 = jax.grad(loss_mq, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        assert g1[1].shape == k.shape and g1[2].shape == v.shape
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_unbiased_grads_match_dense(self):
+        """MQ through the unbiased Pallas backward (dense fallback path
+        with the head-sum reduction)."""
+        b, h, tq, tk, d = 1, 4, 130, 140, 16
+        q, k, v = self._mq(jax.random.PRNGKey(7), b, h, tq, tk, d)
+        w = jax.random.normal(jax.random.PRNGKey(8), (b, h, tq, d))
+
+        def loss_mq(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, interpret=True) * w)
+
+        def loss_dense(q, k, v):
+            kb, vb = self._dense(q, k, v)
+            return jnp.sum(xla_attention(q, kb, vb) * w)
+
+        g1 = jax.grad(loss_mq, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        assert g1[1].shape == k.shape
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_chunked_fallback_grads(self, monkeypatch):
+        """MQ through the q-chunked XLA backward (PALLAS_BWD=0)."""
+        monkeypatch.setenv("NEURONS_TPU_PALLAS_BWD", "0")
+        b, h, tq, tk, d = 1, 2, 130, 140, 16
+        q, k, v = self._mq(jax.random.PRNGKey(9), b, h, tq, tk, d)
+        bias = jax.random.normal(jax.random.PRNGKey(10), (h, tq, tk))
+        w = jax.random.normal(jax.random.PRNGKey(11), (b, h, tq, d))
+
+        def loss_mq(q, k, v, bias):
+            return jnp.sum(flash_attention(q, k, v, bias=bias,
+                                           interpret=True) * w)
+
+        def loss_dense(q, k, v, bias):
+            kb, vb = self._dense(q, k, v)
+            return jnp.sum(xla_attention(q, kb, vb, bias=bias) * w)
+
+        g1 = jax.grad(loss_mq, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        assert g1[1].shape == k.shape
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-4)

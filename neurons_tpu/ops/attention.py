@@ -880,6 +880,12 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
         rows = _round_up(tk, bk)
         est = (2 * rows * d_p * esize
                + bq * d_p * (esize + 4)
+               # pv @ v's f32 dot accumulation buffer: negligible at the
+               # UNet's d<=160 but decisive at the VAE mid-attention's
+               # d=512, where omitting it grew blocks into a 16.18M
+               # scoped-VMEM stack (16M limit; caught by the 50-clip
+               # e2e drive at [32,1024,512])
+               + bq * d_p * 4
                + bq * bk * (4 + esize))
         if bias is not None:
             est += bq * rows * jnp.dtype(bias.dtype).itemsize
@@ -900,7 +906,11 @@ def _flash_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array,
     smallkv_hint = (_round_up(tk, 128) * esize <= 4608 and
                     _vmem_est(_pick_block(tq, block_q),
                               _pick_block(tk, block_k)) <= _BUDGET)
-    if smallkv_hint:
+    if smallkv_hint and d_p <= 256:
+        # block growth is tuned for the UNets' d<=160; at the VAE
+        # mid-attention's d=512 the Mosaic stack blows the 16M scoped
+        # cap even where the estimate passes (measured 16.18M at
+        # [32,1024,512] bq=1024) — keep the 256 defaults there
         cap_q, cap_k = block_q, block_k
         while cap_q < min(tq, 2048) and _vmem_est(
                 _pick_block(tq, cap_q * 2),

@@ -120,6 +120,23 @@ def _configs(args, stage2: bool = False):
     return bcfg, pcfg, dcfg, tcfg
 
 
+# per-stage steady-state throughput, recorded by the generation loops
+# and merged into the pipeline report (tools/e2e_drive.py): the first
+# batch carries the cold compile, so cumulative s/clip alone misleads
+_STAGE_STATS: dict = {}
+
+
+def _record_steady(stage: str, t_first_batch: float, t_total: float,
+                   n_done: int, batch: int):
+    if n_done > batch:
+        steady = (t_total - t_first_batch) / (n_done - batch)
+    else:
+        steady = t_total / max(n_done, 1)
+    _STAGE_STATS[stage] = {"steady_s_per_clip": round(steady, 3),
+                           "batch": batch,
+                           "first_batch_s": round(t_first_batch, 2)}
+
+
 def _stage_dtype(args):
     """Module compute dtype for the generation stages (see --dtype)."""
     import jax.numpy as jnp
@@ -544,8 +561,11 @@ def cmd_recon(args):
             f"tokens:{list(map(int, c[:8]))}" for c in np.asarray(caps)[:k])
         done = min(i + bs, n_total)
         el = _time.perf_counter() - t0
+        if i == 0:
+            t_first = el
         print(f"--- stage 3: {done}/{n_total} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
+    _record_steady("3", t_first, _time.perf_counter() - t0, n_total, bs)
 
     out_dir = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
     io.save_stage3_artifacts(
@@ -881,7 +901,10 @@ def cmd_video(args):
     out_dir = io.video_dir(args.exp_dir, args.exp, args.subj, mode)
     os.makedirs(out_dir, exist_ok=True)
     n_sel = int(keyframes.shape[0])
-    vb = 2 if (args.tiny or args.synthetic) else 1
+    # batch 1 at full size: the 50-clip drive measured batch-2 DDIM at
+    # 3.64 s/clip steady vs bench's 2.76 at batch 1 (per-clip compute
+    # saturates the chip); tiny smoke keeps batch 2 (one compile)
+    vb = 2 if args.tiny else 1
     vb = max(1, min(vb, n_sel))
     gts = np.asarray(gts)
     t0 = _time.perf_counter()
@@ -922,8 +945,11 @@ def cmd_video(args):
                 out_dir, f"{org_idx}-{prompt}.gif"))
         done = min(i + vb, n_sel)
         el = _time.perf_counter() - t0
+        if i == 0:
+            t_first = el
         print(f"--- stage 5: {done}/{n_sel} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
+    _record_steady("5", t_first, _time.perf_counter() - t0, n_sel, vb)
     print(f"=== stage 5 finished -> {out_dir} ===")
 
 
@@ -1118,10 +1144,11 @@ def cmd_pipeline(args):
         t0 = time.perf_counter()
         stage_map[s](args)
         row = {"stage": s, "seconds": round(time.perf_counter() - t0, 2)}
+        row.update(_STAGE_STATS.pop(s, {}))
         try:  # allocator peak is per-process-monotonic; still diagnostic
             import jax
             ms = jax.local_devices()[0].memory_stats() or {}
-            if "peak_bytes_in_use" in ms:
+            if ms.get("peak_bytes_in_use"):  # absent/0 over the tunnel
                 row["peak_hbm_gb"] = round(
                     ms["peak_bytes_in_use"] / 2 ** 30, 3)
         except Exception:

@@ -66,17 +66,26 @@ def main():
 
     rows = json.load(open(report_path))
     gen_secs = sum(r["seconds"] for r in rows if r["stage"] in "345")
+    # steady-state rate: first batches carry the cold compiles, so the
+    # wall total alone misleads; stages 3/5 record their post-compile
+    # marginal rate, stage 4 is approximated by its wall average
+    steady = sum(r["steady_s_per_clip"] for r in rows
+                 if "steady_s_per_clip" in r)
+    if steady and any(r["stage"] == "4" for r in rows):
+        steady += next(r["seconds"] for r in rows
+                       if r["stage"] == "4") / args.n_test
+    peak = max((r.get("peak_hbm_gb", 0) for r in rows), default=0)
     doc = {
         "n_clips": args.n_test,
         "stages": args.stages,
         "total_wall_s": round(wall, 1),
         "per_stage": rows,
-        "clips_per_hour_gen": round(args.n_test / gen_secs * 3600, 1)
-        if gen_secs else None,
-        "sec_per_clip_gen": round(gen_secs / args.n_test, 3)
-        if gen_secs else None,
-        "peak_hbm_gb": max((r.get("peak_hbm_gb", 0) for r in rows),
-                           default=None),
+        "sec_per_clip_gen_incl_cold_compile": round(
+            gen_secs / args.n_test, 3) if gen_secs else None,
+        "sec_per_clip_gen_steady": round(steady, 3) if steady else None,
+        "clips_per_hour_gen_steady": round(3600 / steady, 1)
+        if steady else None,
+        "peak_hbm_gb": peak or None,  # memory_stats absent over tunnel
         "artifact_bytes": dir_bytes(args.exp_dir),
         "weights": "synthetic (zero egress; throughput/IO contract run, "
                    "not a quality run)",

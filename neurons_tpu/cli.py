@@ -636,9 +636,21 @@ def cmd_caption(args):
                                            method=Blip2Captioner.generate))
     toks = []
     bs = 8
+    import time as _time
+    t0 = _time.perf_counter()
+    t_first = None
     for i in range(0, imgs.shape[0], bs):
-        toks.append(np.asarray(gen(params, imgs[i:i + bs])))
+        chunk = imgs[i:i + bs]
+        pad = bs - chunk.shape[0]
+        if pad:  # fixed shapes: a ragged tail would recompile generate
+            chunk = jnp.concatenate(
+                [chunk, jnp.repeat(chunk[-1:], pad, 0)], 0)
+        toks.append(np.asarray(gen(params, chunk))[:bs - pad])
+        if t_first is None:
+            t_first = _time.perf_counter() - t0
     toks = np.concatenate(toks, 0)
+    _record_steady("4", t_first or 0.0, _time.perf_counter() - t0,
+                   imgs.shape[0], bs)
 
     captions = []
     try:  # decode with the OPT tokenizer when its files are cached
@@ -906,6 +918,8 @@ def cmd_video(args):
     # saturates the chip); tiny smoke keeps batch 2 (one compile)
     vb = 2 if args.tiny else 1
     vb = max(1, min(vb, n_sel))
+    from concurrent.futures import ThreadPoolExecutor
+    _gif_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="gif")
     gts = np.asarray(gts)
     t0 = _time.perf_counter()
     for i in range(0, n_sel, vb):
@@ -929,9 +943,12 @@ def cmd_video(args):
             if gt_i.shape[0] < video.shape[1]:
                 reps = -(-video.shape[1] // gt_i.shape[0])
                 gt_i = np.tile(gt_i, (reps, 1, 1, 1))[:video.shape[1]]
-            gt_i = np.asarray(jax.image.resize(
-                jnp.asarray(gt_i), (video.shape[1], 3, video.shape[3],
-                                    video.shape[4]), "linear"))
+            if gt_i.shape[-2:] != video.shape[-2:]:
+                # resize only when needed — an unconditional call here
+                # cost a tunnel round-trip PER CLIP on same-size GTs
+                gt_i = np.asarray(jax.image.resize(
+                    jnp.asarray(gt_i), (video.shape[1], 3, video.shape[3],
+                                        video.shape[4]), "linear"))
             side = np.concatenate([gt_i[None], video[j][None]], axis=-1)
             org_idx = int(sel[i + j]) if i + j < len(sel) else i + j
             # the reference's artifact-naming dialect:
@@ -941,7 +958,9 @@ def cmd_video(args):
             if len(captions) > org_idx:
                 prompt = str(captions[org_idx])
             prompt = "-".join(prompt.replace("/", "").split(" "))
-            io.save_video_grid(side, os.path.join(
+            # overlap the GIF quantize+encode with the next batch's
+            # device work (one writer keeps disk order deterministic)
+            _gif_pool.submit(io.save_video_grid, side, os.path.join(
                 out_dir, f"{org_idx}-{prompt}.gif"))
         done = min(i + vb, n_sel)
         el = _time.perf_counter() - t0
@@ -949,6 +968,7 @@ def cmd_video(args):
             t_first = el
         print(f"--- stage 5: {done}/{n_sel} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
+    _gif_pool.shutdown(wait=True)  # all GIFs on disk before stage 6
     _record_steady("5", t_first, _time.perf_counter() - t0, n_sel, vb)
     print(f"=== stage 5 finished -> {out_dir} ===")
 

@@ -69,11 +69,9 @@ def main():
     # steady-state rate: first batches carry the cold compiles, so the
     # wall total alone misleads; stages 3/5 record their post-compile
     # marginal rate, stage 4 is approximated by its wall average
-    steady = sum(r["steady_s_per_clip"] for r in rows
-                 if "steady_s_per_clip" in r)
-    if steady and any(r["stage"] == "4" for r in rows):
-        steady += next(r["seconds"] for r in rows
-                       if r["stage"] == "4") / args.n_test
+    gen_rows = [r for r in rows if r["stage"] in "345"]
+    steady = sum(r.get("steady_s_per_clip", r["seconds"] / args.n_test)
+                 for r in gen_rows)
     peak = max((r.get("peak_hbm_gb", 0) for r in rows), default=0)
     doc = {
         "n_clips": args.n_test,

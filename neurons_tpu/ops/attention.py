@@ -1108,21 +1108,23 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         and os.environ.get("NEURONS_TPU_NO_PALLAS") != "1"  # A/B knob
     )
     if use_pallas and bias is not None:
-        # biased attention stays on XLA unless opted in, for BOTH
-        # inference and training, measured on the prior's multi-query
+        # biased-attention routing, measured on the prior's multi-query
         # 513-token rows (A/B on the honest benches):
-        #  - inference fwd: bias-flash 6.249 s/clip vs XLA 6.233 —
-        #    XLA's fused softmax wins;
-        #  - training: routing bias through the custom-VJP kernels made
-        #    the stage-2 step 293 vs 284 ms/step. The prior broadcasts
-        #    K/V across its 32 heads (multi-query); XLA's autodiff
-        #    fuses that broadcast end-to-end, while the kernel path
-        #    must materialize + pad the broadcast K/V into residuals
-        #    (profiled ~9 ms/step of pads + broadcasts) — more than the
-        #    bias backward kernel saves at this shape.
-        # The lse-emitting bias forward + Pallas bias backward remain
-        # available (and grad-tested) for genuinely large biased shapes.
-        use_pallas = os.environ.get("NEURONS_TPU_BIAS_FLASH", "0") == "1"
+        #  - INFERENCE fwd keeps XLA either way: the kernel impl's
+        #    primal biased path falls back to the XLA reference itself
+        #    (bias-flash fwd measured 6.249 s/clip vs XLA 6.233);
+        #  - TRAINING with MULTI-QUERY k/v [B,1,Tk,D] defaults to the
+        #    custom-VJP kernels (lse-emitting fwd + Pallas bias bwd):
+        #    r3 A/B 282.0 vs 285.7 ms/step on the stage-2 step. Round
+        #    2's 293-vs-284 loss came from materializing + padding the
+        #    h-broadcast K/V into residuals; the kernels now read the
+        #    shared kv row via the index map, so the broadcast never
+        #    exists.
+        #  - dense-biased shapes (k carries all H heads) stay on XLA
+        #    unless NEURONS_TPU_BIAS_FLASH=1 — unmeasured territory.
+        env = os.environ.get("NEURONS_TPU_BIAS_FLASH", "")
+        mq = k.ndim == 4 and k.shape[1] == 1 and q.shape[1] != 1
+        use_pallas = env == "1" or (mq and env != "0")
     if use_pallas:
         return flash_attention(q, k, v, bias=bias, scale=scale)
     return xla_attention(q, k, v, bias=bias, mask=mask, scale=scale)

@@ -951,17 +951,12 @@ def cmd_video(args):
                                         video.shape[4]), "linear"))
             side = np.concatenate([gt_i[None], video[j][None]], axis=-1)
             org_idx = int(sel[i + j]) if i + j < len(sel) else i + j
-            # the reference's artifact-naming dialect:
-            # {org_idx}-{prompt}.gif with the prompt dash-joined after
-            # dropping '/' (scripts/neuroclips_video.py:318-327)
-            prompt = ""
-            if len(captions) > org_idx:
-                prompt = str(captions[org_idx])
-            prompt = "-".join(prompt.replace("/", "").split(" "))
+            prompt = str(captions[org_idx]) if len(captions) > org_idx \
+                else ""
             # overlap the GIF quantize+encode with the next batch's
             # device work (one writer keeps disk order deterministic)
             _gif_pool.submit(io.save_video_grid, side, os.path.join(
-                out_dir, f"{org_idx}-{prompt}.gif"))
+                out_dir, io.gif_artifact_name(org_idx, prompt)))
         done = min(i + vb, n_sel)
         el = _time.perf_counter() - t0
         if i == 0:

@@ -136,6 +136,16 @@ def load_stage3_artifacts(path: str, subj: int,
             "captions": load_captions(path, caption_mode)}
 
 
+def gif_artifact_name(org_idx: int, prompt: str) -> str:
+    """Stage-5 GIF naming dialect (reference scripts/neuroclips_video.py:
+    318-327): '{org_idx}-{prompt}.gif' with '/' dropped from the prompt
+    and spaces dash-joined — including the reference's empty tokens for
+    runs of spaces, so a reference-produced EXP dir and ours collide on
+    identical names."""
+    return f"{int(org_idx)}-" + \
+        "-".join(str(prompt).replace("/", "").split(" ")) + ".gif"
+
+
 def save_video_grid(videos: np.ndarray, path: str, fps: int = 8,
                     rescale: bool = False) -> None:
     """GIF writer (reference animatediff/utils/util.py:61-74): stack videos

@@ -107,6 +107,17 @@ def test_gif_roundtrip_and_split(tmp_path):
     assert err < 0.12
 
 
+def test_gif_artifact_name_reference_dialect():
+    # reference scripts/neuroclips_video.py:318-327:
+    # prompt = "-".join(prompt.replace("/", "").split(" "))
+    assert io.gif_artifact_name(7, "a man walking") == "7-a-man-walking.gif"
+    # '/' is dropped (not replaced by a separator)
+    assert io.gif_artifact_name(0, "cat/dog runs") == "0-catdog-runs.gif"
+    # double spaces produce the reference's empty tokens
+    assert io.gif_artifact_name(3, "a  b") == "3-a--b.gif"
+    assert io.gif_artifact_name(12, "") == "12-.gif"
+
+
 def test_run_metrics_pixel_only(tmp_path):
     g = np.random.default_rng(2)
     d = tmp_path / "gen_videos_enhance"

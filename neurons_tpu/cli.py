@@ -126,15 +126,31 @@ def _configs(args, stage2: bool = False):
 _STAGE_STATS: dict = {}
 
 
-def _record_steady(stage: str, t_first_batch: float, t_total: float,
-                   n_done: int, batch: int):
+def _record_steady(stage: str, marks, batch: int):
+    """marks: [(clips_done, elapsed_s)] per batch, cumulative. Besides
+    the steady rate (compile-carrying first batch excluded), long runs
+    get first-/last-100-clip window rates — a flat delta across a
+    1200-clip run is the no-leak/no-slowdown evidence the full-split
+    drive reports (E2E_FULL artifact)."""
+    n_done, t_total = marks[-1]
+    t_first = marks[0][1]
     if n_done > batch:
-        steady = (t_total - t_first_batch) / (n_done - batch)
+        steady = (t_total - t_first) / (n_done - batch)
     else:
         steady = t_total / max(n_done, 1)
-    _STAGE_STATS[stage] = {"steady_s_per_clip": round(steady, 3),
-                           "batch": batch,
-                           "first_batch_s": round(t_first_batch, 2)}
+    stats = {"steady_s_per_clip": round(steady, 3),
+             "batch": batch,
+             "first_batch_s": round(t_first, 2)}
+    win = 100
+    if n_done - batch >= 2 * win:
+        first = next(m for m in marks if m[0] >= batch + win)
+        stats["first100_s_per_clip"] = round(
+            (first[1] - t_first) / (first[0] - batch), 3)
+        last_base = next(m for m in reversed(marks)
+                         if n_done - m[0] >= win)
+        stats["last100_s_per_clip"] = round(
+            (t_total - last_base[1]) / (n_done - last_base[0]), 3)
+    _STAGE_STATS[stage] = stats
 
 
 def _stage_dtype(args):
@@ -545,6 +561,7 @@ def cmd_recon(args):
 
     import time as _time
     all_recons, all_blurry, all_caps = [], [], []
+    marks = []
     t0 = _time.perf_counter()
     for i in range(0, n_total, bs):
         vox = np.asarray(test_split.voxel[i:i + bs, :1], np.float32)
@@ -561,11 +578,10 @@ def cmd_recon(args):
             f"tokens:{list(map(int, c[:8]))}" for c in np.asarray(caps)[:k])
         done = min(i + bs, n_total)
         el = _time.perf_counter() - t0
-        if i == 0:
-            t_first = el
+        marks.append((done, el))
         print(f"--- stage 3: {done}/{n_total} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
-    _record_steady("3", t_first, _time.perf_counter() - t0, n_total, bs)
+    _record_steady("3", marks, bs)
 
     out_dir = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
     io.save_stage3_artifacts(
@@ -631,26 +647,38 @@ def cmd_caption(args):
             params = model.init(key, imgs[:1],
                                 jnp.zeros((1, 2), jnp.int32))["params"]
 
+    # module compute dtype (bf16 at full size like stages 3/5: halves
+    # the 3.74B params' HBM residency and weight traffic in the
+    # KV-cached decode, which is weight-streaming-bound); greedy argmax
+    # tolerates bf16 logits, and parity tests pin the f32 tiny path
+    dt = _stage_dtype(args)
+    ci, _ = _boundary_casts(dt)
+    params = _cast_host_tree(params, dt)
+
     max_len = 8 if args.tiny else 30
-    gen = jax.jit(lambda p, x: model.apply({"params": p}, x, max_len=max_len,
+    gen = jax.jit(lambda p, x: model.apply({"params": p}, ci(x),
+                                           max_len=max_len,
                                            method=Blip2Captioner.generate))
     toks = []
     bs = 8
     import time as _time
     t0 = _time.perf_counter()
-    t_first = None
-    for i in range(0, imgs.shape[0], bs):
+    marks = []
+    n_imgs = imgs.shape[0]
+    for i in range(0, n_imgs, bs):
         chunk = imgs[i:i + bs]
         pad = bs - chunk.shape[0]
         if pad:  # fixed shapes: a ragged tail would recompile generate
             chunk = jnp.concatenate(
                 [chunk, jnp.repeat(chunk[-1:], pad, 0)], 0)
         toks.append(np.asarray(gen(params, chunk))[:bs - pad])
-        if t_first is None:
-            t_first = _time.perf_counter() - t0
+        done = min(i + bs, n_imgs)
+        marks.append((done, _time.perf_counter() - t0))
+        if done % 64 < bs or done == n_imgs:
+            print(f"--- stage 4: {done}/{n_imgs} clips "
+                  f"({marks[-1][1] / done:.2f} s/clip) ---", flush=True)
     toks = np.concatenate(toks, 0)
-    _record_steady("4", t_first or 0.0, _time.perf_counter() - t0,
-                   imgs.shape[0], bs)
+    _record_steady("4", marks, bs)
 
     captions = []
     try:  # decode with the OPT tokenizer when its files are cached
@@ -921,6 +949,7 @@ def cmd_video(args):
     from concurrent.futures import ThreadPoolExecutor
     _gif_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="gif")
     gts = np.asarray(gts)
+    marks = []
     t0 = _time.perf_counter()
     for i in range(0, n_sel, vb):
         sl = slice(i, i + vb)
@@ -959,12 +988,11 @@ def cmd_video(args):
                 out_dir, io.gif_artifact_name(org_idx, prompt)))
         done = min(i + vb, n_sel)
         el = _time.perf_counter() - t0
-        if i == 0:
-            t_first = el
+        marks.append((done, el))
         print(f"--- stage 5: {done}/{n_sel} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
     _gif_pool.shutdown(wait=True)  # all GIFs on disk before stage 6
-    _record_steady("5", t_first, _time.perf_counter() - t0, n_sel, vb)
+    _record_steady("5", marks, vb)
     print(f"=== stage 5 finished -> {out_dir} ===")
 
 

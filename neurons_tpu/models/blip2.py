@@ -9,9 +9,14 @@ projection into the OPT-2.7B embedding space -> greedy LM decode.
 
 TPU notes: all three towers are plain transformer stacks that jit
 trivially; the greedy decode is a fixed-length `lax.scan` (no dynamic
-shapes) with full-recompute per step — sequences are <=92 tokens so a KV
-cache would not pay for its complexity. Weights import from the HF
-checkpoint via interop.torch_import.import_blip2.
+shapes) over a preallocated per-layer KV cache — one prefill forward
+over [prefix ‖ BOS], then max_len-1 single-token steps that
+`dynamic_update_slice` their K/V into the cache. The cacheless
+full-recompute variant (`generate_nocache`) is kept as the parity
+oracle: r3's full-recompute decode re-ran the whole 2.7B OPT forward
+per token (30 x 62-token forwards), which dominated stage-4 wall time
+at 1200-clip scale. Weights import from the HF checkpoint via
+interop.torch_import.import_blip2.
 """
 
 from __future__ import annotations
@@ -74,7 +79,11 @@ class Blip2Config:
                                        intermediate_size=48,
                                        num_query_tokens=4),
             opt=OPTConfig(hidden_size=40, layers=2, heads=4, ffn_dim=80,
-                          vocab_size=100, max_position_embeddings=64))
+                          vocab_size=100, max_position_embeddings=64,
+                          # the real 50118 EOS is out-of-vocab at 100:
+                          # jnp.take would gather NaN fill values for the
+                          # post-EOS placeholder embeddings
+                          eos_token_id=99))
 
 
 def _mha(q, k, v, heads, mask=None):
@@ -185,23 +194,36 @@ class Blip2QFormer(nn.Module):
 
 class OPTDecoderLayer(nn.Module):
     """OPT-2.7b layer (do_layer_norm_before=True): pre-norm attn,
-    pre-norm ReLU FFN."""
+    pre-norm ReLU FFN.
+
+    With `cache=(k_cache, v_cache)` ([B, T_total, D] each) and an int32
+    write `index`, the chunk's K/V is written at [index, index+t) and
+    attention runs over the whole cache (the caller's mask must exclude
+    unwritten slots — they hold zeros); returns (x, new_cache)."""
 
     heads: int
     ffn_dim: int
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, cache=None, index=None):
         d = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
         q = nn.Dense(d, name="q_proj")(h)
         k = nn.Dense(d, name="k_proj")(h)
         v = nn.Dense(d, name="v_proj")(h)
+        if cache is not None:
+            ck, cv = cache
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, index, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, index, 0))
+            k, v, cache = ck, cv, (ck, cv)
         x = x + nn.Dense(d, name="out_proj")(_mha(q, k, v, self.heads,
                                                   mask=mask))
         h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
         h = nn.relu(nn.Dense(self.ffn_dim, name="fc1")(h))
-        return x + nn.Dense(d, name="fc2")(h)
+        x = x + nn.Dense(d, name="fc2")(h)
+        return x if cache is None else (x, cache)
 
 
 class OPTModel(nn.Module):
@@ -211,21 +233,38 @@ class OPTModel(nn.Module):
     cfg: OPTConfig
 
     @nn.compact
-    def __call__(self, inputs_embeds, attn_mask):
+    def __call__(self, inputs_embeds, attn_mask, cache=None, index=None):
         c = self.cfg
         b, t, d = inputs_embeds.shape
-        positions = jnp.cumsum(attn_mask, axis=1) - 1
-        positions = jnp.clip(positions, 0, None).astype(jnp.int32)
         wpe = self.param("embed_positions", nn.initializers.normal(0.02),
                          (c.max_position_embeddings + 2, d))
+        if cache is None:
+            positions = jnp.cumsum(attn_mask, axis=1) - 1
+            positions = jnp.clip(positions, 0, None).astype(jnp.int32)
+            causal = jnp.tril(jnp.ones((t, t), bool))
+            mask = (causal[None, None]
+                    & attn_mask[:, None, None, :].astype(bool))
+        else:
+            # cached decode (greedy generate): all slots up to `index`
+            # are real tokens (mask-of-ones semantics), so the absolute
+            # slot IS the OPT position; keys beyond the chunk's causal
+            # frontier are unwritten zeros and must stay masked out
+            t_cache = cache[0][0].shape[1]
+            positions = jnp.broadcast_to(
+                (index + jnp.arange(t, dtype=jnp.int32))[None], (b, t))
+            mask = (jnp.arange(t_cache)[None, :]
+                    <= (index + jnp.arange(t))[:, None])[None, None]
         x = inputs_embeds + jnp.take(jnp.asarray(wpe), positions + 2, axis=0)
-        causal = jnp.tril(jnp.ones((t, t), bool))
-        mask = causal[None, None] & attn_mask[:, None, None, :].astype(bool)
+        new_cache = []
         for i in range(c.layers):
-            x = OPTDecoderLayer(c.heads, c.ffn_dim,
-                                name=f"layer_{i}")(x, mask)
+            layer = OPTDecoderLayer(c.heads, c.ffn_dim, name=f"layer_{i}")
+            if cache is None:
+                x = layer(x, mask)
+            else:
+                x, lc = layer(x, mask, cache=cache[i], index=index)
+                new_cache.append(lc)
         x = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
-        return x
+        return x if cache is None else (x, tuple(new_cache))
 
 
 class Blip2Captioner(nn.Module):
@@ -265,9 +304,61 @@ class Blip2Captioner(nn.Module):
         return h @ jnp.asarray(self.embed_tokens).T
 
     def generate(self, images, max_len: int = 30):
-        """Greedy caption token ids [B, max_len] (BOS prompt, fixed-length
-        scan; positions after EOS repeat EOS — the reference decodes with
-        HF generate(), same greedy semantics)."""
+        """Greedy caption token ids [B, max_len] (BOS prompt; positions
+        after EOS repeat EOS — the reference decodes with HF generate(),
+        same greedy semantics, caption_keyframe.py:23-48).
+
+        KV-cached: one prefill forward over [prefix ‖ BOS] fills
+        per-layer [B, nq+max_len, D] caches, then a fixed-length
+        `lax.scan` decodes one token per step. Token-exact vs
+        `generate_nocache` (masked softmax ignores unwritten cache
+        slots); pinned by tests/test_blip2.py."""
+        c = self.cfg.opt
+        prefix = self._prefix(images)
+        b = images.shape[0]
+        nq = prefix.shape[1]
+        d = prefix.shape[-1]
+        dt = prefix.dtype
+        t_total = nq + max_len
+        emb = jnp.asarray(self.embed_tokens)
+        cache0 = tuple((jnp.zeros((b, t_total, d), dt),
+                        jnp.zeros((b, t_total, d), dt))
+                       for _ in range(c.layers))
+
+        # prefill = original loop's i=0 step: predict token slot 1
+        bos = jnp.full((b, 1), c.bos_token_id, jnp.int32)
+        x0 = jnp.concatenate([prefix, jnp.take(emb, bos[:, 0], axis=0)
+                              [:, None]], axis=1)
+        h, cache = self.lm(x0, None, cache=cache0, index=0)
+        nxt = jnp.argmax(h[:, -1] @ emb.T, axis=-1).astype(jnp.int32)
+        done = nxt == c.eos_token_id
+        tokens0 = jnp.full((b, max_len), c.eos_token_id, jnp.int32)
+        tokens0 = tokens0.at[:, 0].set(c.bos_token_id)
+        if max_len == 1:
+            return tokens0
+        tokens0 = tokens0.at[:, 1].set(nxt)
+
+        def step(carry, i):
+            tokens, done, cache, cur = carry
+            x = jnp.take(emb, cur, axis=0)[:, None]
+            h, cache = self.lm(x, None, cache=cache, index=nq + i)
+            logits = h[:, 0] @ emb.T
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, c.eos_token_id, nxt)
+            done = done | (nxt == c.eos_token_id)
+            tokens = jax.lax.cond(
+                i + 1 < max_len,
+                lambda t: t.at[:, i + 1].set(nxt),
+                lambda t: t, tokens)
+            return (tokens, done, cache, nxt), None
+
+        (tokens, _, _, _), _ = jax.lax.scan(
+            step, (tokens0, done, cache, nxt), jnp.arange(1, max_len))
+        return tokens
+
+    def generate_nocache(self, images, max_len: int = 30):
+        """r3's full-recompute greedy decode (the whole [prefix ‖ tokens]
+        forward per step) — kept as the cached path's parity oracle."""
         c = self.cfg.opt
         prefix = self._prefix(images)
         b = images.shape[0]

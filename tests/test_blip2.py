@@ -75,3 +75,18 @@ class TestBlip2Parity:
         assert toks.shape == (2, 6)
         assert (toks[:, 0] == 2).all()  # BOS
         assert toks.dtype == np.int32
+
+    def test_kv_cached_generate_matches_nocache(self, pair):
+        """The KV-cached decode must be token-exact vs the full-recompute
+        oracle (masked softmax excludes the cache's unwritten slots)."""
+        _, jm, params = pair
+        pix = np.random.RandomState(2).randn(3, 3, 32, 32).astype(np.float32)
+        for max_len in (1, 2, 8):
+            cached = jm.apply({"params": params}, jnp.asarray(pix),
+                              max_len=max_len,
+                              method=Blip2Captioner.generate)
+            full = jm.apply({"params": params}, jnp.asarray(pix),
+                            max_len=max_len,
+                            method=Blip2Captioner.generate_nocache)
+            np.testing.assert_array_equal(np.asarray(cached),
+                                          np.asarray(full))

@@ -46,9 +46,13 @@ def main():
     ap.add_argument("--stages", type=str, default="3456")
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (default: ambient = TPU)")
-    ap.add_argument("--out", type=str,
-                    default=os.path.join(_REPO, "E2E_r03.json"))
+    ap.add_argument("--out", type=str, default=None,
+                    help="default: E2E_r04.json, or E2E_FULL_r04.json at "
+                         "--n_test >= 1200 (the reference's full split)")
     args = ap.parse_args()
+    if args.out is None:
+        tag = "E2E_FULL_r04" if args.n_test >= 1200 else "E2E_r04"
+        args.out = os.path.join(_REPO, tag + ".json")
 
     report_path = os.path.join(args.exp_dir, "pipeline_report.json")
     os.makedirs(args.exp_dir, exist_ok=True)
@@ -67,11 +71,18 @@ def main():
     rows = json.load(open(report_path))
     gen_secs = sum(r["seconds"] for r in rows if r["stage"] in "345")
     # steady-state rate: first batches carry the cold compiles, so the
-    # wall total alone misleads; stages 3/5 record their post-compile
-    # marginal rate, stage 4 is approximated by its wall average
+    # wall total alone misleads; every generation stage (4 included)
+    # records its post-compile marginal rate via cli._record_steady
     gen_rows = [r for r in rows if r["stage"] in "345"]
     steady = sum(r.get("steady_s_per_clip", r["seconds"] / args.n_test)
                  for r in gen_rows)
+    # leak/slowdown check over long runs: first-100 vs last-100 clip
+    # window rates per stage (present when n_test is large enough)
+    drift = {r["stage"]: round(r["last100_s_per_clip"]
+                               / r["first100_s_per_clip"], 4)
+             for r in gen_rows
+             if r.get("first100_s_per_clip")
+             and r.get("last100_s_per_clip")}
     peak = max((r.get("peak_hbm_gb", 0) for r in rows), default=0)
     doc = {
         "n_clips": args.n_test,
@@ -83,6 +94,7 @@ def main():
         "sec_per_clip_gen_steady": round(steady, 3) if steady else None,
         "clips_per_hour_gen_steady": round(3600 / steady, 1)
         if steady else None,
+        "last100_over_first100_rate": drift or None,
         "peak_hbm_gb": peak or None,  # memory_stats absent over tunnel
         "artifact_bytes": dir_bytes(args.exp_dir),
         "weights": "synthetic (zero egress; throughput/IO contract run, "

@@ -34,12 +34,37 @@ def test_filter_drops_only_marker_lines_and_reports_count():
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert "stdout untouched" in r.stdout
-    # noise suppressed, everything else forwarded in order
-    assert "cpu_aot_loader.cc" not in r.stderr.replace(
-        "suppressed 2 spurious cpu_aot_loader", "")
-    assert "real line before" in r.stderr
-    assert "real line after" in r.stderr
+    # noise suppressed inline; everything else forwarded in order
+    body = r.stderr.split("[compile_cache]")[0]
+    assert "cpu_aot_loader.cc" not in body
+    assert "real line before" in body
+    assert "real line after" in body
     assert "suppressed 2 spurious cpu_aot_loader" in r.stderr
+    # forensics: first + last suppressed line retained VERBATIM so an
+    # upstream wording drift is auditable (VERDICT r3 weak #6)
+    assert "first suppressed: E0000" in r.stderr
+    assert "last suppressed: E0000" in r.stderr
+    # no non-spurious loader lines -> no escalation
+    assert "WARNING" not in r.stderr
+
+
+def test_real_loader_failure_escalates_alongside_suppression():
+    """A cpu_aot_loader line that does NOT match the spurious pattern is
+    forwarded AND makes the exit summary loud when suppression was also
+    active (a real load failure must never hide behind the filter)."""
+    script = _SCRIPT.replace(
+        'print("real line after", file=sys.stderr)',
+        'print("E0000 cpu_aot_loader.cc:99] Failed to deserialize '
+        'executable", file=sys.stderr)')
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "Failed to deserialize executable" in r.stderr  # forwarded
+    assert "suppressed 2 spurious" in r.stderr
+    assert "WARNING: 1 cpu_aot_loader line(s) did NOT match" in r.stderr
 
 
 def test_partial_marker_lines_pass_through():

@@ -33,7 +33,14 @@ def test_validate_tiny_writes_scored_report(tmp_path):
         for stage in ("stage3", "stage5"):
             rms = scores[stage]["rms_rel"]
             corr = scores[stage]["corr"]
-            # fast != exact (a zero deviation would mean the preset
-            # knobs never engaged), but still a correlated trajectory
-            assert 0.0 < rms < 2.0, (name, stage, rms)
+            # fast != exact: the preset knobs must engage. rms_rel is
+            # rounded to 5 decimals in the report, so a real-but-tiny
+            # deviation can land at exactly 0.0 — corr < 1 covers that
+            # case (ADVICE r3: don't fail spuriously on the rounding)
+            assert rms >= 0.0 and (rms > 0.0 or corr < 1.0), \
+                (name, stage, rms, corr)
+            assert rms < 2.0, (name, stage, rms)
+            import math
+            assert not math.isnan(corr), (name, stage, "corr is NaN: "
+                                          "degenerate trajectory")
             assert -1.0 <= corr <= 1.0, (name, stage, corr)

@@ -100,3 +100,51 @@ class TestFastPreset:
         with pytest.raises(SystemExit) as e:
             cli.main(["pipeline", "--fast", "quality", "--help"])
         assert e.value.code == 0
+
+
+class TestRecordSteady:
+    """cli._record_steady: steady rate excludes the compile-carrying
+    first batch; long runs additionally get first-/last-100-clip window
+    rates (the no-leak evidence in the full-split drive artifact)."""
+
+    def _marks(self, n, batch, first_s, per_clip):
+        marks, t = [], 0.0
+        for done in range(batch, n + 1, batch):
+            t = first_s + (done - batch) * per_clip
+            marks.append((done, t))
+        return marks
+
+    def test_steady_excludes_first_batch(self):
+        cli._STAGE_STATS.clear()
+        cli._record_steady("3", self._marks(20, 4, 60.0, 2.0), 4)
+        s = cli._STAGE_STATS["3"]
+        assert s["steady_s_per_clip"] == 2.0
+        assert s["first_batch_s"] == 60.0
+        assert "first100_s_per_clip" not in s  # run too short
+
+    def test_window_rates_on_long_runs(self):
+        cli._STAGE_STATS.clear()
+        # 1200 clips at batch 4: constant 3 s/clip after the first batch
+        cli._record_steady("5", self._marks(1200, 4, 120.0, 3.0), 4)
+        s = cli._STAGE_STATS["5"]
+        assert s["steady_s_per_clip"] == 3.0
+        assert s["first100_s_per_clip"] == 3.0
+        assert s["last100_s_per_clip"] == 3.0
+
+    def test_window_rates_detect_slowdown(self):
+        cli._STAGE_STATS.clear()
+        marks, t = [], 0.0
+        for done in range(4, 1201, 4):
+            rate = 2.0 if done <= 600 else 4.0  # 2x slowdown mid-run
+            t += rate * 4
+            marks.append((done, t))
+        cli._record_steady("5", marks, 4)
+        s = cli._STAGE_STATS["5"]
+        assert s["first100_s_per_clip"] == 2.0
+        assert s["last100_s_per_clip"] == 4.0
+
+    def test_single_batch_fallback(self):
+        cli._STAGE_STATS.clear()
+        cli._record_steady("4", [(4, 76.7)], 8)  # padded tail < batch
+        s = cli._STAGE_STATS["4"]
+        assert s["steady_s_per_clip"] == round(76.7 / 4, 3)

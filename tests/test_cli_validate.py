@@ -12,6 +12,10 @@ import json
 import os
 
 from neurons_tpu import cli
+import pytest
+
+# slow tier: heavy subprocess/golden drive (see pyproject markers)
+pytestmark = pytest.mark.slow
 
 
 def test_validate_tiny_writes_scored_report(tmp_path):

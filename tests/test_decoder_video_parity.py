@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 from neurons_tpu.interop.torch_import import _Tracker, import_neurons_ensemble
 from neurons_tpu.models.decoder_video import TextDrivenDecoder
+import pytest
+
+# slow tier: heavy subprocess/golden drive (see pyproject markers)
+pytestmark = pytest.mark.slow
 
 CV, CT = 16, 12          # vision / text dims
 BO = (4, 8, 8)           # decoder channels

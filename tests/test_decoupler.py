@@ -100,6 +100,7 @@ class TestGPT2:
                 assert (row[hits[0]:] == eot).all()
 
 
+@pytest.mark.slow
 class TestStage2Step:
     @pytest.fixture(scope="class")
     def setup(self):

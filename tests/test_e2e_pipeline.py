@@ -10,9 +10,11 @@ import sys
 
 import pytest
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     os.environ.get("NEURONS_TPU_SKIP_E2E") == "1",
-    reason="NEURONS_TPU_SKIP_E2E=1 set")
+    reason="NEURONS_TPU_SKIP_E2E=1 set"),
+    # slow tier: the longest test in the suite (subprocess CLI chain)
+    pytest.mark.slow]
 
 
 def test_all_stages_chain(tmp_path):

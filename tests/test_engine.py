@@ -19,6 +19,7 @@ TINY_V = VAEConfig(block_out_channels=(8, 8), layers_per_block=1,
 
 
 class TestDiffusionEngine:
+    @pytest.mark.slow
     def test_sample_and_decode(self):
         eng = DiffusionEngine(unet_cfg=TINY_U, vae_cfg=TINY_V,
                               sampler_cfg=SamplerConfig(unclip_steps=3))

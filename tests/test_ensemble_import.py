@@ -217,6 +217,7 @@ def _build_reference_sd(BCFG=BCFG, PCFG=PCFG, DCFG=DCFG, GCFG=GCFG):
 
 
 class TestEnsembleImport:
+    @pytest.mark.slow
     def test_full_tree_matches_and_runs(self):
         torch.manual_seed(0)
         sd = _build_reference_sd()

@@ -165,6 +165,7 @@ class TestConditioner:
         np.testing.assert_allclose(np.asarray(v[0]), np.asarray(v[1]))
 
 
+@pytest.mark.slow
 class TestUnclipSample:
     def test_end_to_end_tiny(self, rng):
         """unclip_sample through a tiny UNet + VAE decoder produces finite
@@ -201,6 +202,7 @@ class TestUnclipSample:
         assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 1
 
 
+@pytest.mark.slow
 class TestEncoderReuse:
     """Faster-Diffusion encoder propagation (PAPERS.md, arXiv 2312.09608):
     cached=(h, skips) decoder-only forward is consistent, and
@@ -270,6 +272,7 @@ class TestEncoderReuse:
         assert not np.allclose(np.asarray(fast), np.asarray(base))
 
 
+@pytest.mark.slow
 class TestDeepCache:
     """DeepCache (arXiv 2312.00858): shallow-only recompute with the
     deep up-path feature cached."""
@@ -317,6 +320,7 @@ class TestDeepCache:
                           tgate_step=2)
 
 
+@pytest.mark.slow
 class TestCrossAttnHoistingAndTGate:
     """Exact K/V hoisting (step-invariant context) and TGATE cross-attn
     gating (PAPERS.md, arXiv 2404.02747)."""
@@ -445,6 +449,7 @@ class TestCrossAttnHoistingAndTGate:
         assert len(cross_attn_sites(cfg)) == n_sites
 
 
+@pytest.mark.slow
 class TestKeyframePAB:
     def test_pab_identity_and_divergence(self, rng):
         """PAB for the unCLIP UNet (arXiv 2408.12588): intervals (1,1)
@@ -485,6 +490,7 @@ class TestKeyframePAB:
                              jnp.ones((5,)), (2, 5))
 
 
+@pytest.mark.slow
 class TestKeyframeTGatePAB:
     def test_composition_runs_and_tracks_tgate(self, rng):
         """TGATE x PAB on the keyframe sampler: spatial broadcast within

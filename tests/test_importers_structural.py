@@ -879,6 +879,7 @@ class TestLDMConverters:
             np.testing.assert_allclose(merged[k], expect, rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestSparseControlNetParity:
     def test_residuals_match(self):
         from neurons_tpu.models.sparse_controlnet import SparseControlNetModel

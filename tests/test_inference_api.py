@@ -43,6 +43,7 @@ UC = {"crossattn": jnp.ones((1, 5, 12)),
       "vector": jnp.zeros((1, 1024))}
 
 
+@pytest.mark.slow
 class TestDoSample:
     @pytest.mark.parametrize("sampler", list(API.Sampler))
     def test_txt2img_every_sampler(self, engine, sampler):

@@ -8,6 +8,7 @@ import os
 import numpy as np
 
 from neurons_tpu.utils.metrics_log import MetricLogger
+import pytest
 
 
 def test_log_images_writes_pngs(tmp_path):
@@ -27,6 +28,7 @@ def test_log_images_writes_pngs(tmp_path):
     assert tiled.shape[:2] == (8, 32)  # batch tiled along width
 
 
+@pytest.mark.slow
 def test_stage2_loop_emits_seg_panels(tmp_path, mesh8):
     from neurons_tpu.config import (BrainModelConfig, DecouplerConfig,
                                     PriorConfig, TrainConfig)

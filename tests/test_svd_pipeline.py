@@ -11,6 +11,9 @@ from neurons_tpu.models.temporal_ae import VideoDecoder
 from neurons_tpu.models.video_unet import VideoUNet
 from neurons_tpu.pipelines import svd as SVD
 
+# slow tier: heavy subprocess/golden drive (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 TINY_UNET = VideoUNetConfig(in_channels=8, out_channels=4, model_channels=8,
                             channel_mult=(1, 2), num_res_blocks=1,
                             attention_resolutions=(2,),

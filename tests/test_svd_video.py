@@ -19,6 +19,8 @@ import torch.nn.functional as tF
 from neurons_tpu.config import VAEConfig, VideoDecoderConfig, VideoUNetConfig
 from neurons_tpu.interop import torch_import as TI
 
+import pytest
+
 from test_importers_structural import (TVAttn, TVResnet, TVUp, TAttn,
                                        TBasicBlock, TDownsample, TResBlock,
                                        TUpsample, t_feedforward,
@@ -283,6 +285,7 @@ TINY_SVD = VideoUNetConfig(in_channels=4, out_channels=4, model_channels=8,
                            video_kernel_size=(3, 1, 1))
 
 
+@pytest.mark.slow
 class TestVideoUNetParity:
     def test_forward_matches(self):
         from neurons_tpu.models.video_unet import VideoUNet

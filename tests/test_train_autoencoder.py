@@ -11,6 +11,9 @@ from neurons_tpu.config import VAEConfig
 from neurons_tpu.training.train_autoencoder import (AutoencoderTrainConfig,
                                                     AutoencodingEngine)
 
+# slow tier: heavy subprocess/golden drive (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 TINY = AutoencoderTrainConfig(
     vae=VAEConfig(block_out_channels=(8, 8), layers_per_block=1,
                   norm_num_groups=4, latent_channels=4),

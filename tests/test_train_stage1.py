@@ -9,6 +9,7 @@ import numpy as np
 from neurons_tpu.config import BrainModelConfig, TrainConfig
 from neurons_tpu.parallel import shard_batch
 from neurons_tpu.training import train_brain
+import pytest
 
 
 def tiny_cfgs():
@@ -22,6 +23,7 @@ def tiny_cfgs():
     return bcfg, tcfg
 
 
+@pytest.mark.slow
 def test_stage1_train_step_runs_and_learns(mesh8):
     bcfg, tcfg = tiny_cfgs()
     from neurons_tpu.models.neurons import NeuronsCore

@@ -141,6 +141,7 @@ class TestCccat:
         np.testing.assert_allclose(vals[-1], 5, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestStage5Pipeline:
     def test_end_to_end_tiny(self, rng):
         from neurons_tpu.models.vae import AutoencoderKL
@@ -186,6 +187,7 @@ class TestStage5Pipeline:
         assert np.isfinite(v).all() and v.min() >= 0 and v.max() <= 1
 
 
+@pytest.mark.slow
 class TestVideoEncoderReuse:
     """Faster-Diffusion encoder propagation in the stage-5 DDIM loop."""
 
@@ -255,6 +257,7 @@ class TestVideoEncoderReuse:
         assert np.isfinite(np.asarray(out.latents)).all()
 
 
+@pytest.mark.slow
 class TestVideoTGate:
     """TGATE gating for the stage-5 DDIM loop (PAPERS.md, arXiv
     2404.02747): cross-attn residual capture/replay + CFG collapse."""
@@ -355,6 +358,7 @@ class TestVideoTGate:
             self._run(m, params, cfg, 4, tgate_step=2, encoder_reuse=2)
 
 
+@pytest.mark.slow
 class TestVideoTGateControlnet:
     def test_tgate_with_controlnet_residual_freeze(self, rng):
         """TGATE with SparseCtrl: the gated phase reuses half-averaged
@@ -410,6 +414,7 @@ class TestVideoTGateControlnet:
         assert np.isfinite(np.asarray(fast.latents)).all()
 
 
+@pytest.mark.slow
 class TestVideoPAB:
     def test_pab_identity_and_fast_paths(self, rng):
         """PAB (arXiv 2408.12588): with intervals (1,1,1) every step
@@ -491,6 +496,7 @@ class TestVideoPAB:
                 num_steps=4, n_frames=F, pab=(2, 3, 5))
 
 
+@pytest.mark.slow
 class TestTGatePABComposition:
     def test_tgate_pab_runs_and_tracks_tgate(self, rng):
         """TGATE x PAB (spatial+temporal broadcast inside the gated

@@ -126,7 +126,9 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
             sl = slice(start, start + eval_bs)
             ev = eval_fn(state.params,
                          jnp.asarray(test_split.voxel[sl, :1]),
-                         jnp.asarray(clip_targets_test[sl, 2]),
+                         jnp.asarray(np.asarray(
+                             clip_targets_test[sl, min(2, clip_targets_test.shape[1] - 1)],
+                             np.float32)),
                          jnp.asarray(test_split.text_emb[sl]))
             for k in sums:
                 sums[k] += float(ev[k])
@@ -176,6 +178,9 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                test_split: Optional[cc2017.CC2017Split] = None,
                clip_targets_test: Optional[np.ndarray] = None,
                image_log_every: int = 1,
+               bf16_frozen_core: bool = False,
+               last_save_every: int = 0,
+               stop_after_epochs: Optional[int] = None,
                ) -> train_brain.TrainState:
     """Stage-2 training (reference `--neurons_decoupler` branch).
     `batch_builder(batch, epoch)` assembles the precomputed-table fields
@@ -183,7 +188,15 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
     With `test_split` + `clip_targets_test`, the per-epoch
     `brain_model_prior` save is gated on the best retrieval metric
     (reference train_neurons.py:629-641); otherwise it saves every
-    epoch."""
+    epoch.
+    `bf16_frozen_core=True` holds the forward-only stage-1 core in bf16
+    (the reference trains under fp16 autocast, train_neurons.py:17;
+    ~3.9 GB HBM back — required for full size + Adam on one 16 GB v5e,
+    measured in tools/train_bench.py).
+    `last_save_every=k` writes the full-state `brain_model_prior_last`
+    every k epochs so a mid-run SIGKILL resumes losslessly (the
+    reference only writes `_last` at the very end, :646-650).
+    `stop_after_epochs=k` simulates a preemption like run_stage1's."""
     if logger is None:
         from neurons_tpu.utils.metrics_log import MetricLogger
         logger = MetricLogger(log_dir=ckpt_dir)
@@ -205,6 +218,14 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
             ckpt_dir, "brain_model_prior_last", state,
             train_decoupler.TrainState)
         _log(f"--- resumed brain_model_prior_last at epoch {start_epoch} ---")
+    if bf16_frozen_core:
+        params = dict(state.params)
+        params["core"] = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params["core"])
+        state = train_decoupler.TrainState(params, state.opt_state,
+                                           state.step)
 
     core_eval = None
     if test_split is not None and clip_targets_test is not None:
@@ -218,6 +239,7 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
     for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
         ep_losses = []
+        ep_comps: Dict[str, list] = {}
         temp_idx = min(max(epoch - int(tcfg.mixup_pct * tcfg.num_epochs), 0),
                        len(soft_temps) - 1)
         def _stage2_batches():
@@ -231,6 +253,11 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                                      jnp.asarray(epoch), jnp.asarray(it),
                                      jnp.asarray(soft_temps[temp_idx]))
             ep_losses.append(metrics["loss"])
+            # every loss component, still async (float() only at epoch
+            # end) — the production-run artifact wants per-epoch curves
+            # of each term (reference logs them per step, :505-529)
+            for k, v in metrics.items():
+                ep_comps.setdefault(k, []).append(v)
             last_batch = sb
             if it % log_every == 0:
                 _log(f"epoch {epoch} it {it}: "
@@ -259,7 +286,9 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                 sl = slice(start, start + eval_bs)
                 ev = core_eval(state.params["core"],
                                jnp.asarray(test_split.voxel[sl, :1]),
-                               jnp.asarray(clip_targets_test[sl, 2]),
+                               jnp.asarray(np.asarray(
+                             clip_targets_test[sl, min(2, clip_targets_test.shape[1] - 1)],
+                             np.float32)),
                                jnp.asarray(test_split.text_emb[sl]))
                 acc[0] += float(ev["test_fwd_percent_correct"])
                 acc[1] += float(ev["test_bwd_percent_correct"])
@@ -269,6 +298,9 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
             _log(f"epoch {epoch}: eval metric {metric:.3f}")
         logger.log_metrics({"epoch": epoch,
                             "train/mean_loss": float(np.mean(ep_losses)),
+                            **{f"train/mean_{k}": float(np.mean(
+                                [float(x) for x in v]))
+                               for k, v in ep_comps.items() if k != "loss"},
                             **({"test/retrieval_metric": metric}
                                if metric is not None else {}),
                             "epoch_seconds": time.time() - t0},
@@ -281,6 +313,22 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
             ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior",
                                params=state.params, step=int(state.step),
                                epoch=epoch)
+        if (ckpt_dir and last_save_every
+                and (epoch + 1) % last_save_every == 0):
+            ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
+                               params=state.params,
+                               opt_state=state.opt_state,
+                               step=int(state.step), epoch=epoch)
+        if (stop_after_epochs is not None
+                and epoch + 1 - start_epoch >= stop_after_epochs
+                and epoch + 1 < tcfg.num_epochs):
+            if ckpt_dir:
+                ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
+                                   params=state.params,
+                                   opt_state=state.opt_state,
+                                   step=int(state.step), epoch=epoch)
+            _log(f"--- simulated preemption after epoch {epoch} ---")
+            return state
     if ckpt_dir and tcfg.ckpt_saving:
         ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
                            params=state.params, opt_state=state.opt_state,

@@ -1,0 +1,401 @@
+"""Production-recipe training runs, completed end-to-end (VERDICT r3
+item 4). The reference trains stage 1 for 30 epochs and stage 2 for 50
+(reference train_neurons.sh:41-66, batch 120 / batch 10, max_lr 5e-5,
+4320 train clips, 1200-clip test eval per epoch); prior rounds proved
+single full-size steps only. This drives the real `training/loop.py`
+loops at production shape on one chip, over structured synthetic data
+(learnable linear readouts of shared per-clip latents — real tensors
+are egress-blocked), with:
+
+  - disk-streamed f16 frozen-encoder tables (the production input path,
+    loop.table_stage2_batch_builder; the full stage-2 table is 21 GB),
+  - epoch-end retrieval eval on the FULL 1200-clip test tensors,
+  - best-metric (`brain_model_prior`) + periodic full-state `_last`
+    checkpoint rotation,
+  - one REAL mid-run kill (SIGKILL) + resume when --kill_after_epoch
+    is set: the orchestrator watches the child's epoch lines, kills it
+    cold, and relaunches with --resume,
+  - a final CLI-consumption check: `neurons recon` must load the
+    written `brain_model_prior_last` (cli._load_decoupler_params).
+
+Writes TRAIN_r04.json: per-epoch loss components, retrieval curve,
+epoch-second stability, the kill/resume event, checkpoint inventory.
+
+Run ON THE TPU from /root/repo:
+    python tools/train_production.py stage2 --kill_after_epoch 7
+    python tools/train_production.py stage1 --hidden 2048
+"""
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+N_TRAIN, N_TEST = 4320, 1200  # reference train_neurons.py:65,73
+SEQ, EMB, TXT = 256, 1664, 1280
+N_FRAMES, VAE_HW, IMG = 6, 28, 224
+N_CLASSES, LATENT = 51, 64
+GPT2_VOCAB = 50257
+if os.environ.get("NEURONS_TPU_PROD_TINY"):  # smoke-test scale (CPU)
+    N_TRAIN, N_TEST, SEQ, EMB, TXT = 64, 24, 16, 32, 24
+    VAE_HW, IMG, LATENT = 8, 32, 16
+    N_FRAMES = 2  # cli.py's --tiny DecouplerConfig(n_frames=2): the
+    # consume_check overlays this checkpoint onto the CLI's tiny models
+
+
+def _gen_tables(root_dir: str, voxels: int, seed: int = 0):
+    """Structured synthetic production tables on disk (f16, mmap-
+    streamed): every modality a fixed linear readout of a shared
+    per-clip latent (same recipe as cc2017.structured_synthetic_split,
+    scaled to production dims and chunk-written)."""
+    import numpy as np
+
+    os.makedirs(root_dir, exist_ok=True)
+    done_flag = os.path.join(root_dir, ".tables_done")
+    if os.path.exists(done_flag):
+        print(f"--- tables already present in {root_dir} ---")
+        return
+    t0 = time.time()
+    gg = np.random.default_rng(7)
+    k = LATENT
+    A = (gg.standard_normal((k, voxels), dtype=np.float32)
+         / np.sqrt(k))
+    B = (gg.standard_normal((k, SEQ * EMB), dtype=np.float32)
+         / np.sqrt(k))
+    C = (gg.standard_normal((k, TXT), dtype=np.float32) / np.sqrt(k))
+    D = (gg.standard_normal((k, N_FRAMES * 4 * VAE_HW * VAE_HW),
+                            dtype=np.float32) / np.sqrt(k))
+    np.save(os.path.join(root_dir, "class_text_embeds.npy"),
+            gg.standard_normal((N_CLASSES, TXT), dtype=np.float32))
+
+    g = np.random.default_rng(seed)
+    for tag, n in (("train", N_TRAIN), ("test", N_TEST)):
+        z = g.standard_normal((n, k), dtype=np.float32)
+        np.save(os.path.join(root_dir, f"z_{tag}.npy"), z)
+        # voxels: 2 repeats train (epoch-parity selection), 1 test
+        reps = 2 if tag == "train" else 1
+        vox = (z @ A)[:, None] + 0.1 * g.standard_normal(
+            (n, reps, voxels), dtype=np.float32)
+        np.save(os.path.join(root_dir, f"voxel_{tag}.npy"),
+                vox.astype(np.float32))
+        np.save(os.path.join(root_dir, f"text_emb_{tag}.npy"), z @ C)
+        # the big CLIP table, chunk-written f16
+        out = np.lib.format.open_memmap(
+            os.path.join(root_dir, f"clip_targets_{tag}.npy"), mode="w+",
+            dtype=np.float16, shape=(n, N_FRAMES, SEQ, EMB))
+        chunk = 240
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            base = (z[s:e] @ B).reshape(e - s, 1, SEQ, EMB)
+            jitter = 0.05 * g.standard_normal(
+                (e - s, N_FRAMES, SEQ, EMB), dtype=np.float32)
+            out[s:e] = (base + jitter).astype(np.float16)
+        out.flush()
+        del out
+        np.save(os.path.join(root_dir, f"vae_latents_{tag}.npy"),
+                (z @ D).reshape(n, N_FRAMES, 4, VAE_HW, VAE_HW)
+                .astype(np.float16))
+        print(f"--- {tag} tables written ({time.time() - t0:.0f}s) ---",
+              flush=True)
+    # loop.table_stage2_batch_builder streams clip/vae by these names
+    for f in ("clip_targets", "vae_latents"):
+        src = os.path.join(root_dir, f"{f}_train.npy")
+        assert os.path.exists(src)
+    open(done_flag, "w").write("ok")
+    print(f"--- tables done in {time.time() - t0:.0f}s ---", flush=True)
+
+
+def _splits(root_dir: str, voxels: int, seed: int = 0):
+    import numpy as np
+
+    from neurons_tpu.data.cc2017 import CC2017Split
+
+    g = np.random.default_rng(seed + 1)
+    out = []
+    for tag, n in (("train", N_TRAIN), ("test", N_TEST)):
+        out.append(CC2017Split(
+            voxel=np.load(os.path.join(root_dir, f"voxel_{tag}.npy"),
+                          mmap_mode="r"),
+            images=np.zeros((n, N_FRAMES, 3, 8, 8), np.float32),
+            text_emb=np.load(os.path.join(root_dir,
+                                          f"text_emb_{tag}.npy")),
+            clip_tokens=g.integers(1, GPT2_VOCAB,
+                                   size=(n, 77)).astype(np.int64),
+            cls_label=(g.uniform(size=(n, N_CLASSES)) < 0.15
+                       ).astype(np.float32),
+            key_obj_masks=(g.uniform(size=(n, N_FRAMES, IMG, IMG)) < 0.3
+                           ).astype(np.uint8) if tag == "train" else None,
+            key_obj_cls=g.integers(0, N_CLASSES, size=(n,))
+            .astype(np.int32) if tag == "train" else None,
+        ))
+    return out
+
+
+def _setup_platform():
+    """The axon TPU plugin re-pins JAX_PLATFORMS at interpreter startup;
+    an env-var `cpu` request must be re-forced through jax.config before
+    backend init (same workaround as tools/train_bench.py)."""
+    import jax
+
+    from neurons_tpu.utils import compile_cache
+    want_cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "")
+    compile_cache.setup("cpu" if want_cpu else "tpu")
+    if want_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+
+def worker_stage2(args):
+    _setup_platform()
+    import numpy as np
+
+    from neurons_tpu.config import (BrainModelConfig, DecouplerConfig,
+                                    MeshConfig, PriorConfig, TrainConfig)
+    from neurons_tpu.models.gpt2 import GPT2Config
+    from neurons_tpu.parallel import create_mesh
+    from neurons_tpu.training import loop
+
+    if os.environ.get("NEURONS_TPU_PROD_TINY"):
+        from neurons_tpu.models.gpt2 import tiny_gpt2_config
+        bcfg = BrainModelConfig(hidden_dim=32, n_blocks=1, seq_len=1,
+                                clip_seq_dim=SEQ, clip_emb_dim=EMB,
+                                clip_txt_emb_dim=TXT, subjects=(3,))
+        pcfg = PriorConfig(dim=32, depth=1, dim_head=8, heads=4,
+                           num_tokens=SEQ, timesteps=5)
+        dcfg = DecouplerConfig(n_frames=N_FRAMES, num_classes=N_CLASSES,
+                               clip_emb_dim=EMB, clip_txt_emb_dim=TXT,
+                               decoder_block_out_channels=(8, 8, 8))
+        gcfg = tiny_gpt2_config()
+    else:
+        bcfg = BrainModelConfig(subjects=(1,))
+        pcfg, dcfg, gcfg = PriorConfig(), DecouplerConfig(), GPT2Config()
+    tcfg = TrainConfig(batch_size=args.batch, num_epochs=args.epochs,
+                       max_lr=5e-5, neurons_decoupler=True,
+                       ckpt_saving=True)
+    _gen_tables(args.root_dir, bcfg.voxel_counts[0])
+    train_split, test_split = _splits(args.root_dir, bcfg.voxel_counts[0])
+    ct_test = np.load(os.path.join(args.root_dir, "clip_targets_test.npy"),
+                      mmap_mode="r")
+    builder = loop.table_stage2_batch_builder(args.root_dir, dcfg,
+                                              gcfg.vocab_size)
+    mesh = create_mesh(MeshConfig(data=-1))
+    loop.run_stage2(
+        bcfg, pcfg, dcfg, tcfg, gcfg, mesh, train_split, builder,
+        ckpt_dir=args.ckpt_dir, log_every=100, resume=args.resume,
+        test_split=test_split, clip_targets_test=ct_test,
+        image_log_every=0, bf16_frozen_core=True,
+        last_save_every=args.last_save_every)
+    print("=== stage-2 production run complete ===", flush=True)
+
+
+def worker_stage1(args):
+    _setup_platform()
+    import numpy as np
+
+    from neurons_tpu.config import BrainModelConfig, MeshConfig, TrainConfig
+    from neurons_tpu.parallel import create_mesh
+    from neurons_tpu.training import loop
+
+    if os.environ.get("NEURONS_TPU_PROD_TINY"):
+        bcfg = BrainModelConfig(hidden_dim=32, n_blocks=1, seq_len=1,
+                                clip_seq_dim=SEQ, clip_emb_dim=EMB,
+                                clip_txt_emb_dim=TXT, subjects=(3,))
+        tcfg = TrainConfig(batch_size=8, num_epochs=args.epochs,
+                           max_lr=1e-3, mixup_pct=1.0, ckpt_saving=True)
+    else:
+        # largest single-chip-fittable width (h=4096 f32 Adam is 22 GB
+        # -> the TP+ZeRO mesh; h=2048 fits one chip: tools/train_bench.py)
+        bcfg = BrainModelConfig(subjects=(1,), hidden_dim=args.hidden)
+        tcfg = TrainConfig(batch_size=120, num_epochs=args.epochs,
+                           max_lr=5e-5, mixup_pct=1.0, ckpt_saving=True)
+    _gen_tables(args.root_dir, bcfg.voxel_counts[0])
+    train_split, test_split = _splits(args.root_dir, bcfg.voxel_counts[0])
+    ct_train = np.load(os.path.join(args.root_dir,
+                                    "clip_targets_train.npy"), mmap_mode="r")
+    ct_test = np.load(os.path.join(args.root_dir, "clip_targets_test.npy"),
+                      mmap_mode="r")
+    mesh = create_mesh(MeshConfig(data=-1))
+    loop.run_stage1(bcfg, tcfg, mesh, train_split, test_split,
+                    ct_train, ct_test, ckpt_dir=args.ckpt_dir,
+                    log_every=10, resume=args.resume)
+    print("=== stage-1 production run complete ===", flush=True)
+
+
+def orchestrate(args) -> dict:
+    """Run the worker as a child; optionally SIGKILL it after it logs
+    `--kill_after_epoch` completed epochs, then relaunch with --resume."""
+    base = [sys.executable, os.path.abspath(__file__), args.stage,
+            "--worker", "--epochs", str(args.epochs),
+            "--batch", str(args.batch), "--hidden", str(args.hidden),
+            "--root_dir", args.root_dir, "--ckpt_dir", args.ckpt_dir,
+            "--last_save_every", str(args.last_save_every)]
+    if args.kill_after_epoch is not None:
+        # the resume point is the newest periodic _last save; a kill
+        # before the first one would restart from epoch 0 (measured
+        # in the tiny smoke: deterministic replay, but not a resume)
+        assert args.kill_after_epoch + 1 > args.last_save_every, (
+            "kill_after_epoch must land after the first _last save")
+    log_path = args.log or f"/tmp/train_{args.stage}.log"
+    open(log_path, "w").close()  # fresh log: the kill watcher greps it
+    events = []
+
+    def launch(resume: bool, kill_after=None):
+        cmd = base + (["--resume"] if resume else [])
+        print(f"+ {' '.join(cmd)} (log -> {log_path})", flush=True)
+        with open(log_path, "ab", buffering=0) as lf:
+            p = subprocess.Popen(cmd, cwd=_REPO, stdout=lf,
+                                 stderr=subprocess.STDOUT)
+            if kill_after is None:
+                return p.wait()
+            # watch the log for completed-epoch lines; kill COLD
+            pat = f"epoch {kill_after}: mean_loss"
+            while p.poll() is None:
+                time.sleep(10)
+                try:
+                    txt = open(log_path, errors="replace").read()
+                except OSError:
+                    continue
+                if pat in txt:
+                    time.sleep(5)  # land mid-epoch k+1, past a _last save
+                    os.kill(p.pid, signal.SIGKILL)
+                    events.append({"event": "sigkill",
+                                   "after_epoch_line": pat,
+                                   "t": time.time()})
+                    p.wait()
+                    return -9
+            return p.returncode
+
+    t0 = time.time()
+    if args.kill_after_epoch is not None:
+        rc = launch(resume=args.resume, kill_after=args.kill_after_epoch)
+        assert rc == -9, f"child exited rc={rc} before the planned kill"
+        events.append({"event": "resume_launch"})
+        rc = launch(resume=True)
+    else:
+        rc = launch(resume=args.resume)
+    wall = time.time() - t0
+    if rc != 0:
+        raise RuntimeError(f"worker failed rc={rc}; see {log_path}")
+    return {"events": events, "wall_s": round(wall, 1),
+            "log": log_path}
+
+
+def summarize(args, run_info: dict) -> dict:
+    rows = []
+    mpath = os.path.join(args.ckpt_dir, "metrics.jsonl")
+    with open(mpath) as f:
+        for line in f:
+            r = json.loads(line)
+            if "epoch" in r:
+                rows.append(r)
+    # one row per epoch (resume may duplicate a logged epoch: keep last)
+    by_ep = {int(r["epoch"]): r for r in rows}
+    epochs = [by_ep[e] for e in sorted(by_ep)]
+    losses = [r["train/mean_loss"] for r in epochs]
+    secs = [r["epoch_seconds"] for r in epochs]
+    retr = [r.get("test/retrieval_metric",
+                  (r.get("test/fwd_pct", 0) + r.get("test/bwd_pct", 0)
+                   + r.get("test/text_pct", 0)) or None) for r in epochs]
+    comp_keys = sorted(k for k in epochs[-1] if k.startswith("train/mean_")
+                       and k != "train/mean_loss")
+    doc = {
+        "stage": args.stage,
+        "recipe": {"epochs": args.epochs, "batch": args.batch,
+                   "max_lr": 5e-5, "train_clips": N_TRAIN,
+                   "test_clips": N_TEST,
+                   **({"hidden": args.hidden}
+                      if args.stage == "stage1" else {})},
+        "data": "structured synthetic (learnable linear readouts; real "
+                "tensors egress-blocked), f16 tables streamed from disk",
+        "epochs_completed": len(epochs),
+        "loss_first_last": [round(losses[0], 4), round(losses[-1], 4)],
+        "loss_curve": [round(x, 4) for x in losses],
+        "retrieval_curve": [round(x, 4) if x is not None else None
+                            for x in retr],
+        "loss_components_last_epoch": {
+            k.replace("train/mean_", ""): round(epochs[-1][k], 4)
+            for k in comp_keys},
+        "epoch_seconds": {"first": round(secs[0], 1),
+                          "median": round(sorted(secs)[len(secs) // 2], 1),
+                          "last": round(secs[-1], 1)},
+        "kill_resume": run_info["events"] or None,
+        "wall_s": run_info["wall_s"],
+        "checkpoints": sorted(os.listdir(args.ckpt_dir)),
+    }
+    return doc
+
+
+def consume_check(args) -> dict:
+    """Prove the trained checkpoint is CLI-consumable: `neurons recon`
+    overlays `brain_model_prior_last` from {exp_dir}/exp_{exp}/
+    checkpoints (cli._load_decoupler_params) — run it over a tmp exp_dir
+    whose checkpoints/ is a symlink to the run's (stage 2 only)."""
+    import tempfile
+
+    exp_dir = tempfile.mkdtemp(prefix="train_consume_")
+    sub = os.path.join(exp_dir, "exp_exp1")
+    os.makedirs(sub, exist_ok=True)
+    os.symlink(os.path.abspath(args.ckpt_dir),
+               os.path.join(sub, "checkpoints"))
+    cmd = [sys.executable, "-m", "neurons_tpu.cli", "recon", "--synthetic",
+           "--exp_dir", exp_dir, "--n_test", "4"]
+    if os.environ.get("NEURONS_TPU_PROD_TINY"):
+        cmd += ["--tiny", "--platform", "cpu", "--subj", "3"]
+    print("+", " ".join(cmd), flush=True)
+    r = subprocess.run(cmd, cwd=_REPO, capture_output=True, text=True,
+                       timeout=7200)
+    loaded = "loaded brain_model_prior_last" in r.stdout
+    if r.returncode != 0:
+        print(r.stdout[-2000:], r.stderr[-2000:])
+    return {"rc": r.returncode, "ckpt_overlay_loaded": loaded}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", choices=["stage1", "stage2"])
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=10)
+    ap.add_argument("--hidden", type=int, default=2048)
+    ap.add_argument("--root_dir", default="/root/train_tables")
+    ap.add_argument("--ckpt_dir", default=None)
+    ap.add_argument("--kill_after_epoch", type=int, default=None)
+    ap.add_argument("--last_save_every", type=int, default=5)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--log", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--consume_check", action="store_true",
+                    help="after stage-2 training, prove `neurons recon` "
+                         "loads the written checkpoint")
+    args = ap.parse_args()
+    if args.epochs is None:
+        args.epochs = 50 if args.stage == "stage2" else 30
+    if args.ckpt_dir is None:
+        args.ckpt_dir = f"/root/train_prod/{args.stage}/checkpoints"
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+
+    if args.worker:
+        (worker_stage2 if args.stage == "stage2" else worker_stage1)(args)
+        return
+
+    run_info = orchestrate(args)
+    doc = summarize(args, run_info)
+    if args.consume_check and args.stage == "stage2":
+        doc["cli_consumption"] = consume_check(args)
+    out = args.out or os.path.join(
+        _REPO, f"TRAIN_r04_{args.stage}.json"
+        if args.stage == "stage1" else "TRAIN_r04.json")
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps({k: v for k, v in doc.items()
+                      if k != "loss_curve"}, indent=2))
+    print(f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()

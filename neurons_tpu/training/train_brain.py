@@ -149,8 +149,10 @@ def select_stage1_inputs(batch: Dict[str, np.ndarray], epoch: int,
     if clip_targets is not None:
         # f32 cast here so the table can live on disk in f16 (a full
         # 4320x6x256x1664 table is 21 GB f16 vs 43 GB f32; the builders
-        # stream it mmap'ed — see loop.table_stage2_batch_builder)
-        target = np.asarray(clip_targets[batch["index"], 2 + r],
+        # stream it mmap'ed — see loop.table_stage2_batch_builder);
+        # frame clamps to the table depth for short tiny-smoke tables
+        frame = min(2 + r, clip_targets.shape[1] - 1)
+        target = np.asarray(clip_targets[batch["index"], frame],
                             np.float32)
         return voxel, target
     return voxel, batch["images"][:, 2 + r]

@@ -615,12 +615,17 @@ def cmd_caption(args):
             raise
         imgs = np.random.default_rng(args.seed).uniform(
             size=(4, 3, hw, hw)).astype(np.float32)
-    imgs = jax.image.resize(jnp.asarray(imgs),
-                            (imgs.shape[0], 3, hw, hw), "linear")
-    # BLIP preprocessing: CLIP mean/std normalization of [0,1] images
+    # whole-split images stay HOST numpy (1200 clips x 256px is ~1 GB;
+    # resizing them on device kept a whole-split buffer resident next to
+    # the 3.74B-param model) — resize + CLIP-normalize per batch below
     mean = jnp.array([0.48145466, 0.4578275, 0.40821073])[:, None, None]
     std = jnp.array([0.26862954, 0.26130258, 0.27577711])[:, None, None]
-    imgs = (imgs - mean[None]) / std[None]
+
+    def _prep(chunk):  # [b, 3, H, W] host -> normalized [b, 3, hw, hw]
+        x = jnp.asarray(chunk, jnp.float32)
+        if x.shape[-2:] != (hw, hw):
+            x = jax.image.resize(x, (x.shape[0], 3, hw, hw), "linear")
+        return (x - mean[None]) / std[None]
 
     key = jax.random.PRNGKey(args.seed)
     wfile = os.path.join(args.weights_dir, "blip2-opt.pt")
@@ -640,11 +645,11 @@ def cmd_caption(args):
             # 3.74B params: host-filled, never a 15 GB f32 device init
             from neurons_tpu.utils.synth_init import synth_params
             params = synth_params(
-                lambda: model.init(key, imgs[:1],
+                lambda: model.init(key, _prep(imgs[:1]),
                                    jnp.zeros((1, 2), jnp.int32))["params"],
                 seed=args.seed)
         else:
-            params = model.init(key, imgs[:1],
+            params = model.init(key, _prep(imgs[:1]),
                                 jnp.zeros((1, 2), jnp.int32))["params"]
 
     # module compute dtype (bf16 at full size like stages 3/5: halves
@@ -669,9 +674,9 @@ def cmd_caption(args):
         chunk = imgs[i:i + bs]
         pad = bs - chunk.shape[0]
         if pad:  # fixed shapes: a ragged tail would recompile generate
-            chunk = jnp.concatenate(
-                [chunk, jnp.repeat(chunk[-1:], pad, 0)], 0)
-        toks.append(np.asarray(gen(params, chunk))[:bs - pad])
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+        toks.append(np.asarray(gen(params, _prep(chunk)))[:bs - pad])
         done = min(i + bs, n_imgs)
         marks.append((done, _time.perf_counter() - t0))
         if done % 64 < bs or done == n_imgs:
@@ -814,7 +819,11 @@ def cmd_video(args):
             sel = sel[:2]
         elif getattr(args, "n_test", 0):
             sel = sel[:args.n_test]
-        keyframes = jnp.asarray(art["all_recons"][sel], jnp.float32)
+        # HOST residency: the full split's recons are 8.5 GB f32 at 1200
+        # clips x 768px — whole-split arrays stay numpy, only per-batch
+        # slices reach the device (the first full-split drive OOM'd the
+        # 16 GB chip exactly here)
+        keyframes = np.asarray(art["all_recons"][sel], np.float32)
         # GT video source preference: the dataset's GT_test_3fps.pt
         # (what the reference composites into the GIFs,
         # scripts/neuroclips_video.py:197-204); else the stage-3 GT
@@ -834,17 +843,14 @@ def cmd_video(args):
                 gts = gts[:, None]
         bv = art["blurry_videos"]
         if bv.ndim == 5 and bv.shape[2] == 3:  # pixel video [N, F, 3, H, W]
-            blurry = jnp.asarray(bv[sel], jnp.float32)
-            if blurry.shape[-1] != hw:
-                n_sel, f_sel = blurry.shape[:2]
-                blurry = jax.image.resize(
-                    blurry, (n_sel, f_sel, 3, hw, hw), "linear")
+            blurry = np.asarray(bv[sel], np.float32)  # host; 5.7 GB at
+            # 1200 clips — per-batch slices resize on device below
     except FileNotFoundError:
         if not args.synthetic:
             raise
         keyframes, gts, sel = None, None, np.arange(2)
     if keyframes is None or keyframes.ndim != 4:
-        keyframes = jnp.asarray(g.uniform(size=(2, 3, hw, hw)), jnp.float32)
+        keyframes = g.uniform(size=(2, 3, hw, hw)).astype(np.float32)
         gts = None
     if gts is None:
         if not (args.tiny or args.synthetic):
@@ -853,15 +859,13 @@ def cmd_video(args):
                 f"nor stage-3 all_gts found")
         gts = g.uniform(size=(int(keyframes.shape[0]), 6, 3, hw, hw)
                         ).astype(np.float32)
-    keyframes = jax.image.resize(keyframes,
-                                 (keyframes.shape[0], 3, hw, hw), "linear")
     if blurry is None:
         if not (args.tiny or args.synthetic):
             raise RuntimeError(
                 "stage-3 blurry videos missing/malformed in "
                 f"{st3}/recon_videos.pt — rerun stage 3")
-        blurry = jnp.asarray(
-            g.uniform(size=(keyframes.shape[0], 6, 3, hw, hw)), jnp.float32)
+        blurry = g.uniform(size=(int(keyframes.shape[0]), 6, 3, hw, hw)
+                           ).astype(np.float32)
 
     # caption embeddings: the reference embeds the stage-3/4 captions with
     # the SD-1.5 CLIP text encoder (scripts/neuroclips_video.py:95-117 +
@@ -892,13 +896,18 @@ def cmd_video(args):
         for i, c in enumerate([captions[int(s)] for s in sel]):
             t = tokenize([c], context_length=77)[0]
             toks[i, :len(t)] = t
-        last, _ = tower.apply({"params": tparams}, jnp.asarray(toks))
-        text = jnp.asarray(last, jnp.float32)
+        # chunked encode, host-collected: a single 1200x77 forward keeps
+        # multi-GB activations on device alongside the UNet3D stack
+        chunks = []
+        for s in range(0, len(toks), 128):
+            last, _ = tower.apply({"params": tparams},
+                                  jnp.asarray(toks[s:s + 128]))
+            chunks.append(np.asarray(last, np.float32))
+        text = np.concatenate(chunks, 0)
         print("--- caption text embeddings from SD CLIP text encoder ---")
     if text is None:
-        text = jnp.asarray(g.normal(size=(keyframes.shape[0],
-                                          ctx0.shape[1], ctx_dim)) * 0.1,
-                           jnp.float32)
+        text = (g.normal(size=(int(keyframes.shape[0]), ctx0.shape[1],
+                               ctx_dim)) * 0.1).astype(np.float32)
 
     # ONE jitted per-batch denoise program, looped over the clip set.
     # Per-clip compute already saturates the chip (CLAUDE.md: batch 2
@@ -953,7 +962,17 @@ def cmd_video(args):
     t0 = _time.perf_counter()
     for i in range(0, n_sel, vb):
         sl = slice(i, i + vb)
-        blur_b, kf_b, txt_b = blurry[sl], keyframes[sl], text[sl]
+        # whole-split tensors are HOST numpy; only this batch's slice is
+        # shipped + resized on device (fixed shapes: one jit entry)
+        blur_b = jnp.asarray(blurry[sl], jnp.float32)
+        if blur_b.shape[-2:] != (hw, hw):
+            blur_b = jax.image.resize(
+                blur_b, blur_b.shape[:3] + (hw, hw), "linear")
+        kf_b = jnp.asarray(keyframes[sl], jnp.float32)
+        if kf_b.shape[-2:] != (hw, hw):
+            kf_b = jax.image.resize(
+                kf_b, (kf_b.shape[0], 3, hw, hw), "linear")
+        txt_b = jnp.asarray(text[sl], jnp.float32)
         pad = vb - kf_b.shape[0]
         if pad:  # fixed shapes keep the jit cache hot on the last batch
             rep = lambda x: jnp.concatenate(

@@ -563,14 +563,18 @@ def cmd_recon(args):
     all_recons, all_blurry, all_caps = [], [], []
     marks = []
     t0 = _time.perf_counter()
-    for i in range(0, n_total, bs):
+
+    def _dispatch3(i):
         vox = np.asarray(test_split.voxel[i:i + bs, :1], np.float32)
         pad = bs - vox.shape[0]
         if pad:  # fixed shapes keep the jit cache hot on the last batch
             vox = np.concatenate([vox, np.repeat(vox[-1:], pad, 0)])
-        recons, blurry_px, caps = _run_batch(
-            dec_params, unet_params, vae_params,
-            jax.random.fold_in(key, i), jnp.asarray(vox))
+        return _run_batch(dec_params, unet_params, vae_params,
+                          jax.random.fold_in(key, i),
+                          jnp.asarray(vox)), pad
+
+    def _materialize3(i, outs, pad):
+        recons, blurry_px, caps = outs
         k = bs - pad
         all_recons.append(np.asarray(recons)[:k])
         all_blurry.append(np.asarray(blurry_px)[:k])
@@ -581,6 +585,17 @@ def cmd_recon(args):
         marks.append((done, el))
         print(f"--- stage 3: {done}/{n_total} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
+
+    # dispatch-ahead (see stage 5): the ~18 MB/batch D2H of recon +
+    # blurry pixels rides the tunnel while the device runs batch i+1
+    pending = None
+    for i in range(0, n_total, bs):
+        nxt = (i, *_dispatch3(i))
+        if pending is not None:
+            _materialize3(*pending)
+        pending = nxt
+    if pending is not None:
+        _materialize3(*pending)
     _record_steady("3", marks, bs)
 
     out_dir = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
@@ -719,6 +734,7 @@ def cmd_video(args):
     from neurons_tpu.models.sparse_controlnet import SparseControlNetModel
     from neurons_tpu.models.unet3d import UNet3DModel
     from neurons_tpu.models.vae import AutoencoderKL
+    from neurons_tpu.ops.resize import resize_np
     from neurons_tpu.pipelines import io
     from neurons_tpu.pipelines.video import reconstruct_video
 
@@ -960,10 +976,12 @@ def cmd_video(args):
     gts = np.asarray(gts)
     marks = []
     t0 = _time.perf_counter()
-    for i in range(0, n_sel, vb):
+
+    def _dispatch(i):
+        """Enqueue batch i's device work; returns the async result.
+        Whole-split tensors are HOST numpy; only this batch's slice is
+        shipped + resized on device (fixed shapes: one jit entry)."""
         sl = slice(i, i + vb)
-        # whole-split tensors are HOST numpy; only this batch's slice is
-        # shipped + resized on device (fixed shapes: one jit entry)
         blur_b = jnp.asarray(blurry[sl], jnp.float32)
         if blur_b.shape[-2:] != (hw, hw):
             blur_b = jax.image.resize(
@@ -978,9 +996,14 @@ def cmd_video(args):
             rep = lambda x: jnp.concatenate(
                 [x, jnp.repeat(x[-1:], pad, 0)], 0)
             blur_b, kf_b, txt_b = rep(blur_b), rep(kf_b), rep(txt_b)
-        video = np.asarray(_run_batch(uparams, cparams, vparams,
-                                      jax.random.fold_in(key, i),
-                                      blur_b, kf_b, txt_b))[:vb - pad]
+        return _run_batch(uparams, cparams, vparams,
+                          jax.random.fold_in(key, i),
+                          blur_b, kf_b, txt_b), pad
+
+    def _materialize(i, video_dev, pad):
+        """Block on batch i's result and do the host-side composition.
+        Runs while the device crunches batch i+1 (dispatch-ahead)."""
+        video = np.asarray(video_dev)[:vb - pad]
         if not args.tiny:
             # the reference's saved-GIF frame dialect: drop the first 4
             # frames, then every other — 16 -> 6 frames, matching the
@@ -991,12 +1014,12 @@ def cmd_video(args):
             if gt_i.shape[0] < video.shape[1]:
                 reps = -(-video.shape[1] // gt_i.shape[0])
                 gt_i = np.tile(gt_i, (reps, 1, 1, 1))[:video.shape[1]]
-            if gt_i.shape[-2:] != video.shape[-2:]:
-                # resize only when needed — an unconditional call here
-                # cost a tunnel round-trip PER CLIP on same-size GTs
-                gt_i = np.asarray(jax.image.resize(
-                    jnp.asarray(gt_i), (video.shape[1], 3, video.shape[3],
-                                        video.shape[4]), "linear"))
+            # host resize (same bilinear taps as the device path): the
+            # 224-px GT row vs 256-px video makes this fire on EVERY
+            # production clip — a device call here cost a tunnel
+            # round-trip per clip serialized against the DDIM scan
+            gt_i = resize_np(np.asarray(gt_i, np.float32),
+                             (video.shape[3], video.shape[4]))
             side = np.concatenate([gt_i[None], video[j][None]], axis=-1)
             org_idx = int(sel[i + j]) if i + j < len(sel) else i + j
             prompt = str(captions[org_idx]) if len(captions) > org_idx \
@@ -1010,6 +1033,20 @@ def cmd_video(args):
         marks.append((done, el))
         print(f"--- stage 5: {done}/{n_sel} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
+
+    # double-buffered drive: dispatch batch i+1 BEFORE materializing
+    # batch i, so D2H + GT compose + GIF submit of i overlap the DDIM
+    # scan of i+1 (JAX async dispatch; the two in-flight video buffers
+    # are ~13 MB each). The 1200-clip r4 drive measured ~1.1 s/clip of
+    # host-side time serialized against ~2.9 s of device time here.
+    pending = None
+    for i in range(0, n_sel, vb):
+        nxt = (i, *_dispatch(i))
+        if pending is not None:
+            _materialize(*pending)
+        pending = nxt
+    if pending is not None:
+        _materialize(*pending)
     _gif_pool.shutdown(wait=True)  # all GIFs on disk before stage 6
     _record_steady("5", marks, vb)
     print(f"=== stage 5 finished -> {out_dir} ===")

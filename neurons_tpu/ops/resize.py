@@ -82,6 +82,23 @@ def _weight_pair(in_h: int, in_w: int, out_h: int, out_w: int,
             jnp.asarray(fn(in_w, out_w), jnp.float32))
 
 
+def resize_np(x: np.ndarray, out_hw: Tuple[int, int],
+              antialias: bool = False) -> np.ndarray:
+    """Host-numpy twin of `resize_reference` — identical taps (shared
+    weight builders), applied with np.einsum instead of a device call.
+    For host-side artifact composition (e.g. the stage-5 GT panel,
+    resized once per clip on the CLI path) where shipping 8 MB through
+    the device tunnel per clip costs more than the resize itself."""
+    out_h, out_w = out_hw
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    fn = _weights_aa if antialias else _weights_noaa
+    wh, ww = fn(in_h, out_h), fn(in_w, out_w)
+    y = np.einsum("oh,...hw,pw->...op", wh, x.astype(np.float32), ww)
+    return y.astype(x.dtype)
+
+
 def resize_reference(x: jnp.ndarray, out_hw: Tuple[int, int],
                      antialias: bool = False) -> jnp.ndarray:
     """Resize the trailing two (H, W) axes of `x` with the reference's

@@ -51,3 +51,28 @@ class TestResizeReference:
         x = jnp.ones((1, 3, 16, 16), jnp.bfloat16)
         y = resize_reference(x, (8, 8), antialias=True)
         assert y.dtype == jnp.bfloat16
+
+
+class TestResizeNp:
+    """Host-numpy twin: same taps as the device path (shared weight
+    builders), used by the stage-5 GT panel composition (cli.py)."""
+
+    @pytest.mark.parametrize("in_hw", [(224, 224), (96, 96), (240, 320)])
+    @pytest.mark.parametrize("antialias", [False, True])
+    def test_matches_torch_and_device(self, in_hw, antialias):
+        from neurons_tpu.ops.resize import resize_np
+        rng = np.random.default_rng(2)
+        x = rng.uniform(size=(6, 3, *in_hw)).astype(np.float32)
+        want = _torch_resize(x, (256, 256), antialias)
+        got = resize_np(x, (256, 256), antialias=antialias)
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+        dev = np.asarray(resize_reference(jnp.asarray(x), (256, 256),
+                                          antialias=antialias))
+        np.testing.assert_allclose(got, dev, atol=2e-6, rtol=1e-5)
+
+    def test_identity_and_dtype(self):
+        from neurons_tpu.ops.resize import resize_np
+        x = np.ones((2, 3, 8, 8), np.float16)
+        assert resize_np(x, (8, 8)) is x
+        y = resize_np(x, (4, 4))
+        assert y.dtype == np.float16

@@ -59,10 +59,55 @@ def stage_row(stage, marks, batch):
     return row
 
 
+def stall_forensics(marks, batch, wall_s):
+    """Decompose a stage's wall time from its cumulative marks.
+
+    The steady formula (t_total-t_first)/(n-batch) charges any mid-run
+    stall to every clip; the leg-2 stage-5 run had two silent ~14/21-min
+    stalls (no correlated log output; the surrounding marginal rate is
+    unchanged, consistent with transient TPU-tunnel hiccups, not leaks),
+    so also report a stall-robust median marginal rate + the explicit
+    stall events + the off-loop time (pre-loop setup: 5.7 GB artifact
+    load, synthetic weight init, caption text-encode, model build; plus
+    the post-loop GIF-pool drain, ~0.06 s/clip encode -> small)."""
+    stalls = []
+    med = None
+    import statistics
+    intervals = [(b[0], (b[1] - a[1]) / (b[0] - a[0]))
+                 for a, b in zip(marks, marks[1:]) if b[0] > a[0]]
+    # reconstructed elapsed is quantized to 0.005*done (~±6 s at the
+    # tail), so the marginal-rate median is taken over >=20-clip windows
+    win = [(b[0], (b[1] - a[1]) / (b[0] - a[0]))
+           for a, b in zip(marks[:-20], marks[20:]) if b[0] > a[0]]
+    if win:
+        med = statistics.median(r for _, r in win)
+    if intervals and med is not None:
+        for done, r in intervals:
+            if r > max(10 * med, 60):  # far above print-precision noise
+                stalls.append({"at_clip": done,
+                               "stall_s": round(r, 1)})
+    loop_s = marks[-1][1] - marks[0][1]
+    n_loop = marks[-1][0] - marks[0][0]
+    stall_total = sum(s["stall_s"] for s in stalls)
+    out = {
+        "loop_s": round(marks[-1][1], 1),
+        "setup_plus_drain_s": round(wall_s - marks[-1][1], 1)
+        if wall_s else None,
+        "stall_events": stalls or None,
+        "steady_median_marginal_s_per_clip": round(med, 3)
+        if med is not None else None,
+    }
+    if stalls and n_loop:
+        out["steady_excl_stalls_s_per_clip"] = round(
+            (loop_s - stall_total) / n_loop, 3)
+    return out
+
+
 def main():
     log_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/e2e_full.log"
     s56_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         _REPO, "E2E_FULL_r04_s56.json")
+    s56_log = sys.argv[3] if len(sys.argv) > 3 else "/tmp/e2e_s56.log"
     s56 = json.load(open(s56_path))
 
     m3, n3 = marks_from_log(log_path, 3)
@@ -70,8 +115,17 @@ def main():
     rows = [stage_row("3", m3, 4), stage_row("4", m4, 8)]
     rows += s56["per_stage"]
 
+    if os.path.exists(s56_log):
+        m5, _ = marks_from_log(s56_log, 5)
+        if m5:
+            r5 = next(r for r in rows if r["stage"] == "5")
+            r5.update(stall_forensics(m5, r5.get("batch", 1),
+                                      r5.get("seconds")))
+
     gen_rows = [r for r in rows if r["stage"] in "345"]
-    steady = sum(r["steady_s_per_clip"] for r in gen_rows)
+    steady = sum(r.get("steady_excl_stalls_s_per_clip",
+                       r["steady_s_per_clip"]) for r in gen_rows)
+    steady_conservative = sum(r["steady_s_per_clip"] for r in gen_rows)
     drift = {r["stage"]: round(r["last100_s_per_clip"]
                                / r["first100_s_per_clip"], 4)
              for r in gen_rows
@@ -86,6 +140,8 @@ def main():
                  "-> warm cache)"],
         "per_stage": rows,
         "sec_per_clip_gen_steady": round(steady, 3),
+        "sec_per_clip_gen_steady_incl_stalls": round(
+            steady_conservative, 3),
         "clips_per_hour_gen_steady": round(3600 / steady, 1),
         "last100_over_first100_rate": drift or None,
         "total_wall_s_leg2": s56.get("total_wall_s"),

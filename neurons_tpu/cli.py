@@ -23,6 +23,7 @@ import argparse
 import json
 import os
 import sys
+import time as _time
 
 
 def _add_common(p):
@@ -75,6 +76,7 @@ def _add_train_args(p):
 
 
 def _setup(args):
+    _CMD_T0[:] = [_time.perf_counter()]
     if getattr(args, "tiny", False) or getattr(args, "synthetic", False):
         # synthetic paths may tokenize without the CLIP BPE asset; real
         # runs hard-error instead (data/clip_tokenizer.py)
@@ -124,9 +126,44 @@ def _configs(args, stage2: bool = False):
 # and merged into the pipeline report (tools/e2e_drive.py): the first
 # batch carries the cold compile, so cumulative s/clip alone misleads
 _STAGE_STATS: dict = {}
+_CMD_T0: list = []  # set by _setup; anchors per-stage setup timing
+_SETUP_S: dict = {}
 
 
-def _record_steady(stage: str, marks, batch: int):
+def _loop_start(stage: str) -> float:
+    """Anchor a generation loop's clock and report how long the stage
+    spent in setup (artifact load, weight init/import, model build,
+    text encode) before its first dispatch — the r4 full-split drive's
+    stage-5 wall had 1285 s outside the loop that post-hoc log mining
+    had to attribute (E2E_FULL_r04.json `setup_plus_drain_s`)."""
+    t0 = _time.perf_counter()
+    if _CMD_T0:
+        _SETUP_S[stage] = t0 - _CMD_T0[0]
+        print(f"--- stage {stage}: setup {_SETUP_S[stage]:.1f}s, "
+              f"loop start ---", flush=True)
+    return t0
+
+
+def _watchdog(stage: str, marks, done: int, el: float) -> None:
+    """In-flight slow-batch visibility: the r4 full-split drive hit two
+    silent ~14/21-min mid-run stalls (transient tunnel hiccups; stage-5
+    forensics in E2E_FULL_r04.json) that only post-hoc log mining
+    found. Call BEFORE appending the new mark; any batch >5x the
+    rolling median (and >60 s) logs immediately."""
+    if len(marks) < 4:
+        return
+    import statistics
+    tail = marks[-51:]
+    recent = [b[1] - a[1] for a, b in zip(tail, tail[1:])]
+    dt = el - marks[-1][1]
+    med = statistics.median(recent)
+    if dt > max(60.0, 5.0 * med):
+        print(f"!!! stage {stage} WATCHDOG: batch ending at clip {done} "
+              f"took {dt:.1f}s (rolling median {med:.1f}s) — transient "
+              f"stall or recompile", flush=True)
+
+
+def _record_steady(stage: str, marks, batch: int, t0: float | None = None):
     """marks: [(clips_done, elapsed_s)] per batch, cumulative. Besides
     the steady rate (compile-carrying first batch excluded), long runs
     get first-/last-100-clip window rates — a flat delta across a
@@ -150,6 +187,16 @@ def _record_steady(stage: str, marks, batch: int):
                          if n_done - m[0] >= win)
         stats["last100_s_per_clip"] = round(
             (t_total - last_base[1]) / (n_done - last_base[0]), 3)
+    if stage in _SETUP_S:
+        stats["setup_s"] = round(_SETUP_S.pop(stage), 2)
+    if t0 is not None:
+        # time between the last mark and here: GIF-pool drain / final
+        # artifact writes that the loop's marks don't cover
+        drain = _time.perf_counter() - t0 - t_total
+        stats["post_loop_drain_s"] = round(drain, 2)
+        if drain > 5:
+            print(f"--- stage {stage}: post-loop drain {drain:.1f}s ---",
+                  flush=True)
     _STAGE_STATS[stage] = stats
 
 
@@ -559,10 +606,9 @@ def cmd_recon(args):
                 blurry_px = resize_reference(blurry_px, (224, 224))
         return recons, blurry_px, out.captions
 
-    import time as _time
     all_recons, all_blurry, all_caps = [], [], []
     marks = []
-    t0 = _time.perf_counter()
+    t0 = _loop_start("3")
 
     def _dispatch3(i):
         vox = np.asarray(test_split.voxel[i:i + bs, :1], np.float32)
@@ -582,6 +628,7 @@ def cmd_recon(args):
             f"tokens:{list(map(int, c[:8]))}" for c in np.asarray(caps)[:k])
         done = min(i + bs, n_total)
         el = _time.perf_counter() - t0
+        _watchdog("3", marks, done, el)
         marks.append((done, el))
         print(f"--- stage 3: {done}/{n_total} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
@@ -596,7 +643,7 @@ def cmd_recon(args):
         pending = nxt
     if pending is not None:
         _materialize3(*pending)
-    _record_steady("3", marks, bs)
+    _record_steady("3", marks, bs, t0)
 
     out_dir = io.stage3_dir(args.exp_dir, args.exp, args.subj, args.enhance)
     io.save_stage3_artifacts(
@@ -681,8 +728,7 @@ def cmd_caption(args):
                                            method=Blip2Captioner.generate))
     toks = []
     bs = 8
-    import time as _time
-    t0 = _time.perf_counter()
+    t0 = _loop_start("4")
     marks = []
     n_imgs = imgs.shape[0]
     for i in range(0, n_imgs, bs):
@@ -693,12 +739,14 @@ def cmd_caption(args):
                 [chunk, np.repeat(chunk[-1:], pad, 0)], 0)
         toks.append(np.asarray(gen(params, _prep(chunk)))[:bs - pad])
         done = min(i + bs, n_imgs)
-        marks.append((done, _time.perf_counter() - t0))
+        el = _time.perf_counter() - t0
+        _watchdog("4", marks, done, el)
+        marks.append((done, el))
         if done % 64 < bs or done == n_imgs:
             print(f"--- stage 4: {done}/{n_imgs} clips "
                   f"({marks[-1][1] / done:.2f} s/clip) ---", flush=True)
     toks = np.concatenate(toks, 0)
-    _record_steady("4", marks, bs)
+    _record_steady("4", marks, bs, t0)
 
     captions = []
     try:  # decode with the OPT tokenizer when its files are cached
@@ -975,7 +1023,7 @@ def cmd_video(args):
     _gif_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="gif")
     gts = np.asarray(gts)
     marks = []
-    t0 = _time.perf_counter()
+    t0 = _loop_start("5")
 
     def _dispatch(i):
         """Enqueue batch i's device work; returns the async result.
@@ -1030,6 +1078,7 @@ def cmd_video(args):
                 out_dir, io.gif_artifact_name(org_idx, prompt)))
         done = min(i + vb, n_sel)
         el = _time.perf_counter() - t0
+        _watchdog("5", marks, done, el)
         marks.append((done, el))
         print(f"--- stage 5: {done}/{n_sel} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
@@ -1048,7 +1097,7 @@ def cmd_video(args):
     if pending is not None:
         _materialize(*pending)
     _gif_pool.shutdown(wait=True)  # all GIFs on disk before stage 6
-    _record_steady("5", marks, vb)
+    _record_steady("5", marks, vb, t0)
     print(f"=== stage 5 finished -> {out_dir} ===")
 
 

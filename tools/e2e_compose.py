@@ -113,6 +113,20 @@ def main():
     m3, n3 = marks_from_log(log_path, 3)
     m4, n4 = marks_from_log(log_path, 4)
     rows = [stage_row("3", m3, 4), stage_row("4", m4, 8)]
+    # `seconds` above is loop-marks elapsed; the pipeline runner's own
+    # stage walls include pre-loop setup (synthetic full-width weight
+    # init, artifact load) + post-loop whole-split .pt writes — report
+    # both so the off-loop one-time cost is visible (leg-1 stage 3:
+    # 6944 s wall vs 3684 s loop)
+    walls = dict(re.findall(
+        r"=== pipeline: stage (\d) done in ([\d.]+)s ===",
+        open(log_path, errors="replace").read()))
+    for r in rows:
+        w = walls.get(r["stage"])
+        if w:
+            r["stage_wall_s"] = float(w)
+            r["setup_plus_drain_s"] = round(
+                float(w) - r["seconds"], 1)
     rows += s56["per_stage"]
 
     if os.path.exists(s56_log):

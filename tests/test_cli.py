@@ -148,3 +148,41 @@ class TestRecordSteady:
         cli._record_steady("4", [(4, 76.7)], 8)  # padded tail < batch
         s = cli._STAGE_STATS["4"]
         assert s["steady_s_per_clip"] == round(76.7 / 4, 3)
+
+
+class TestLoopForensics:
+    """cli._watchdog + _record_steady's setup/drain rows: the r4
+    full-split drive had two silent ~14/21-min stalls and 1285 s of
+    unattributed off-loop time (E2E_FULL_r04.json) — these make both
+    visible in-flight."""
+
+    def test_watchdog_fires_on_stall(self, capsys):
+        marks = [(i, i * 2.0) for i in range(1, 20)]
+        cli._watchdog("5", marks, 20, marks[-1][1] + 120.0)  # 120s batch
+        out = capsys.readouterr().out
+        assert "WATCHDOG" in out and "120.0s" in out
+
+    def test_watchdog_quiet_on_steady(self, capsys):
+        marks = [(i, i * 2.0) for i in range(1, 20)]
+        cli._watchdog("5", marks, 20, marks[-1][1] + 2.0)
+        assert "WATCHDOG" not in capsys.readouterr().out
+
+    def test_watchdog_threshold_is_absolute_too(self, capsys):
+        # 5x median but under 60 s absolute: stays quiet (short batches
+        # legitimately vary; only real stalls matter)
+        marks = [(i, i * 2.0) for i in range(1, 20)]
+        cli._watchdog("3", marks, 20, marks[-1][1] + 11.0)
+        assert "WATCHDOG" not in capsys.readouterr().out
+
+    def test_drain_and_setup_recorded(self, monkeypatch):
+        cli._STAGE_STATS.clear()
+        cli._SETUP_S["5"] = 33.3
+        marks = [(4, 60.0), (8, 68.0)]
+        now = {"t": 0.0}
+        monkeypatch.setattr(cli._time, "perf_counter", lambda: 100.0)
+        # t0=10 -> loop elapsed 68 ends at t=78; drain = 100-10-68 = 22
+        cli._record_steady("5", marks, 4, t0=10.0)
+        s = cli._STAGE_STATS["5"]
+        assert s["post_loop_drain_s"] == 22.0
+        assert s["setup_s"] == 33.3
+        assert "5" not in cli._SETUP_S  # consumed

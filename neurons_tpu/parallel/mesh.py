@@ -70,6 +70,13 @@ def shard_batch(mesh: Mesh, tree):
     """
 
     def _put(x):
+        if isinstance(x, jax.Array) and not x.is_deleted():
+            # already materialized on device (e.g. a batch field computed
+            # by an on-device generator): never round-trip it through the
+            # host — D2H over a remote-TPU tunnel runs at ~25 MB/s
+            # sustained (measured, TRAIN_r04.json wire probe). The caller
+            # owns its sharding in that case.
+            return x
         x = np.asarray(x)
         return jax.device_put(x, data_sharding(mesh, x.ndim))
 

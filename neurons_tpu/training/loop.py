@@ -32,6 +32,22 @@ def _log(msg: str):
         print(msg, flush=True)
 
 
+def _eval_targets(clip_targets_test, sl: slice):
+    """Epoch-end retrieval-eval CLIP targets for a test chunk.
+
+    Accepts the precomputed table (ndarray/mmap, the production input
+    path) or a CALLABLE `sl -> [b, seq, emb]` device array — the
+    wire-light path for harness environments where the host<->TPU
+    tunnel sustains only ~25 MB/s and streaming the 170 MB f32 chunk
+    per eval batch would cost more than the eval itself
+    (tools/train_production.py device-materialized builder)."""
+    if callable(clip_targets_test):
+        return clip_targets_test(sl)
+    return jnp.asarray(np.asarray(
+        clip_targets_test[sl, min(2, clip_targets_test.shape[1] - 1)],
+        np.float32))
+
+
 def _restore_state(ckpt_dir: str, tag: str, state, state_cls):
     """Full-state resume: params + optimizer state + step + epoch
     (reference train_neurons.py:342-352 restores model/opt/sched/epoch;
@@ -99,8 +115,16 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
         def _stage1_batches():
             for batch in cc2017.batches(train_split, tcfg.batch_size,
                                         seed=tcfg.seed + epoch):
-                voxel, target = train_brain.select_stage1_inputs(
-                    batch, epoch, clip_targets_train)
+                if callable(clip_targets_train):
+                    # wire-light device-materialized targets (see
+                    # _eval_targets): epoch-parity voxel repeat stays
+                    # host-side, the 204 MB/step CLIP target chunk is
+                    # built on device from the batch indices
+                    voxel = batch["voxel"][:, epoch % 2][:, None]
+                    target = clip_targets_train(batch["index"], epoch)
+                else:
+                    voxel, target = train_brain.select_stage1_inputs(
+                        batch, epoch, clip_targets_train)
                 yield {"voxel": voxel, "target": target,
                        "text": batch["text_emb"]}
 
@@ -126,9 +150,7 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
             sl = slice(start, start + eval_bs)
             ev = eval_fn(state.params,
                          jnp.asarray(test_split.voxel[sl, :1]),
-                         jnp.asarray(np.asarray(
-                             clip_targets_test[sl, min(2, clip_targets_test.shape[1] - 1)],
-                             np.float32)),
+                         _eval_targets(clip_targets_test, sl),
                          jnp.asarray(test_split.text_emb[sl]))
             for k in sums:
                 sums[k] += float(ev[k])
@@ -286,9 +308,7 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                 sl = slice(start, start + eval_bs)
                 ev = core_eval(state.params["core"],
                                jnp.asarray(test_split.voxel[sl, :1]),
-                               jnp.asarray(np.asarray(
-                             clip_targets_test[sl, min(2, clip_targets_test.shape[1] - 1)],
-                             np.float32)),
+                               _eval_targets(clip_targets_test, sl),
                                jnp.asarray(test_split.text_emb[sl]))
                 acc[0] += float(ev["test_fwd_percent_correct"])
                 acc[1] += float(ev["test_bwd_percent_correct"])

@@ -34,6 +34,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
@@ -111,6 +113,129 @@ def _gen_tables(root_dir: str, voxels: int, seed: int = 0):
     print(f"--- tables done in {time.time() - t0:.0f}s ---", flush=True)
 
 
+def device_stage2_batch_builder(root_dir: str, dcfg, tcfg_seed: int,
+                                voxels: int = 13447):
+    """Wire-light stage-2 batches: the structured-synthetic recipe
+    (every modality a fixed linear readout of a shared 64-d per-clip
+    latent + small Gaussian jitter, `_gen_tables`) evaluated ON DEVICE
+    from resident readout matrices.
+
+    Why: the disk-table production path (`loop.table_stage2_batch_
+    builder`) ships ~120 MB/step of f32 targets host->device; this
+    harness reaches the TPU through a tunnel that sustains only
+    ~25 MB/s under load (H2D bursts 2 GB/s idle, D2H 18-35 MB/s;
+    measured wire probe in TRAIN_r04.json), making the byte-identical
+    table-streamed run ~4.9 s/step wire-bound vs 282 ms/step compute —
+    a ~14 h exercise of the tunnel, not of the framework. This builder
+    ships only the per-batch latents/masks (~4 MB/step) and
+    materializes the same structured targets on device (f32, without
+    the table's f16 rounding; jitter from jax PRNG instead of the
+    table generator's sequential numpy stream — statistically
+    identical, not bit-identical). The table path itself stays
+    production code and is probed for real steps in the same artifact
+    (--table_probe)."""
+    z_train = np.load(os.path.join(root_dir, "z_train.npy"))
+    z_test = np.load(os.path.join(root_dir, "z_test.npy"))
+    return _DeviceStage2Builder(z_train, z_test, root_dir, dcfg,
+                                tcfg_seed, voxels=voxels)
+
+
+class _DeviceStage2Builder:
+    """See device_stage2_batch_builder. Callable (batch, epoch) -> dict
+    with the big target fields as DEVICE arrays (shard_batch passes
+    jax.Array leaves through) plus a `test_targets(sl)` callable for
+    `loop._eval_targets`."""
+
+    def __init__(self, z_train, z_test, root_dir, dcfg, seed,
+                 voxels: int = 13447):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax, self._jnp = jax, jnp
+        self._root_dir = root_dir
+        # generator-stream replay: A, B, C, D in _gen_tables draw order
+        # (rng(7)); A (voxel readout) is drawn only to keep the stream
+        # aligned — voxels come from the split itself
+        k = LATENT
+        gg = np.random.default_rng(7)
+        _ = gg.standard_normal((k, voxels), dtype=np.float32)  # A: unused
+        B = gg.standard_normal((k, SEQ * EMB), dtype=np.float32) \
+            / np.sqrt(k)
+        _ = gg.standard_normal((k, TXT), dtype=np.float32)  # C: in split
+        D = gg.standard_normal((k, N_FRAMES * 4 * VAE_HW * VAE_HW),
+                               dtype=np.float32) / np.sqrt(k)
+        self.B_dev = jax.device_put(B)          # 109 MB, resident once
+        self.D_dev = jax.device_put(D)
+        self.z_train = z_train
+        self.z_test = z_test
+        self.f = dcfg.n_frames
+        self.key0 = jax.random.PRNGKey(seed + 777)
+
+        f = self.f
+
+        def _mat(z, masks_u8, key, B_mat, D_mat):
+            base = (z @ B_mat).reshape(-1, 1, SEQ, EMB)
+            video = base + 0.05 * jax.random.normal(
+                key, (z.shape[0], f, SEQ, EMB), jnp.float32)
+            vae = (z @ D_mat).reshape(-1, N_FRAMES, 4, VAE_HW, VAE_HW)
+            return {"clip_video_target": video,
+                    "clip_vision_target": video[:, min(2, f - 1)],
+                    "vae_latents": vae[:, :f],
+                    "key_obj_masks": masks_u8.astype(jnp.float32)}
+
+        self._mat = jax.jit(_mat)
+
+        def _test_chunk(z, key, B_mat):
+            base = (z @ B_mat).reshape(-1, SEQ, EMB)
+            return base + 0.05 * jax.random.normal(key, base.shape,
+                                                   jnp.float32)
+
+        self._test_chunk = jax.jit(_test_chunk)
+
+    def __call__(self, batch, epoch: int):
+        jax, jnp = self._jax, self._jnp
+        idx = np.asarray(batch["index"])
+        key = jax.random.fold_in(jax.random.fold_in(self.key0, epoch),
+                                 int(idx[0]))
+        dev = self._mat(jnp.asarray(self.z_train[idx]),
+                        jnp.asarray(batch["key_obj_masks"][:, :self.f]),
+                        key, self.B_dev, self.D_dev)
+        key_cls = batch["key_obj_cls"].astype(np.int64)
+        class_emb = getattr(self, "_class_emb", None)
+        if class_emb is None:
+            class_emb = self._class_emb = np.load(os.path.join(
+                self._root_dir, "class_text_embeds.npy"))
+        out = {
+            "voxel": batch["voxel"][:, :1].astype(np.float32),
+            "text_emb": batch["text_emb"].astype(np.float32),
+            "key_obj_text_embed": class_emb[key_cls].astype(np.float32),
+            "cls_label": batch["cls_label"].astype(np.float32),
+            "clip_tokens": (batch["clip_tokens"][:, :60]
+                            % GPT2_VOCAB).astype(np.int32),
+        }
+        out.update(dev)
+        return out
+
+    def test_targets(self, sl: slice):
+        jax, jnp = self._jax, self._jnp
+        key = jax.random.fold_in(self.key0, 10_000_019 + sl.start)
+        return self._test_chunk(jnp.asarray(self.z_test[sl]), key,
+                                self.B_dev)
+
+    def train_targets(self, idx, epoch: int):
+        """Stage-1 epoch-parity CLIP targets [b, SEQ, EMB] on device
+        (loop.run_stage1's callable branch): the frame-(2+epoch%2)
+        row of the structured table, jitter keyed per (frame, chunk)."""
+        jax, jnp = self._jax, self._jnp
+        idx = np.asarray(idx)
+        frame = min(2 + epoch % 2, N_FRAMES - 1)
+        key = jax.random.fold_in(
+            jax.random.fold_in(self.key0, 20_000_003 + frame),
+            int(idx[0]))
+        return self._test_chunk(jnp.asarray(self.z_train[idx]), key,
+                                self.B_dev)
+
+
 def _splits(root_dir: str, voxels: int, seed: int = 0):
     import numpy as np
 
@@ -179,11 +304,22 @@ def worker_stage2(args):
                        ckpt_saving=True)
     _gen_tables(args.root_dir, bcfg.voxel_counts[0])
     train_split, test_split = _splits(args.root_dir, bcfg.voxel_counts[0])
-    ct_test = np.load(os.path.join(args.root_dir, "clip_targets_test.npy"),
-                      mmap_mode="r")
-    builder = loop.table_stage2_batch_builder(args.root_dir, dcfg,
-                                              gcfg.vocab_size)
     mesh = create_mesh(MeshConfig(data=-1))
+    table_builder = loop.table_stage2_batch_builder(args.root_dir, dcfg,
+                                                    gcfg.vocab_size)
+    if args.input_path == "device":
+        builder = device_stage2_batch_builder(args.root_dir, dcfg,
+                                              tcfg.seed,
+                                              bcfg.voxel_counts[0])
+        ct_test = builder.test_targets
+        if args.table_probe and not args.resume:
+            _probe_table_path(table_builder, builder, train_split, tcfg,
+                              mesh, dcfg, args)
+    else:
+        builder = table_builder
+        ct_test = np.load(os.path.join(args.root_dir,
+                                       "clip_targets_test.npy"),
+                          mmap_mode="r")
     loop.run_stage2(
         bcfg, pcfg, dcfg, tcfg, gcfg, mesh, train_split, builder,
         ckpt_dir=args.ckpt_dir, log_every=100, resume=args.resume,
@@ -215,15 +351,85 @@ def worker_stage1(args):
                            max_lr=5e-5, mixup_pct=1.0, ckpt_saving=True)
     _gen_tables(args.root_dir, bcfg.voxel_counts[0])
     train_split, test_split = _splits(args.root_dir, bcfg.voxel_counts[0])
-    ct_train = np.load(os.path.join(args.root_dir,
-                                    "clip_targets_train.npy"), mmap_mode="r")
-    ct_test = np.load(os.path.join(args.root_dir, "clip_targets_test.npy"),
-                      mmap_mode="r")
     mesh = create_mesh(MeshConfig(data=-1))
+    if args.input_path == "device":
+        import types
+        dev = device_stage2_batch_builder(
+            args.root_dir, types.SimpleNamespace(n_frames=N_FRAMES),
+            tcfg.seed, bcfg.voxel_counts[0])
+        ct_train, ct_test = dev.train_targets, dev.test_targets
+    else:
+        ct_train = np.load(os.path.join(
+            args.root_dir, "clip_targets_train.npy"), mmap_mode="r")
+        ct_test = np.load(os.path.join(
+            args.root_dir, "clip_targets_test.npy"), mmap_mode="r")
     loop.run_stage1(bcfg, tcfg, mesh, train_split, test_split,
                     ct_train, ct_test, ckpt_dir=args.ckpt_dir,
                     log_every=10, resume=args.resume)
     print("=== stage-1 production run complete ===", flush=True)
+
+
+def _probe_table_path(table_builder, dev_builder, train_split, tcfg,
+                      mesh, dcfg, args):
+    """Measure the disk-table production input path on REAL batches:
+    mmap-gather + f32 cast (builder) and host->TPU transfer, forced to
+    wire completion by a jitted reduction over every field. Writes
+    table_probe.json next to the checkpoints; `summarize` folds it into
+    TRAIN_r04.json. Context: full train steps fed by this path measured
+    4.9-5.4 s/step over the harness tunnel (ad-hoc step probe,
+    steps 11..30) vs 282 ms/step compute (tools/train_bench.py) — the
+    per-step ~120 MB of f32 targets is wire-bound at the tunnel's
+    ~25 MB/s sustained rate, which is why the endurance run uses the
+    device-materialized builder instead."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from neurons_tpu.data import cc2017
+    from neurons_tpu.parallel import shard_batch
+
+    sum_all = jax.jit(lambda b: sum(jnp.sum(jnp.abs(v.astype(
+        jnp.float32))) for v in b.values()))
+
+    def _raw_batches():
+        seed = tcfg.seed
+        while True:  # tiny smokes have fewer batches than the probe asks
+            yield from cc2017.batches(train_split, tcfg.batch_size,
+                                      seed=seed)
+            seed += 1
+
+    gen = _raw_batches()
+    rows = []
+    n = args.table_probe
+    total_bytes = 0
+    for i in range(n + 1):  # +1: first iteration carries the compile
+        a = _t.perf_counter()
+        b = table_builder(next(gen), 0)
+        m = _t.perf_counter()
+        sb = shard_batch(mesh, b)
+        float(sum_all(sb))  # forces every field onto the chip
+        e = _t.perf_counter()
+        if i:
+            rows.append((m - a, e - m))
+            total_bytes += sum(np.asarray(v).nbytes for v in b.values())
+    build_s = sum(r[0] for r in rows) / n
+    wire_s = sum(r[1] for r in rows) / n
+    mb = total_bytes / n / 1e6
+    doc = {"steps": n, "builder_s_per_step": round(build_s, 3),
+           "transfer_forced_s_per_step": round(wire_s, 3),
+           "batch_mb": round(mb, 1),
+           "effective_mb_per_s": round(mb / wire_s, 1) if wire_s else None,
+           "note": "disk-table production input path on real batches; "
+                   "full steps fed this way measured 4.9-5.4 s/step vs "
+                   "282 ms/step compute (wire-bound; see "
+                   "device_stage2_batch_builder docstring)"}
+    out = os.path.join(os.path.dirname(args.ckpt_dir), "table_probe.json")
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"--- table-path probe: {build_s:.2f}s build + {wire_s:.2f}s "
+          f"transfer per {mb:.0f} MB step ({mb / wire_s:.1f} MB/s) -> "
+          f"{out} ---", flush=True)
 
 
 def orchestrate(args) -> dict:
@@ -233,7 +439,9 @@ def orchestrate(args) -> dict:
             "--worker", "--epochs", str(args.epochs),
             "--batch", str(args.batch), "--hidden", str(args.hidden),
             "--root_dir", args.root_dir, "--ckpt_dir", args.ckpt_dir,
-            "--last_save_every", str(args.last_save_every)]
+            "--last_save_every", str(args.last_save_every),
+            "--input_path", args.input_path,
+            "--table_probe", str(args.table_probe)]
     if args.kill_after_epoch is not None:
         # the resume point is the newest periodic _last save; a kill
         # before the first one would restart from epoch 0 (measured
@@ -310,8 +518,17 @@ def summarize(args, run_info: dict) -> dict:
                    "test_clips": N_TEST,
                    **({"hidden": args.hidden}
                       if args.stage == "stage1" else {})},
-        "data": "structured synthetic (learnable linear readouts; real "
-                "tensors egress-blocked), f16 tables streamed from disk",
+        "data": ("structured synthetic (learnable linear readouts; real "
+                 "tensors egress-blocked), "
+                 + ("targets materialized on-device from the shared "
+                    "per-clip latents (~4 MB/step wire; the f16 disk-"
+                    "table production path is probed separately below — "
+                    "the harness tunnel sustains ~25 MB/s, making the "
+                    "table-streamed 120 MB/step run wire-bound at "
+                    "~4.9 s/step vs 282 ms/step compute)"
+                    if args.input_path == "device"
+                    else "f16 tables streamed from disk")),
+        "input_path": args.input_path,
         "epochs_completed": len(epochs),
         "loss_first_last": [round(losses[0], 4), round(losses[-1], 4)],
         "loss_curve": [round(x, 4) for x in losses],
@@ -327,6 +544,23 @@ def summarize(args, run_info: dict) -> dict:
         "wall_s": run_info["wall_s"],
         "checkpoints": sorted(os.listdir(args.ckpt_dir)),
     }
+    probe_path = os.path.join(os.path.dirname(args.ckpt_dir),
+                              "table_probe.json")
+    if os.path.exists(probe_path):
+        doc["table_path_probe"] = json.load(open(probe_path))
+    if args.input_path == "device":
+        # tunnel wire measurements behind the input-path decision
+        # (ad-hoc probes, this session; H2D burst = device_put + block
+        # on an idle device, sustained = full train steps fed by the
+        # table builder)
+        doc["harness_wire_measurements"] = {
+            "h2d_burst_mb_per_s": 2000,
+            "d2h_mb_per_s": "18-35 (plus rare multi-minute stalls; "
+                            "E2E_FULL_r04 stage-5 stall_events)",
+            "sustained_step_fed_mb_per_s": "~25",
+            "table_path_s_per_step_measured": "4.9-5.4 (steps 11..30)",
+            "compute_s_per_step": 0.282,
+        }
     return doc
 
 
@@ -363,6 +597,18 @@ def main():
     ap.add_argument("--hidden", type=int, default=2048)
     ap.add_argument("--root_dir", default="/root/train_tables")
     ap.add_argument("--ckpt_dir", default=None)
+    ap.add_argument("--input_path", choices=["device", "table"],
+                    default="device",
+                    help="device: materialize the structured-synthetic "
+                         "targets on-chip (~4 MB/step wire; the "
+                         "endurance-run default over the ~25 MB/s "
+                         "harness tunnel). table: stream the f16 disk "
+                         "tables (the production input path; wire-bound "
+                         "at ~4.9 s/step over this tunnel)")
+    ap.add_argument("--table_probe", type=int, default=8,
+                    help="with --input_path device: measure N real "
+                         "disk-table batches (builder + forced transfer) "
+                         "into table_probe.json first")
     ap.add_argument("--kill_after_epoch", type=int, default=None)
     ap.add_argument("--last_save_every", type=int, default=5)
     ap.add_argument("--resume", action="store_true")

@@ -1,0 +1,151 @@
+"""tools/train_production.py — the production-recipe training driver.
+
+Fast tier: the device-materialized batch builder (wire-light input path;
+see device_stage2_batch_builder's docstring for the tunnel measurements
+behind it) against the disk-table builder it replaces — same fields,
+same shapes, statistically aligned targets (shared per-clip latents,
+fresh jitter). Slow tier: the full orchestrator smoke (subprocess,
+SIGKILL + resume + summary JSON) at tiny dims on CPU.
+"""
+
+import importlib
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY_ENV = {**os.environ, "NEURONS_TPU_PROD_TINY": "1",
+            "JAX_PLATFORMS": "cpu"}
+
+
+@pytest.fixture(scope="module")
+def tp(tmp_path_factory):
+    """tools.train_production reloaded in tiny mode, with tables
+    generated in a tmp dir."""
+    os.environ["NEURONS_TPU_PROD_TINY"] = "1"
+    sys.path.insert(0, REPO)
+    import tools.train_production as mod
+    mod = importlib.reload(mod)
+    root = str(tmp_path_factory.mktemp("tables"))
+    from neurons_tpu.config import BrainModelConfig
+    voxels = BrainModelConfig(subjects=(3,)).voxel_counts[0]
+    mod._gen_tables(root, voxels)
+    yield mod, root, voxels
+    os.environ.pop("NEURONS_TPU_PROD_TINY", None)
+
+
+class TestDeviceBuilder:
+    def _builders(self, tp_fix):
+        mod, root, voxels = tp_fix
+        import types
+
+        from neurons_tpu.training import loop
+        dcfg = types.SimpleNamespace(n_frames=mod.N_FRAMES)
+        dev = mod.device_stage2_batch_builder(root, dcfg, 42, voxels)
+        table = loop.table_stage2_batch_builder(
+            root, dcfg, mod.GPT2_VOCAB)
+        return mod, root, voxels, dev, table
+
+    def _raw_batch(self, mod, root, voxels, b=6):
+        train, _ = mod._splits(root, voxels)
+        from neurons_tpu.data import cc2017
+        return next(cc2017.batches(train, b, seed=0))
+
+    def test_fields_match_table_builder(self, tp):
+        mod, root, voxels, dev, table = self._builders(tp)
+        raw = self._raw_batch(mod, root, voxels)
+        bd, bt = dev(raw, 0), table(raw, 0)
+        assert set(bd) == set(bt)
+        for k in bt:
+            assert np.asarray(bd[k]).shape == np.asarray(bt[k]).shape, k
+            assert np.asarray(bd[k]).dtype == np.asarray(bt[k]).dtype, k
+
+    def test_big_fields_are_device_arrays(self, tp):
+        import jax
+        mod, root, voxels, dev, _ = self._builders(tp)
+        bd = dev(self._raw_batch(mod, root, voxels), 0)
+        for k in ("clip_video_target", "clip_vision_target",
+                  "vae_latents", "key_obj_masks"):
+            assert isinstance(bd[k], jax.Array), k
+
+    def test_targets_track_the_shared_latents(self, tp):
+        """Device targets = z@B + fresh jitter; table targets =
+        f16(z@B + table jitter). Same base readout -> strongly
+        correlated across builders, identical clip ordering."""
+        mod, root, voxels, dev, table = self._builders(tp)
+        raw = self._raw_batch(mod, root, voxels)
+        a = np.asarray(dev(raw, 0)["clip_video_target"], np.float32)
+        b = np.asarray(table(raw, 0)["clip_video_target"], np.float32)
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.99, corr
+
+    def test_jitter_varies_by_epoch_not_by_call(self, tp):
+        mod, root, voxels, dev, _ = self._builders(tp)
+        raw = self._raw_batch(mod, root, voxels)
+        a0 = np.asarray(dev(raw, 0)["clip_video_target"])
+        a0b = np.asarray(dev(raw, 0)["clip_video_target"])
+        a1 = np.asarray(dev(raw, 1)["clip_video_target"])
+        np.testing.assert_array_equal(a0, a0b)  # deterministic
+        assert np.abs(a0 - a1).max() > 0  # fresh jitter per epoch
+
+    def test_eval_and_stage1_targets(self, tp):
+        mod, root, voxels, dev, _ = self._builders(tp)
+        chunk = np.asarray(dev.test_targets(slice(0, 8)))
+        assert chunk.shape == (8, mod.SEQ, mod.EMB)
+        t0 = np.asarray(dev.train_targets(np.arange(5), epoch=0))
+        t1 = np.asarray(dev.train_targets(np.arange(5), epoch=1))
+        assert t0.shape == (5, mod.SEQ, mod.EMB)
+        # epoch parity selects frame 2+r, clamped to the table depth:
+        # different jitter at full depth, identical when both clamp
+        # (tiny 2-frame tables)
+        if min(2, mod.N_FRAMES - 1) == min(3, mod.N_FRAMES - 1):
+            np.testing.assert_array_equal(t0, t1)
+        else:
+            assert np.abs(t0 - t1).max() > 0
+
+    def test_run_stage1_accepts_callables(self, tp):
+        """loop.run_stage1 with callable train/test target sources:
+        one tiny epoch trains and evals without touching the tables."""
+        mod, root, voxels, dev, _ = self._builders(tp)
+        from neurons_tpu.config import (BrainModelConfig, MeshConfig,
+                                        TrainConfig)
+        from neurons_tpu.parallel import create_mesh
+        from neurons_tpu.training import loop
+        bcfg = BrainModelConfig(hidden_dim=32, n_blocks=1, seq_len=1,
+                                clip_seq_dim=mod.SEQ,
+                                clip_emb_dim=mod.EMB,
+                                clip_txt_emb_dim=mod.TXT, subjects=(3,))
+        tcfg = TrainConfig(batch_size=8, num_epochs=1, max_lr=1e-3,
+                           mixup_pct=1.0, ckpt_saving=False)
+        train, test = mod._splits(root, voxels)
+        mesh = create_mesh(MeshConfig(data=-1))
+        state = loop.run_stage1(bcfg, tcfg, mesh, train, test,
+                                dev.train_targets, dev.test_targets)
+        assert state is not None
+
+
+@pytest.mark.slow
+def test_orchestrator_kill_resume_smoke(tmp_path):
+    """Full driver subprocess: tables -> device-path training with a
+    real SIGKILL after epoch 3 -> resume -> summary JSON with the
+    kill/resume events and a falling loss curve."""
+    root, ckpt = str(tmp_path / "tables"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out.json")
+    r = subprocess.run(
+        [sys.executable, "tools/train_production.py", "stage2",
+         "--epochs", "6", "--kill_after_epoch", "3",
+         "--last_save_every", "2", "--root_dir", root,
+         "--ckpt_dir", ckpt, "--input_path", "device",
+         "--out", out, "--log", str(tmp_path / "w.log")],
+        cwd=REPO, env=TINY_ENV, capture_output=True, text=True,
+        timeout=1500)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    doc = json.load(open(out))
+    assert doc["epochs_completed"] == 6
+    events = [e["event"] for e in doc["kill_resume"]]
+    assert "sigkill" in " ".join(events) or "resume_launch" in events
+    assert "table_path_probe" in doc

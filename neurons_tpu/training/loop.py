@@ -48,16 +48,43 @@ def _eval_targets(clip_targets_test, sl: slice):
         np.float32))
 
 
+def _sans_core(params):
+    """Mid-run checkpoint payload: the TRAINED subtree only. The frozen
+    stage-1 core inside `state.params` is immutable during stage 2 and
+    already lives in its own artifact (the stage-1 checkpoint the run
+    was seeded from via `core_params`); re-writing its multi-GB tree on
+    every improving epoch makes checkpoint cost scale with the frozen
+    model instead of the trained one. The END-of-training save keeps
+    the full tree — the reference's single-file consumption contract
+    (train_neurons.py:48-61; cli._load_decoupler_params overlays
+    everything it finds), so downstream consumers are unchanged."""
+    if isinstance(params, dict) and "core" in params:
+        return {k: v for k, v in params.items() if k != "core"}
+    return params
+
+
 def _restore_state(ckpt_dir: str, tag: str, state, state_cls):
     """Full-state resume: params + optimizer state + step + epoch
     (reference train_neurons.py:342-352 restores model/opt/sched/epoch;
-    the LR schedule lives in the optax opt_state step counters)."""
-    template = {"params": state.params, "opt_state": state.opt_state,
-                "step": np.asarray(0), "epoch": np.asarray(0)}
-    try:
-        loaded = ckpt_lib.load_ckpt(ckpt_dir, tag, template=template)
-        opt_state = loaded["opt_state"]
-    except Exception:  # older ckpt without opt_state: params-only resume
+    the LR schedule lives in the optax opt_state step counters).
+    Tries the full-tree payload first (end-of-training saves), then the
+    trained-subtree payload (`_sans_core` mid-run saves), then a
+    params-only legacy checkpoint."""
+    templates = [
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": np.asarray(0), "epoch": np.asarray(0)},
+        {"params": _sans_core(state.params), "opt_state": state.opt_state,
+         "step": np.asarray(0), "epoch": np.asarray(0)},
+    ]
+    loaded = opt_state = None
+    for template in templates:
+        try:
+            loaded = ckpt_lib.load_ckpt(ckpt_dir, tag, template=template)
+            opt_state = loaded["opt_state"]
+            break
+        except Exception:  # structure mismatch: try the next payload form
+            loaded = None
+    if loaded is None:  # older ckpt without opt_state: params-only resume
         loaded = ckpt_lib.load_ckpt(ckpt_dir, tag)
         opt_state = state.opt_state
     params = ckpt_lib.restore_into(state.params, loaded["params"])
@@ -76,6 +103,7 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                resume: bool = False,
                stop_after_epochs: Optional[int] = None,
                warm_start_params=None,
+               async_saves: bool = False,
                ) -> train_brain.TrainState:
     """Stage-1 training (reference `--no-neurons_decoupler` branch).
     clip_targets_*: precomputed CLIP tables [N, n_frames, 256, 1664].
@@ -109,6 +137,9 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
         _log(f"--- resumed brain_model_last at epoch {start_epoch} ---")
 
     best_metric = -np.inf
+    saver = (ckpt_lib.AsyncCkptWriter() if (async_saves and ckpt_dir)
+             else None)
+    _mid_save = saver.submit if saver is not None else ckpt_lib.save_ckpt
     for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
         ep_losses = []
@@ -169,24 +200,32 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                            step=int(state.step))
         if ckpt_dir and metric > best_metric:
             best_metric = metric
-            ckpt_lib.save_ckpt(ckpt_dir, "brain_model", params=state.params,
-                               opt_state=None, step=int(state.step),
-                               epoch=epoch)
+            _mid_save(ckpt_dir, "brain_model", params=state.params,
+                      opt_state=None, step=int(state.step),
+                      epoch=epoch)
             _log(f"  new best metric {metric:.3f} -> saved brain_model")
         if (stop_after_epochs is not None
                 and epoch + 1 - start_epoch >= stop_after_epochs
                 and epoch + 1 < tcfg.num_epochs):
             if ckpt_dir:
+                if saver is not None:
+                    saver.drain()
                 ckpt_lib.save_ckpt(ckpt_dir, "brain_model_last",
                                    params=state.params,
                                    opt_state=state.opt_state,
                                    step=int(state.step), epoch=epoch)
             _log(f"--- simulated preemption after epoch {epoch} ---")
+            if saver is not None:
+                saver.close()
             return state
+    if saver is not None:
+        saver.drain()
     if ckpt_dir and tcfg.ckpt_saving:
         ckpt_lib.save_ckpt(ckpt_dir, "brain_model_last", params=state.params,
                            opt_state=state.opt_state, step=int(state.step),
                            epoch=tcfg.num_epochs - 1)
+    if saver is not None:
+        saver.close()
     return state
 
 
@@ -203,6 +242,7 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                bf16_frozen_core: bool = False,
                last_save_every: int = 0,
                stop_after_epochs: Optional[int] = None,
+               async_saves: bool = False,
                ) -> train_brain.TrainState:
     """Stage-2 training (reference `--neurons_decoupler` branch).
     `batch_builder(batch, epoch)` assembles the precomputed-table fields
@@ -218,7 +258,11 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
     `last_save_every=k` writes the full-state `brain_model_prior_last`
     every k epochs so a mid-run SIGKILL resumes losslessly (the
     reference only writes `_last` at the very end, :646-650).
-    `stop_after_epochs=k` simulates a preemption like run_stage1's."""
+    `stop_after_epochs=k` simulates a preemption like run_stage1's.
+    Mid-run saves carry the trained subtree only (`_sans_core`) and,
+    with `async_saves=True`, overlap their device->host fetch + write
+    with the next epochs' compute (`ckpt_lib.AsyncCkptWriter`); the
+    end-of-training `_last` is always a synchronous full-tree save."""
     if logger is None:
         from neurons_tpu.utils.metrics_log import MetricLogger
         logger = MetricLogger(log_dir=ckpt_dir)
@@ -255,6 +299,9 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
         core_eval = train_brain.make_stage1_eval_step(
             NeuronsCore(bcfg))
     best_metric = -np.inf
+    saver = (ckpt_lib.AsyncCkptWriter() if (async_saves and ckpt_dir)
+             else None)
+    _mid_save = saver.submit if saver is not None else ckpt_lib.save_ckpt
     panel_fn = (train_decoupler.make_stage2_seg_panel_fn(bundle, dcfg)
                 if image_log_every else None)
 
@@ -330,29 +377,37 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                 best_metric = metric
                 _log(f"  new best metric {metric:.3f} -> "
                      f"saved brain_model_prior")
-            ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior",
-                               params=state.params, step=int(state.step),
-                               epoch=epoch)
+            _mid_save(ckpt_dir, "brain_model_prior",
+                      params=_sans_core(state.params),
+                      step=int(state.step), epoch=epoch)
         if (ckpt_dir and last_save_every
                 and (epoch + 1) % last_save_every == 0):
-            ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
-                               params=state.params,
-                               opt_state=state.opt_state,
-                               step=int(state.step), epoch=epoch)
+            _mid_save(ckpt_dir, "brain_model_prior_last",
+                      params=_sans_core(state.params),
+                      opt_state=state.opt_state,
+                      step=int(state.step), epoch=epoch)
         if (stop_after_epochs is not None
                 and epoch + 1 - start_epoch >= stop_after_epochs
                 and epoch + 1 < tcfg.num_epochs):
             if ckpt_dir:
+                if saver is not None:
+                    saver.drain()
                 ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
-                                   params=state.params,
+                                   params=_sans_core(state.params),
                                    opt_state=state.opt_state,
                                    step=int(state.step), epoch=epoch)
             _log(f"--- simulated preemption after epoch {epoch} ---")
+            if saver is not None:
+                saver.close()
             return state
+    if saver is not None:
+        saver.drain()  # never race the full-tree save below on a tag
     if ckpt_dir and tcfg.ckpt_saving:
         ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
                            params=state.params, opt_state=state.opt_state,
                            step=int(state.step), epoch=tcfg.num_epochs - 1)
+    if saver is not None:
+        saver.close()
     return state
 
 

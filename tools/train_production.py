@@ -275,6 +275,20 @@ def _setup_platform():
         jax.config.update("jax_platforms", "cpu")
 
 
+def _fit_batch(batch: int, mesh) -> int:
+    """The global batch must divide over the mesh's data axis
+    (shard_batch shards dim 0). The reference recipe's batch (10) is
+    fine on the single-chip production run; on a virtual 8-device
+    smoke mesh it is rounded down to the nearest multiple."""
+    dp = mesh.shape["data"]
+    if batch % dp:
+        fitted = max(dp, batch - batch % dp)
+        print(f"--- global batch {batch} -> {fitted} "
+              f"(data axis {dp} must divide it) ---", flush=True)
+        return fitted
+    return batch
+
+
 def worker_stage2(args):
     _setup_platform()
     import numpy as np
@@ -299,12 +313,13 @@ def worker_stage2(args):
     else:
         bcfg = BrainModelConfig(subjects=(1,))
         pcfg, dcfg, gcfg = PriorConfig(), DecouplerConfig(), GPT2Config()
-    tcfg = TrainConfig(batch_size=args.batch, num_epochs=args.epochs,
+    mesh = create_mesh(MeshConfig(data=-1))
+    tcfg = TrainConfig(batch_size=_fit_batch(args.batch, mesh),
+                       num_epochs=args.epochs,
                        max_lr=5e-5, neurons_decoupler=True,
                        ckpt_saving=True)
     _gen_tables(args.root_dir, bcfg.voxel_counts[0])
     train_split, test_split = _splits(args.root_dir, bcfg.voxel_counts[0])
-    mesh = create_mesh(MeshConfig(data=-1))
     table_builder = loop.table_stage2_batch_builder(args.root_dir, dcfg,
                                                     gcfg.vocab_size)
     if args.input_path == "device":
@@ -325,7 +340,13 @@ def worker_stage2(args):
         ckpt_dir=args.ckpt_dir, log_every=100, resume=args.resume,
         test_split=test_split, clip_targets_test=ct_test,
         image_log_every=0, bf16_frozen_core=True,
-        last_save_every=args.last_save_every)
+        last_save_every=args.last_save_every,
+        # overlap the mid-run checkpoint writes with compute: this
+        # harness's D2H tunnel runs at ~12-30 MB/s, so a synchronous
+        # multi-GB save costs minutes per improving epoch (measured:
+        # 4.3 GB full-tree best-save = ~10 min wall before the
+        # _sans_core + AsyncCkptWriter changes)
+        async_saves=True)
     print("=== stage-2 production run complete ===", flush=True)
 
 
@@ -349,9 +370,13 @@ def worker_stage1(args):
         bcfg = BrainModelConfig(subjects=(1,), hidden_dim=args.hidden)
         tcfg = TrainConfig(batch_size=120, num_epochs=args.epochs,
                            max_lr=5e-5, mixup_pct=1.0, ckpt_saving=True)
+    mesh = create_mesh(MeshConfig(data=-1))
+    if tcfg.batch_size % mesh.shape["data"]:
+        import dataclasses
+        tcfg = dataclasses.replace(
+            tcfg, batch_size=_fit_batch(tcfg.batch_size, mesh))
     _gen_tables(args.root_dir, bcfg.voxel_counts[0])
     train_split, test_split = _splits(args.root_dir, bcfg.voxel_counts[0])
-    mesh = create_mesh(MeshConfig(data=-1))
     if args.input_path == "device":
         import types
         dev = device_stage2_batch_builder(
@@ -365,7 +390,7 @@ def worker_stage1(args):
             args.root_dir, "clip_targets_test.npy"), mmap_mode="r")
     loop.run_stage1(bcfg, tcfg, mesh, train_split, test_split,
                     ct_train, ct_test, ckpt_dir=args.ckpt_dir,
-                    log_every=10, resume=args.resume)
+                    log_every=10, resume=args.resume, async_saves=True)
     print("=== stage-1 production run complete ===", flush=True)
 
 

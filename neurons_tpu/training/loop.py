@@ -243,6 +243,7 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                last_save_every: int = 0,
                stop_after_epochs: Optional[int] = None,
                async_saves: bool = False,
+               best_save_every: int = 1,
                ) -> train_brain.TrainState:
     """Stage-2 training (reference `--neurons_decoupler` branch).
     `batch_builder(batch, epoch)` assembles the precomputed-table fields
@@ -262,7 +263,15 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
     Mid-run saves carry the trained subtree only (`_sans_core`) and,
     with `async_saves=True`, overlap their device->host fetch + write
     with the next epochs' compute (`ckpt_lib.AsyncCkptWriter`); the
-    end-of-training `_last` is always a synchronous full-tree save."""
+    end-of-training `_last` is always a synchronous full-tree save.
+    Caveat measured at full size on one 16 GB v5e: the async writer's
+    on-device snapshot needs trained-subtree-sized HBM headroom
+    (~2.4 GB here) and OOMs against the donated train state — on
+    single-chip full-size runs keep `async_saves=False` and use
+    `best_save_every=k` instead, which throttles the best-metric save
+    to at most one per k epochs (best tracking itself stays
+    per-epoch; an unsaved improvement is flushed on the final epoch).
+    On hosts with normal D2H bandwidth neither knob matters."""
     if logger is None:
         from neurons_tpu.utils.metrics_log import MetricLogger
         logger = MetricLogger(log_dir=ckpt_dir)
@@ -299,6 +308,8 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
         core_eval = train_brain.make_stage1_eval_step(
             NeuronsCore(bcfg))
     best_metric = -np.inf
+    pending_best = False
+    last_best_saved = -(1 << 30)
     saver = (ckpt_lib.AsyncCkptWriter() if (async_saves and ckpt_dir)
              else None)
     _mid_save = saver.submit if saver is not None else ckpt_lib.save_ckpt
@@ -372,14 +383,21 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                                if metric is not None else {}),
                             "epoch_seconds": time.time() - t0},
                            step=int(state.step))
-        if ckpt_dir and (metric is None or metric > best_metric):
+        if metric is None or metric > best_metric:
             if metric is not None:
                 best_metric = metric
-                _log(f"  new best metric {metric:.3f} -> "
+            pending_best = True
+        if ckpt_dir and pending_best and (
+                epoch - last_best_saved >= best_save_every
+                or epoch == tcfg.num_epochs - 1):
+            if metric is not None:
+                _log(f"  new best metric {best_metric:.3f} -> "
                      f"saved brain_model_prior")
             _mid_save(ckpt_dir, "brain_model_prior",
                       params=_sans_core(state.params),
                       step=int(state.step), epoch=epoch)
+            last_best_saved = epoch
+            pending_best = False
         if (ckpt_dir and last_save_every
                 and (epoch + 1) % last_save_every == 0):
             _mid_save(ckpt_dir, "brain_model_prior_last",

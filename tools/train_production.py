@@ -341,12 +341,16 @@ def worker_stage2(args):
         test_split=test_split, clip_targets_test=ct_test,
         image_log_every=0, bf16_frozen_core=True,
         last_save_every=args.last_save_every,
-        # overlap the mid-run checkpoint writes with compute: this
-        # harness's D2H tunnel runs at ~12-30 MB/s, so a synchronous
-        # multi-GB save costs minutes per improving epoch (measured:
-        # 4.3 GB full-tree best-save = ~10 min wall before the
-        # _sans_core + AsyncCkptWriter changes)
-        async_saves=True)
+        # checkpoint wire economics on this harness (D2H tunnel at
+        # 12-30 MB/s): the original full-tree best-save (4.3 GB)
+        # measured ~10 min of blocked loop per improving epoch.
+        # _sans_core mid-run saves cut that to the 2.4 GB trained
+        # subtree (~3 min); async_saves stays OFF at full size because
+        # the on-device snapshot needs trained-subtree HBM headroom
+        # that the donated 16 GB train state doesn't have (measured
+        # OOM at epoch 1); --best_save_every throttles the remaining
+        # sync cost. On a real TPU host none of this matters.
+        async_saves=False, best_save_every=args.best_save_every)
     print("=== stage-2 production run complete ===", flush=True)
 
 
@@ -390,7 +394,7 @@ def worker_stage1(args):
             args.root_dir, "clip_targets_test.npy"), mmap_mode="r")
     loop.run_stage1(bcfg, tcfg, mesh, train_split, test_split,
                     ct_train, ct_test, ckpt_dir=args.ckpt_dir,
-                    log_every=10, resume=args.resume, async_saves=True)
+                    log_every=10, resume=args.resume)
     print("=== stage-1 production run complete ===", flush=True)
 
 
@@ -460,13 +464,23 @@ def _probe_table_path(table_builder, dev_builder, train_split, tcfg,
 def orchestrate(args) -> dict:
     """Run the worker as a child; optionally SIGKILL it after it logs
     `--kill_after_epoch` completed epochs, then relaunch with --resume."""
-    base = [sys.executable, os.path.abspath(__file__), args.stage,
-            "--worker", "--epochs", str(args.epochs),
-            "--batch", str(args.batch), "--hidden", str(args.hidden),
-            "--root_dir", args.root_dir, "--ckpt_dir", args.ckpt_dir,
-            "--last_save_every", str(args.last_save_every),
-            "--input_path", args.input_path,
-            "--table_probe", str(args.table_probe)]
+    def base(resume: bool):
+        # after the kill/resume proof, the relaunched leg can run a
+        # leaner periodic-_last cadence (--resume_last_save_every):
+        # over this harness's 12-30 MB/s D2H tunnel each full-state
+        # _last costs ~10 min of blocked loop, so the endurance run
+        # keeps one save before the kill and stretches the rest
+        lse = (args.resume_last_save_every
+               if resume and args.resume_last_save_every is not None
+               else args.last_save_every)
+        return [sys.executable, os.path.abspath(__file__), args.stage,
+                "--worker", "--epochs", str(args.epochs),
+                "--batch", str(args.batch), "--hidden", str(args.hidden),
+                "--root_dir", args.root_dir, "--ckpt_dir", args.ckpt_dir,
+                "--last_save_every", str(lse),
+                "--best_save_every", str(args.best_save_every),
+                "--input_path", args.input_path,
+                "--table_probe", str(args.table_probe)]
     if args.kill_after_epoch is not None:
         # the resume point is the newest periodic _last save; a kill
         # before the first one would restart from epoch 0 (measured
@@ -478,7 +492,7 @@ def orchestrate(args) -> dict:
     events = []
 
     def launch(resume: bool, kill_after=None):
-        cmd = base + (["--resume"] if resume else [])
+        cmd = base(resume) + (["--resume"] if resume else [])
         print(f"+ {' '.join(cmd)} (log -> {log_path})", flush=True)
         with open(log_path, "ab", buffering=0) as lf:
             p = subprocess.Popen(cmd, cwd=_REPO, stdout=lf,
@@ -636,6 +650,14 @@ def main():
                          "into table_probe.json first")
     ap.add_argument("--kill_after_epoch", type=int, default=None)
     ap.add_argument("--last_save_every", type=int, default=5)
+    ap.add_argument("--resume_last_save_every", type=int, default=None,
+                    help="periodic-_last cadence for the post-resume "
+                         "leg (default: same as --last_save_every); "
+                         "lets the endurance run stretch the ~10-min "
+                         "full-state saves after the kill/resume proof")
+    ap.add_argument("--best_save_every", type=int, default=1,
+                    help="throttle the best-metric save to at most one "
+                         "per N epochs (loop.run_stage2 best_save_every)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--log", default=None)

@@ -144,12 +144,25 @@ def _loop_start(stage: str) -> float:
     return t0
 
 
-def _watchdog(stage: str, marks, done: int, el: float) -> None:
-    """In-flight slow-batch visibility: the r4 full-split drive hit two
-    silent ~14/21-min mid-run stalls (transient tunnel hiccups; stage-5
-    forensics in E2E_FULL_r04.json) that only post-hoc log mining
-    found. Call BEFORE appending the new mark; any batch >5x the
-    rolling median (and >60 s) logs immediately."""
+_STALL_EVENTS: dict = {}  # stage -> [event dicts]; merged by _record_steady
+
+
+def _watchdog(stage: str, marks, done: int, el: float,
+              fetch_s: float | None = None, probe=None) -> None:
+    """In-flight slow-batch visibility WITH attribution: the r4
+    full-split drive hit two silent ~14/21-min mid-run stalls that
+    post-hoc log mining could only hand-wave as "transient tunnel
+    hiccups" (E2E_FULL_r04 stage-5 stall_events). Call BEFORE appending
+    the new mark; any batch >5x the rolling median (and >60 s) logs
+    immediately AND records a forensics event:
+      - `fetch_block_s`: how much of the batch wall was spent blocked
+        in the device->host fetch (vs host compose/GIF work),
+      - `refetch_wire_s`: re-fetching the SAME already-computed device
+        buffer times the wire alone AT THIS MOMENT — if it is still
+        slow the tunnel is degraded right now; if fast, the stall was
+        upstream of fetch completion (device queue / transient drop),
+      - `attribution`: the verdict derived from the two.
+    Events land in the stage's pipeline-report row (`stall_events`)."""
     if len(marks) < 4:
         return
     import statistics
@@ -157,10 +170,61 @@ def _watchdog(stage: str, marks, done: int, el: float) -> None:
     recent = [b[1] - a[1] for a, b in zip(tail, tail[1:])]
     dt = el - marks[-1][1]
     med = statistics.median(recent)
-    if dt > max(60.0, 5.0 * med):
-        print(f"!!! stage {stage} WATCHDOG: batch ending at clip {done} "
-              f"took {dt:.1f}s (rolling median {med:.1f}s) — transient "
-              f"stall or recompile", flush=True)
+    if dt <= max(60.0, 5.0 * med):
+        return
+    ev = {"clips_done": done, "batch_s": round(dt, 1),
+          "rolling_median_s": round(med, 2)}
+    if fetch_s is not None:
+        ev["fetch_block_s"] = round(fetch_s, 1)
+    if probe is not None:
+        t1 = _time.perf_counter()
+        try:
+            import numpy as _np
+            arr = _np.asarray(probe)
+            ev["refetch_wire_s"] = round(_time.perf_counter() - t1, 2)
+            ev["refetch_mb"] = round(arr.nbytes / 1e6, 1)
+        except Exception as e:  # the wire itself may be down
+            ev["refetch_error"] = f"{type(e).__name__}: {e}"
+    if fetch_s is not None and fetch_s < 0.5 * dt:
+        ev["attribution"] = ("host-side: the fetch block was minor — "
+                             "compose/GIF or python-side delay")
+    elif ev.get("refetch_error"):
+        ev["attribution"] = "wire down at re-fetch"
+    elif ev.get("refetch_wire_s", 0.0) > 0.25 * dt:
+        ev["attribution"] = "wire still degraded at re-fetch (tunnel)"
+    else:
+        ev["attribution"] = ("blocked awaiting result; wire healthy at "
+                             "re-fetch -> device queue or transient "
+                             "tunnel stall that has passed")
+    _STALL_EVENTS.setdefault(stage, []).append(ev)
+    print(f"!!! stage {stage} WATCHDOG: batch ending at clip {done} "
+          f"took {dt:.1f}s (rolling median {med:.1f}s) — {ev['attribution']}",
+          flush=True)
+
+
+_LAST_FETCH_S: dict = {}  # stage -> last batch's fetch block (phase acct)
+
+
+def _fetch_retry(stage: str, fetch, redispatch):
+    """Run a device->host fetch; on a FAILED fetch (tunnel error — not
+    a slow one), re-dispatch the batch ONCE and re-fetch (VERDICT r4
+    item 8: the watchdog used to flag and recover nothing). Returns
+    (result, fetch_seconds); also records the fetch time in
+    `_LAST_FETCH_S[stage]` for the loop's phase accounting."""
+    t0 = _time.perf_counter()
+    try:
+        out = fetch()
+    except Exception as e:
+        print(f"!!! stage {stage}: batch fetch FAILED "
+              f"({type(e).__name__}: {e}) — re-dispatching once",
+              flush=True)
+        _STALL_EVENTS.setdefault(stage, []).append(
+            {"event": "fetch_error_redispatch",
+             "error": f"{type(e).__name__}: {e}"})
+        out = redispatch()
+    dt = _time.perf_counter() - t0
+    _LAST_FETCH_S[stage] = dt
+    return out, dt
 
 
 def _record_steady(stage: str, marks, batch: int, t0: float | None = None):
@@ -189,6 +253,8 @@ def _record_steady(stage: str, marks, batch: int, t0: float | None = None):
             (t_total - last_base[1]) / (n_done - last_base[0]), 3)
     if stage in _SETUP_S:
         stats["setup_s"] = round(_SETUP_S.pop(stage), 2)
+    if stage in _STALL_EVENTS:
+        stats["stall_events"] = _STALL_EVENTS.pop(stage)
     if t0 is not None:
         # time between the last mark and here: GIF-pool drain / final
         # artifact writes that the loop's marks don't cover
@@ -301,7 +367,33 @@ def _load_decoupler_params(args, params, bcfg, pcfg, gcfg):
                               "brain_model_prior_last.pth")
     if ckpt_lib.exists(ckpt_dir, "brain_model_prior_last"):
         loaded = ckpt_lib.load_ckpt(ckpt_dir, "brain_model_prior_last")
-        params = ckpt_lib.restore_into(params, loaded["params"])
+        lp = loaded["params"]
+        if (isinstance(params, dict) and "core" in params
+                and not (isinstance(lp, dict) and "core" in lp)):
+            # mid-run `_sans_core` payload (run killed before the final
+            # full-tree save): the frozen stage-1 core lives in its own
+            # artifact — overlay it too, and FAIL LOUDLY if it is
+            # missing rather than silently generating with the fresh
+            # random core (ADVICE r4 high)
+            core_tag = next(
+                (t for t in ("brain_model_core", "brain_model_last",
+                             "brain_model")
+                 if ckpt_lib.exists(ckpt_dir, t)), None)
+            if core_tag is None:
+                raise RuntimeError(
+                    f"{ckpt_dir}/brain_model_prior_last carries only the "
+                    f"trained decoupler subtree (mid-run save) and no "
+                    f"frozen-core artifact (brain_model_core / "
+                    f"brain_model_last / brain_model) exists alongside "
+                    f"it — refusing to generate with a random core. "
+                    f"Provide the stage-1/core checkpoint or a full-tree "
+                    f"brain_model_prior_last.")
+            core_sd = ckpt_lib.load_ckpt(ckpt_dir, core_tag)["params"]
+            if not (isinstance(core_sd, dict) and "core" in core_sd):
+                core_sd = {"core": core_sd}  # stage-1 tags are core-shaped
+            params = ckpt_lib.restore_into(params, core_sd)
+            print(f"--- overlaid frozen core from {core_tag} ---")
+        params = ckpt_lib.restore_into(params, lp)
         print("--- loaded brain_model_prior_last ---")
     elif os.path.exists(torch_ckpt):
         import torch
@@ -620,15 +712,18 @@ def cmd_recon(args):
                           jnp.asarray(vox)), pad
 
     def _materialize3(i, outs, pad):
-        recons, blurry_px, caps = outs
+        (recons, blurry_px, caps), fetch_s = _fetch_retry(
+            "3",
+            lambda: tuple(np.asarray(x) for x in outs),
+            lambda: tuple(np.asarray(x) for x in _dispatch3(i)[0]))
         k = bs - pad
-        all_recons.append(np.asarray(recons)[:k])
-        all_blurry.append(np.asarray(blurry_px)[:k])
+        all_recons.append(recons[:k])
+        all_blurry.append(blurry_px[:k])
         all_caps.extend(
-            f"tokens:{list(map(int, c[:8]))}" for c in np.asarray(caps)[:k])
+            f"tokens:{list(map(int, c[:8]))}" for c in caps[:k])
         done = min(i + bs, n_total)
         el = _time.perf_counter() - t0
-        _watchdog("3", marks, done, el)
+        _watchdog("3", marks, done, el, fetch_s=fetch_s, probe=outs[0])
         marks.append((done, el))
         print(f"--- stage 3: {done}/{n_total} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
@@ -873,6 +968,14 @@ def cmd_video(args):
     # round-robin clip scattering: this process handles clips
     # shard, shard+num_shards, ... (reference org_idx = rank + i * N)
     shard, num_shards = args.shard, args.num_shards
+    if num_shards == 1 and jax.process_count() > 1:
+        # launched inside a process group without explicit --shard:
+        # take the rank split automatically, the reference's
+        # `accelerate launch` semantics (scripts/neuroclips_video.py:
+        # 39-40 rank = Accelerator().process_index)
+        shard, num_shards = jax.process_index(), jax.process_count()
+        print(f"--- stage 5: rank-scattered clips "
+              f"{shard}::{num_shards} (process group) ---", flush=True)
     blurry = None
     try:
         art = io.load_stage3_artifacts(
@@ -1051,7 +1154,11 @@ def cmd_video(args):
     def _materialize(i, video_dev, pad):
         """Block on batch i's result and do the host-side composition.
         Runs while the device crunches batch i+1 (dispatch-ahead)."""
-        video = np.asarray(video_dev)[:vb - pad]
+        video, fetch_s = _fetch_retry(
+            "5",
+            lambda: np.asarray(video_dev),
+            lambda: np.asarray(_dispatch(i)[0]))
+        video = video[:vb - pad]
         if not args.tiny:
             # the reference's saved-GIF frame dialect: drop the first 4
             # frames, then every other — 16 -> 6 frames, matching the
@@ -1078,7 +1185,7 @@ def cmd_video(args):
                 out_dir, io.gif_artifact_name(org_idx, prompt)))
         done = min(i + vb, n_sel)
         el = _time.perf_counter() - t0
-        _watchdog("5", marks, done, el)
+        _watchdog("5", marks, done, el, fetch_s=fetch_s, probe=video_dev)
         marks.append((done, el))
         print(f"--- stage 5: {done}/{n_sel} clips "
               f"({el / done:.2f} s/clip) ---", flush=True)
@@ -1088,9 +1195,26 @@ def cmd_video(args):
     # scan of i+1 (JAX async dispatch; the two in-flight video buffers
     # are ~13 MB each). The 1200-clip r4 drive measured ~1.1 s/clip of
     # host-side time serialized against ~2.9 s of device time here.
+    # Per-phase accounting (VERDICT r4 item 5: decompose the
+    # drive-vs-bench gap): `dispatch` = enqueue + eager pre-ops
+    # (artifact slice to device, resizes), `fetch` = blocked in the
+    # batch-result D2H, `compose` = host GT compose + GIF submit.
+    phases = {"dispatch": [], "fetch": [], "compose": []}
+    _mat0 = _materialize
+
+    def _materialize(i, video_dev, pad):  # noqa: F811 — timing shim
+        tm0 = _time.perf_counter()
+        _mat0(i, video_dev, pad)
+        tot = _time.perf_counter() - tm0
+        f = _LAST_FETCH_S.pop("5", 0.0)
+        phases["fetch"].append(f)
+        phases["compose"].append(tot - f)
+
     pending = None
     for i in range(0, n_sel, vb):
+        td0 = _time.perf_counter()
         nxt = (i, *_dispatch(i))
+        phases["dispatch"].append(_time.perf_counter() - td0)
         if pending is not None:
             _materialize(*pending)
         pending = nxt
@@ -1098,6 +1222,10 @@ def cmd_video(args):
         _materialize(*pending)
     _gif_pool.shutdown(wait=True)  # all GIFs on disk before stage 6
     _record_steady("5", marks, vb, t0)
+    if len(phases["fetch"]) > 1:  # steady phases: drop the compile batch
+        _STAGE_STATS["5"]["phase_s_per_batch"] = {
+            k: round(sum(v[1:]) / len(v[1:]), 3)
+            for k, v in phases.items() if len(v) > 1}
     print(f"=== stage 5 finished -> {out_dir} ===")
 
 

@@ -51,46 +51,156 @@ def _eval_targets(clip_targets_test, sl: slice):
 def _sans_core(params):
     """Mid-run checkpoint payload: the TRAINED subtree only. The frozen
     stage-1 core inside `state.params` is immutable during stage 2 and
-    already lives in its own artifact (the stage-1 checkpoint the run
-    was seeded from via `core_params`); re-writing its multi-GB tree on
-    every improving epoch makes checkpoint cost scale with the frozen
+    is guaranteed its own on-disk artifact: `run_stage2` writes a
+    one-time `brain_model_core` checkpoint into the same ckpt_dir
+    before the first epoch, so a run killed before the final full-tree
+    `_last` still leaves a complete consumable pair (the CLI overlays
+    `brain_model_core` when it finds a sans-core `_last`,
+    cli._load_decoupler_params). Re-writing the multi-GB core on every
+    improving epoch would make checkpoint cost scale with the frozen
     model instead of the trained one. The END-of-training save keeps
     the full tree — the reference's single-file consumption contract
-    (train_neurons.py:48-61; cli._load_decoupler_params overlays
-    everything it finds), so downstream consumers are unchanged."""
+    (train_neurons.py:48-61), so downstream consumers are unchanged."""
     if isinstance(params, dict) and "core" in params:
         return {k: v for k, v in params.items() if k != "core"}
     return params
+
+
+#: Peak-residency accounting of the last `_restore_state` call, for the
+#: regression test that pins the restore memory contract
+#: (tests/test_train_production.py): `peak_extra_bytes` is the maximum
+#: device bytes held ABOVE the init state at any point during restore —
+#: with free-before-put it stays ~one leaf, not a second full state.
+LAST_RESTORE_STATS: Dict[str, int] = {}
+
+
+class _RestoreAccounting:
+    def __init__(self):
+        self.extra = 0
+        self.peak_extra = 0
+        self.freed_bytes = 0
+        self.put_bytes = 0
+
+    def freed(self, n: int):
+        self.extra -= n
+        self.freed_bytes += n
+
+    def put(self, n: int):
+        self.extra += n
+        self.put_bytes += n
+        self.peak_extra = max(self.peak_extra, self.extra)
+
+
+def _delete_device_tree(tree, acct: _RestoreAccounting):
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and not leaf.is_deleted():
+            acct.freed(leaf.nbytes)
+            leaf.delete()
+
+
+def _overlay_consuming(target, ckpt, acct: _RestoreAccounting):
+    """`restore_into` that FREES each replaced init leaf before
+    device-putting its restored value: any subtree the checkpoint
+    covers swaps device residency leaf-by-leaf instead of doubling it;
+    init leaves the checkpoint does not cover (e.g. the frozen core
+    under a `_sans_core` payload) are kept."""
+    if isinstance(target, dict) and isinstance(ckpt, dict):
+        out = dict(target)
+        for k, v in ckpt.items():
+            if k in target:
+                out[k] = _overlay_consuming(target[k], v, acct)
+        return out
+    if ckpt is None:
+        return target
+    if isinstance(target, jax.Array) and not target.is_deleted():
+        acct.freed(target.nbytes)
+        target.delete()
+    put = jax.device_put(ckpt)
+    acct.put(put.nbytes)
+    return put
 
 
 def _restore_state(ckpt_dir: str, tag: str, state, state_cls):
     """Full-state resume: params + optimizer state + step + epoch
     (reference train_neurons.py:342-352 restores model/opt/sched/epoch;
     the LR schedule lives in the optax opt_state step counters).
-    Tries the full-tree payload first (end-of-training saves), then the
-    trained-subtree payload (`_sans_core` mid-run saves), then a
-    params-only legacy checkpoint."""
-    templates = [
-        {"params": state.params, "opt_state": state.opt_state,
-         "step": np.asarray(0), "epoch": np.asarray(0)},
-        {"params": _sans_core(state.params), "opt_state": state.opt_state,
-         "step": np.asarray(0), "epoch": np.asarray(0)},
-    ]
-    loaded = opt_state = None
-    for template in templates:
+
+    CONSUMES `state`: the restore runs host-side first (the on-disk
+    structure is read from Orbax metadata and restored into abstract
+    ShapeDtypeStruct templates — zero HBM), then every init device
+    buffer the checkpoint replaces is freed BEFORE its restored value
+    is device-put. Peak HBM residency is therefore ~one train state
+    (+ one leaf transient), not two: the round-4 endurance run OOM'd
+    exactly here, device-putting a full second params+opt copy against
+    the live init state (/tmp/train_stage2.log RESOURCE_EXHAUSTED).
+    The passed `state` must not be used after this returns.
+
+    Handles all three payload generations: full-tree (end-of-training
+    saves), trained-subtree (`_sans_core` mid-run saves — init leaves
+    not in the payload, i.e. the frozen core, are kept), and legacy
+    params-only (no opt_state on disk: init opt_state is kept and the
+    LR schedule restarts — loudly logged). Returns
+    (new_state, start_epoch, extra_dict)."""
+    md = ckpt_lib.metadata_tree(ckpt_dir, tag)
+    acct = _RestoreAccounting()
+    abstract = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+        if hasattr(x, "dtype") else x, t)
+    has_opt = isinstance(md, dict) and "opt_state" in md
+    loaded = None
+    if md is not None:
+        template = {k: ckpt_lib.shape_template(v) for k, v in md.items()
+                    if k != "opt_state"}
+        if has_opt:
+            template["opt_state"] = abstract(state.opt_state)
         try:
-            loaded = ckpt_lib.load_ckpt(ckpt_dir, tag, template=template)
-            opt_state = loaded["opt_state"]
-            break
-        except Exception:  # structure mismatch: try the next payload form
-            loaded = None
-    if loaded is None:  # older ckpt without opt_state: params-only resume
-        loaded = ckpt_lib.load_ckpt(ckpt_dir, tag)
+            loaded = ckpt_lib.load_ckpt(ckpt_dir, tag, template=template,
+                                        host=True)
+        except Exception as e:  # opt structure drift (optimizer changed)
+            _log(f"--- resume: opt_state template restore of {tag} failed "
+                 f"({type(e).__name__}: {e}); falling back to params-only "
+                 f"resume — optimizer state and LR schedule RESTART ---")
+            if has_opt:
+                template["opt_state"] = ckpt_lib.shape_template(
+                    md["opt_state"])
+            loaded = ckpt_lib.load_ckpt(ckpt_dir, tag, template=template,
+                                        host=True)
+            has_opt = False  # raw dict opt_state is unusable: discard
+    else:  # metadata API unavailable: raw host restore (still no HBM)
+        _log(f"--- resume: orbax metadata unavailable for {tag}; raw "
+             f"host restore ---")
+        loaded = ckpt_lib.load_ckpt(ckpt_dir, tag, host=True)
+        has_opt = isinstance(loaded, dict) and "opt_state" in loaded
+        if has_opt:  # raw restore loses the NamedTuple typing: re-read
+            try:
+                loaded = ckpt_lib.load_ckpt(
+                    ckpt_dir, tag, host=True,
+                    template={**{k: abstract(v) for k, v in loaded.items()
+                                 if k != "opt_state"},
+                              "opt_state": abstract(state.opt_state)})
+            except Exception as e:
+                _log(f"--- resume: opt_state re-read failed "
+                     f"({type(e).__name__}); params-only resume ---")
+                has_opt = False
+    if has_opt:
+        _delete_device_tree(state.opt_state, acct)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: acct.put(np.asarray(x).nbytes) or jax.device_put(x)
+            if isinstance(x, np.ndarray) else x, loaded["opt_state"])
+    else:
         opt_state = state.opt_state
-    params = ckpt_lib.restore_into(state.params, loaded["params"])
-    new_state = state_cls(params, opt_state,
-                          jnp.asarray(loaded["step"]))
-    return new_state, int(loaded["epoch"]) + 1
+        if "opt_state" not in (md or {}):
+            _log(f"--- resume: {tag} carries no opt_state (legacy "
+                 f"params-only payload) — optimizer state and LR "
+                 f"schedule restart ---")
+    params = _overlay_consuming(state.params, loaded["params"], acct)
+    LAST_RESTORE_STATS.clear()
+    LAST_RESTORE_STATS.update(
+        peak_extra_bytes=acct.peak_extra, freed_bytes=acct.freed_bytes,
+        put_bytes=acct.put_bytes)
+    new_state = state_cls(params, opt_state, jnp.asarray(loaded["step"]))
+    extra = loaded.get("extra") or {}
+    return new_state, int(loaded["epoch"]) + 1, extra
 
 
 def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
@@ -131,15 +241,37 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
     eval_fn = train_brain.make_stage1_eval_step(model)
 
     start_epoch = 0
-    if resume and ckpt_dir and ckpt_lib.exists(ckpt_dir, "brain_model_last"):
-        state, start_epoch = _restore_state(ckpt_dir, "brain_model_last",
-                                            state, train_brain.TrainState)
-        _log(f"--- resumed brain_model_last at epoch {start_epoch} ---")
-
     best_metric = -np.inf
+    if resume and ckpt_dir and ckpt_lib.exists(ckpt_dir, "brain_model_last"):
+        state, start_epoch, rextra = _restore_state(
+            ckpt_dir, "brain_model_last", state, train_brain.TrainState)
+        best_metric = float(rextra.get("best_metric", -np.inf))
+        _log(f"--- resumed brain_model_last at epoch {start_epoch} "
+             f"(best_metric {best_metric:.3f}) ---")
+
     saver = (ckpt_lib.AsyncCkptWriter() if (async_saves and ckpt_dir)
              else None)
     _mid_save = saver.submit if saver is not None else ckpt_lib.save_ckpt
+    try:
+        state = _stage1_epochs(
+            bcfg, tcfg, mesh, train_split, test_split, clip_targets_train,
+            clip_targets_test, ckpt_dir, log_every, logger,
+            stop_after_epochs, saver, _mid_save, state, step_fn, eval_fn,
+            key, start_epoch, best_metric)
+    except BaseException:
+        if saver is not None:
+            saver.abort()  # drop queued snapshots; don't leak the thread
+        raise
+    if saver is not None:
+        saver.close()
+    return state
+
+
+def _stage1_epochs(bcfg, tcfg, mesh, train_split, test_split,
+                   clip_targets_train, clip_targets_test, ckpt_dir,
+                   log_every, logger, stop_after_epochs, saver, _mid_save,
+                   state, step_fn, eval_fn, key, start_epoch, best_metric):
+    best_epoch = -1
     for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
         ep_losses = []
@@ -199,7 +331,7 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                             "epoch_seconds": time.time() - t0},
                            step=int(state.step))
         if ckpt_dir and metric > best_metric:
-            best_metric = metric
+            best_metric, best_epoch = metric, epoch
             _mid_save(ckpt_dir, "brain_model", params=state.params,
                       opt_state=None, step=int(state.step),
                       epoch=epoch)
@@ -213,20 +345,28 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                 ckpt_lib.save_ckpt(ckpt_dir, "brain_model_last",
                                    params=state.params,
                                    opt_state=state.opt_state,
-                                   step=int(state.step), epoch=epoch)
+                                   step=int(state.step), epoch=epoch,
+                                   extra=_best_extra(best_metric,
+                                                     best_epoch))
             _log(f"--- simulated preemption after epoch {epoch} ---")
-            if saver is not None:
-                saver.close()
             return state
     if saver is not None:
         saver.drain()
     if ckpt_dir and tcfg.ckpt_saving:
         ckpt_lib.save_ckpt(ckpt_dir, "brain_model_last", params=state.params,
                            opt_state=state.opt_state, step=int(state.step),
-                           epoch=tcfg.num_epochs - 1)
-    if saver is not None:
-        saver.close()
+                           epoch=tcfg.num_epochs - 1,
+                           extra=_best_extra(best_metric, best_epoch))
     return state
+
+
+def _best_extra(best_metric: float, epoch: int) -> Dict:
+    """best-gate state persisted with every `_last` save so a resumed
+    run keeps the best-metric watermark instead of resetting it to -inf
+    (which could overwrite the best checkpoint with a worse post-resume
+    model — ADVICE r4)."""
+    return {"best_metric": np.asarray(float(best_metric), np.float64),
+            "best_epoch": np.asarray(int(epoch), np.int64)}
 
 
 def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
@@ -270,7 +410,11 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
     single-chip full-size runs keep `async_saves=False` and use
     `best_save_every=k` instead, which throttles the best-metric save
     to at most one per k epochs (best tracking itself stays
-    per-epoch; an unsaved improvement is flushed on the final epoch).
+    per-epoch; an unsaved improvement is flushed on the final epoch and
+    on preemption). Under throttling a deferred save writes the
+    SAVE-epoch params, so the `brain_model_prior` tag is approximate —
+    the checkpoint's `extra` records best_metric/best_epoch and the
+    save-epoch metric, and the log says which epoch was written.
     On hosts with normal D2H bandwidth neither knob matters."""
     if logger is None:
         from neurons_tpu.utils.metrics_log import MetricLogger
@@ -286,14 +430,11 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
         tcfg.soft_temp_start, tcfg.soft_temp_end,
         max(tcfg.num_epochs - int(tcfg.mixup_pct * tcfg.num_epochs), 1)))
 
-    start_epoch = 0
-    if resume and ckpt_dir and ckpt_lib.exists(ckpt_dir,
-                                               "brain_model_prior_last"):
-        state, start_epoch = _restore_state(
-            ckpt_dir, "brain_model_prior_last", state,
-            train_decoupler.TrainState)
-        _log(f"--- resumed brain_model_prior_last at epoch {start_epoch} ---")
     if bf16_frozen_core:
+        # cast BEFORE any resume restore: the restore's peak residency
+        # then carries the bf16 core, not the f32 one (~3.5 GB back at
+        # production width); end-of-training full-tree saves land after
+        # this cast, so resumed full-tree checkpoints match dtype-wise
         params = dict(state.params)
         params["core"] = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
@@ -301,21 +442,68 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
             params["core"])
         state = train_decoupler.TrainState(params, state.opt_state,
                                            state.step)
+    start_epoch = 0
+    best_metric = -np.inf
+    best_epoch = -1
+    if resume and ckpt_dir and ckpt_lib.exists(ckpt_dir,
+                                               "brain_model_prior_last"):
+        state, start_epoch, rextra = _restore_state(
+            ckpt_dir, "brain_model_prior_last", state,
+            train_decoupler.TrainState)
+        best_metric = float(rextra.get("best_metric", -np.inf))
+        best_epoch = int(rextra.get("best_epoch", -1))
+        _log(f"--- resumed brain_model_prior_last at epoch {start_epoch} "
+             f"(best_metric {best_metric:.3f}) ---")
+    if (ckpt_dir and tcfg.ckpt_saving
+            and isinstance(state.params, dict) and "core" in state.params
+            and not ckpt_lib.exists(ckpt_dir, "brain_model_core")):
+        # one-time frozen-core artifact: mid-run saves carry only the
+        # trained subtree (`_sans_core`), so WITHOUT this a run killed
+        # before the final full-tree `_last` would leave no on-disk
+        # copy of the core and the CLI would silently generate with a
+        # random frozen core (ADVICE r4 high). Written once per
+        # ckpt_dir (the core is immutable during stage 2).
+        t0 = time.time()
+        ckpt_lib.save_ckpt(ckpt_dir, "brain_model_core",
+                           params={"core": state.params["core"]})
+        _log(f"--- wrote one-time brain_model_core artifact "
+             f"({time.time() - t0:.1f}s) ---")
 
     core_eval = None
     if test_split is not None and clip_targets_test is not None:
         from neurons_tpu.models.neurons import NeuronsCore
         core_eval = train_brain.make_stage1_eval_step(
             NeuronsCore(bcfg))
-    best_metric = -np.inf
-    pending_best = False
-    last_best_saved = -(1 << 30)
     saver = (ckpt_lib.AsyncCkptWriter() if (async_saves and ckpt_dir)
              else None)
     _mid_save = saver.submit if saver is not None else ckpt_lib.save_ckpt
     panel_fn = (train_decoupler.make_stage2_seg_panel_fn(bundle, dcfg)
                 if image_log_every else None)
+    try:
+        state = _stage2_epochs(
+            tcfg, dcfg, mesh, train_split, batch_builder, ckpt_dir,
+            log_every, logger, test_split, clip_targets_test,
+            image_log_every, last_save_every, stop_after_epochs,
+            best_save_every, state, step_fn, soft_temps, key, core_eval,
+            saver, _mid_save, panel_fn, start_epoch, best_metric,
+            best_epoch)
+    except BaseException:
+        if saver is not None:
+            saver.abort()  # drop queued snapshots; don't leak the thread
+        raise
+    if saver is not None:
+        saver.close()
+    return state
 
+
+def _stage2_epochs(tcfg, dcfg, mesh, train_split, batch_builder, ckpt_dir,
+                   log_every, logger, test_split, clip_targets_test,
+                   image_log_every, last_save_every, stop_after_epochs,
+                   best_save_every, state, step_fn, soft_temps, key,
+                   core_eval, saver, _mid_save, panel_fn, start_epoch,
+                   best_metric, best_epoch):
+    pending_best = False
+    last_best_saved = -(1 << 30)
     for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
         ep_losses = []
@@ -385,17 +573,33 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
                            step=int(state.step))
         if metric is None or metric > best_metric:
             if metric is not None:
-                best_metric = metric
+                best_metric, best_epoch = metric, epoch
             pending_best = True
         if ckpt_dir and pending_best and (
                 epoch - last_best_saved >= best_save_every
                 or epoch == tcfg.num_epochs - 1):
+            # Under best_save_every>1 a deferred save writes the CURRENT
+            # epoch's params (snapshotting the improving epoch's params
+            # on device is not affordable at full size: the 2.4 GB copy
+            # is the same HBM headroom that OOM'd async_saves). Be
+            # honest about it: log + persist both the watermark and the
+            # save-epoch metric, so the tag is auditable (ADVICE r4).
             if metric is not None:
-                _log(f"  new best metric {best_metric:.3f} -> "
-                     f"saved brain_model_prior")
+                if epoch == best_epoch:
+                    _log(f"  new best metric {best_metric:.3f} -> "
+                         f"saved brain_model_prior")
+                else:
+                    _log(f"  best metric {best_metric:.3f} seen at epoch "
+                         f"{best_epoch}; saving epoch {epoch} params "
+                         f"(metric {metric:.3f}; best_save_every="
+                         f"{best_save_every} throttle — tag approximate)")
             _mid_save(ckpt_dir, "brain_model_prior",
                       params=_sans_core(state.params),
-                      step=int(state.step), epoch=epoch)
+                      step=int(state.step), epoch=epoch,
+                      extra={**_best_extra(best_metric, best_epoch),
+                             "save_epoch_metric": np.asarray(
+                                 float(metric) if metric is not None
+                                 else float("nan"), np.float64)})
             last_best_saved = epoch
             pending_best = False
         if (ckpt_dir and last_save_every
@@ -403,29 +607,38 @@ def run_stage2(bcfg: BrainModelConfig, pcfg: PriorConfig,
             _mid_save(ckpt_dir, "brain_model_prior_last",
                       params=_sans_core(state.params),
                       opt_state=state.opt_state,
-                      step=int(state.step), epoch=epoch)
+                      step=int(state.step), epoch=epoch,
+                      extra=_best_extra(best_metric, best_epoch))
         if (stop_after_epochs is not None
                 and epoch + 1 - start_epoch >= stop_after_epochs
                 and epoch + 1 < tcfg.num_epochs):
             if ckpt_dir:
                 if saver is not None:
                     saver.drain()
+                if pending_best:  # don't drop an unsaved improvement
+                    _log(f"  flushing pending best "
+                         f"(metric {best_metric:.3f}, epoch {best_epoch}) "
+                         f"before preemption")
+                    ckpt_lib.save_ckpt(
+                        ckpt_dir, "brain_model_prior",
+                        params=_sans_core(state.params),
+                        step=int(state.step), epoch=epoch,
+                        extra=_best_extra(best_metric, best_epoch))
                 ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
                                    params=_sans_core(state.params),
                                    opt_state=state.opt_state,
-                                   step=int(state.step), epoch=epoch)
+                                   step=int(state.step), epoch=epoch,
+                                   extra=_best_extra(best_metric,
+                                                     best_epoch))
             _log(f"--- simulated preemption after epoch {epoch} ---")
-            if saver is not None:
-                saver.close()
             return state
     if saver is not None:
         saver.drain()  # never race the full-tree save below on a tag
     if ckpt_dir and tcfg.ckpt_saving:
         ckpt_lib.save_ckpt(ckpt_dir, "brain_model_prior_last",
                            params=state.params, opt_state=state.opt_state,
-                           step=int(state.step), epoch=tcfg.num_epochs - 1)
-    if saver is not None:
-        saver.close()
+                           step=int(state.step), epoch=tcfg.num_epochs - 1,
+                           extra=_best_extra(best_metric, best_epoch))
     return state
 
 

@@ -51,15 +51,22 @@ def save_ckpt(directory: str, tag: str, *, params: Any, opt_state: Any = None,
     return path
 
 
-def load_ckpt(directory: str, tag: str, template: Any = None) -> Dict:
-    """Load a checkpoint; with `template` (a payload-shaped pytree, e.g.
-    including a live optax opt_state) Orbax restores INTO that structure,
-    which is how NamedTuple-typed optimizer states round-trip."""
+def load_ckpt(directory: str, tag: str, template: Any = None,
+              host: bool = False) -> Dict:
+    """Load a checkpoint; with `template` (a payload-shaped pytree —
+    live arrays or `jax.ShapeDtypeStruct`s) Orbax restores INTO that
+    structure, which is how NamedTuple-typed optimizer states
+    round-trip. `host=True` returns host numpy leaves (no device
+    memory touched) — the resume path uses this so a multi-GB restore
+    never doubles HBM residency against a live init state
+    (training/loop.py:_restore_state)."""
     path = os.path.abspath(os.path.join(directory, tag))
     if template is not None:
         restored = _checkpointer().restore(path, item=template)
     else:
         restored = _checkpointer().restore(path)
+    if host:
+        return restored
     # hand back jax arrays: numpy leaves break traced indexing
     # (np_param[traced_idx] calls __array__ on the tracer)
     import jax.numpy as jnp
@@ -67,6 +74,28 @@ def load_ckpt(directory: str, tag: str, template: Any = None) -> Dict:
     return jax.tree_util.tree_map(
         lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
         restored)
+
+
+def metadata_tree(directory: str, tag: str) -> Optional[Any]:
+    """The on-disk payload structure (nested containers of Orbax
+    ArrayMetadata leaves carrying .shape/.dtype) WITHOUT reading any
+    array data. Lets the resume path build an exact restore template —
+    full-tree vs trained-subtree vs legacy params-only payloads are
+    distinguished up front instead of by try/except over data reads.
+    Returns None when the metadata API is unavailable (orbax drift)."""
+    path = os.path.abspath(os.path.join(directory, tag))
+    try:
+        md = _checkpointer().metadata(path)
+        return md.item_metadata.tree
+    except Exception:
+        return None
+
+
+def shape_template(md_subtree: Any) -> Any:
+    """ArrayMetadata tree -> jax.ShapeDtypeStruct tree (host restore
+    template; see metadata_tree)."""
+    return jax.tree_util.tree_map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), md_subtree)
 
 
 def restore_into(target_params: Any, ckpt_params: Any) -> Any:
@@ -173,10 +202,12 @@ class AsyncCkptWriter:
                opt_state: Any = None, step: int = 0, epoch: int = 0,
                extra: Optional[Dict] = None) -> None:
         """Snapshot on device and enqueue the write. Blocks only if
-        `max_pending` writes are already queued (backpressure)."""
+        `max_pending` writes are already queued (backpressure). A prior
+        writer error is raised here but stays set until `drain()`
+        successfully reports it — a caller that swallows the submit-time
+        raise cannot lose the failure."""
         if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+            raise self._err
         payload = {"params": self._snapshot(params),
                    "opt_state": (self._snapshot(opt_state)
                                  if opt_state is not None else None),
@@ -184,7 +215,8 @@ class AsyncCkptWriter:
         self._q.put((directory, tag, payload))
 
     def drain(self) -> None:
-        """Block until every queued write completed; re-raise errors."""
+        """Block until every queued write completed; re-raise (and only
+        then clear) the first writer error."""
         self._q.join()
         if self._err is not None:
             err, self._err = self._err, None
@@ -194,3 +226,23 @@ class AsyncCkptWriter:
         self.drain()
         self._q.put(None)
         self._thread.join(timeout=60)
+
+    def abort(self) -> None:
+        """Non-draining shutdown for exception paths: drop queued
+        snapshots (freeing their on-device copies) and stop the writer
+        thread without blocking on pending writes. The training loops
+        call this from their `except` path so an epoch-loop crash does
+        not leak the daemon thread or HBM held by queued snapshots."""
+        import queue
+
+        try:
+            while True:
+                self._q.get_nowait()
+                self._q.task_done()
+        except queue.Empty:
+            pass
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass
+        self._thread.join(timeout=10)

@@ -98,6 +98,10 @@ def test_stage2_mid_saves_sans_core_resume_restores_opt(tmp_path, mesh8):
     best = ckpt_lib.load_ckpt(str(tmp_path), "brain_model_prior")
     assert "core" not in best["params"], \
         "mid-run best save must carry only the trained subtree"
+    assert ckpt_lib.exists(str(tmp_path), "brain_model_core"), \
+        "run_stage2 must leave the one-time frozen-core artifact"
+    core = ckpt_lib.load_ckpt(str(tmp_path), "brain_model_core")
+    assert set(core["params"].keys()) == {"core"}
     last = ckpt_lib.load_ckpt(str(tmp_path), "brain_model_prior_last")
     assert "core" not in last["params"]
     assert last.get("opt_state") is not None, \
@@ -136,10 +140,79 @@ def test_restore_state_prefers_opt_state_on_sans_core_ckpt(tmp_path):
                                           "head": {"w": jnp.ones((4,))}}),
                        opt_state=saved_opt, step=9, epoch=3)
     state = State(params, opt, jnp.asarray(0))
-    new_state, start_epoch = _restore_state(
+    new_state, start_epoch, extra = _restore_state(
         str(tmp_path), "brain_model_prior_last", state, State)
     assert start_epoch == 4
     assert int(np.asarray(new_state.opt_state["count"])) == 9, \
         "opt_state must come from the checkpoint, not the fallback"
     np.testing.assert_allclose(np.asarray(new_state.params["head"]["w"]), 1.0)
     np.testing.assert_allclose(np.asarray(new_state.params["core"]["w"]), 0.0)
+
+
+def test_restore_state_memory_contract(tmp_path):
+    """Resume must never double-materialize the state on device: the
+    round-4 endurance run OOM'd in `_restore_state` by device-putting a
+    full restored params+opt copy while the init state was resident
+    (/tmp/train_stage2.log RESOURCE_EXHAUSTED). Pins the free-before-
+    put contract at tiny dims via the restore accounting: peak device
+    bytes ABOVE the init state stay < one replaced subtree (here: one
+    leaf), and every replaced init leaf is actually deleted."""
+    from neurons_tpu.training import loop
+
+    class State:
+        def __init__(self, params, opt_state, step):
+            self.params, self.opt_state, self.step = params, opt_state, step
+
+    n = 1024  # 4 KB leaves: big enough that accounting is unambiguous
+    params = {"core": {"w": jnp.zeros((n,))},
+              "head": {"w": jnp.zeros((n,))},
+              "prior": {"w": jnp.zeros((n,))}}
+    opt = {"mu": {"head": {"w": jnp.zeros((n,))},
+                  "prior": {"w": jnp.zeros((n,))}},
+           "count": jnp.asarray(0)}
+    ckpt_lib.save_ckpt(str(tmp_path), "brain_model_prior_last",
+                       params={"head": {"w": jnp.ones((n,))},
+                               "prior": {"w": jnp.ones((n,))}},
+                       opt_state=opt, step=3, epoch=1)
+    state = State(params, opt, jnp.asarray(0))
+    init_head, init_prior = params["head"]["w"], params["prior"]["w"]
+    init_core = params["core"]["w"]
+    new_state, _, _ = loop._restore_state(
+        str(tmp_path), "brain_model_prior_last", state, State)
+    stats = loop.LAST_RESTORE_STATS
+    leaf_bytes = n * 4
+    # free-before-put: at no point may more than ~one leaf of restored
+    # data sit on device on top of the (shrinking) init state
+    assert stats["peak_extra_bytes"] <= leaf_bytes, stats
+    assert stats["put_bytes"] >= 2 * leaf_bytes  # head+prior(+opt)
+    assert stats["freed_bytes"] >= stats["put_bytes"] - leaf_bytes
+    assert init_head.is_deleted() and init_prior.is_deleted(), \
+        "replaced init leaves must be freed"
+    assert not init_core.is_deleted(), \
+        "the frozen core (absent from the sans-core payload) is kept"
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["head"]["w"]), 1.0)
+
+
+def test_restore_state_survives_extra_payload(tmp_path):
+    """`_last` saves now persist the best-metric watermark in `extra`;
+    the metadata-driven template must restore such payloads (and hand
+    the extras back) without tripping structure mismatch."""
+    from neurons_tpu.training.loop import _best_extra, _restore_state
+
+    class State:
+        def __init__(self, params, opt_state, step):
+            self.params, self.opt_state, self.step = params, opt_state, step
+
+    params = {"head": {"w": jnp.zeros((4,))}}
+    opt = {"mu": jnp.zeros((4,)), "count": jnp.asarray(0)}
+    ckpt_lib.save_ckpt(str(tmp_path), "brain_model_last",
+                       params={"head": {"w": jnp.ones((4,))}},
+                       opt_state=opt, step=5, epoch=2,
+                       extra=_best_extra(1.25, 1))
+    state = State(params, opt, jnp.asarray(0))
+    new_state, start_epoch, extra = _restore_state(
+        str(tmp_path), "brain_model_last", state, State)
+    assert start_epoch == 3
+    assert float(extra["best_metric"]) == 1.25
+    assert int(extra["best_epoch"]) == 1

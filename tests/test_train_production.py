@@ -149,3 +149,13 @@ def test_orchestrator_kill_resume_smoke(tmp_path):
     events = [e["event"] for e in doc["kill_resume"]]
     assert "sigkill" in " ".join(events) or "resume_launch" in events
     assert "table_path_probe" in doc
+    # the loss curve must be REAL: finite everywhere and falling
+    # (loss_text_gen NaN'd silently for a round because nothing
+    # checked this — the device builder modded tokens by the
+    # production vocab while the tiny smoke consumed them with
+    # tiny_gpt2_config)
+    curve = doc["loss_curve"]
+    assert all(np.isfinite(x) for x in curve), curve
+    assert curve[-1] < curve[0], curve
+    assert doc["resume_log_lines"], \
+        "summary must carry the resume-restore evidence lines"

@@ -46,12 +46,20 @@ def main():
     ap.add_argument("--stages", type=str, default="3456")
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (default: ambient = TPU)")
+    ap.add_argument("--enhance", action="store_true",
+                    help="drive the decoupler-guided ENHANCE mode — the "
+                         "reference's headline configuration (recon_"
+                         "keyframe_neurons_enhance.py:377-462: seg masks "
+                         "gate the VAE latents, prior tokens modulated "
+                         "before unCLIP; train_neurons.sh:72-76)")
     ap.add_argument("--out", type=str, default=None,
-                    help="default: E2E_r04.json, or E2E_FULL_r04.json at "
-                         "--n_test >= 1200 (the reference's full split)")
+                    help="default: E2E_r05.json / E2E_FULL_r05.json at "
+                         "--n_test >= 1200 / E2E_ENHANCE_r05.json with "
+                         "--enhance")
     args = ap.parse_args()
     if args.out is None:
-        tag = "E2E_FULL_r04" if args.n_test >= 1200 else "E2E_r04"
+        tag = ("E2E_ENHANCE_r05" if args.enhance
+               else "E2E_FULL_r05" if args.n_test >= 1200 else "E2E_r05")
         args.out = os.path.join(_REPO, tag + ".json")
 
     report_path = os.path.join(args.exp_dir, "pipeline_report.json")
@@ -62,6 +70,8 @@ def main():
 
     argv = ["pipeline", args.stages, "--synthetic",
             "--exp_dir", args.exp_dir, "--n_test", str(args.n_test)]
+    if args.enhance:
+        argv += ["--enhance"]
     if args.platform:
         argv += ["--platform", args.platform]
     t0 = time.perf_counter()

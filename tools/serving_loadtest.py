@@ -23,7 +23,7 @@ warm and the persistent compile cache difference is the number the
 
 Run ON THE TPU from /root/repo:
     python tools/serving_loadtest.py --batch 2,4
-Writes SERVING_r04.json. BENCH_TINY=1 + --platform cpu smoke-tests the
+Writes SERVING_r05.json. BENCH_TINY=1 + --platform cpu smoke-tests the
 harness itself.
 """
 
@@ -133,7 +133,7 @@ def main():
                          "concurrent singles actually batch")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--out", type=str,
-                    default=os.path.join(_REPO, "SERVING_r04.json"))
+                    default=os.path.join(_REPO, "SERVING_r05.json"))
     args = ap.parse_args()
     if args.platform:
         import jax

@@ -18,12 +18,13 @@ are egress-blocked), with:
   - a final CLI-consumption check: `neurons recon` must load the
     written `brain_model_prior_last` (cli._load_decoupler_params).
 
-Writes TRAIN_r04.json: per-epoch loss components, retrieval curve,
+Writes TRAIN_r05.json: per-epoch loss components, retrieval curve,
 epoch-second stability, the kill/resume event, checkpoint inventory.
 
 Run ON THE TPU from /root/repo:
-    python tools/train_production.py stage2 --kill_after_epoch 7
-    python tools/train_production.py stage1 --hidden 2048
+    python tools/train_production.py stage2 --kill_after_epoch 7 \
+        --consume_check          # h=4096 (the reference production width)
+    python tools/train_production.py stage1          # h=2048 single-chip
 """
 
 import argparse
@@ -114,7 +115,8 @@ def _gen_tables(root_dir: str, voxels: int, seed: int = 0):
 
 
 def device_stage2_batch_builder(root_dir: str, dcfg, tcfg_seed: int,
-                                voxels: int = 13447):
+                                voxels: int = 13447,
+                                vocab: int = GPT2_VOCAB):
     """Wire-light stage-2 batches: the structured-synthetic recipe
     (every modality a fixed linear readout of a shared 64-d per-clip
     latent + small Gaussian jitter, `_gen_tables`) evaluated ON DEVICE
@@ -137,7 +139,7 @@ def device_stage2_batch_builder(root_dir: str, dcfg, tcfg_seed: int,
     z_train = np.load(os.path.join(root_dir, "z_train.npy"))
     z_test = np.load(os.path.join(root_dir, "z_test.npy"))
     return _DeviceStage2Builder(z_train, z_test, root_dir, dcfg,
-                                tcfg_seed, voxels=voxels)
+                                tcfg_seed, voxels=voxels, vocab=vocab)
 
 
 class _DeviceStage2Builder:
@@ -147,12 +149,18 @@ class _DeviceStage2Builder:
     `loop._eval_targets`."""
 
     def __init__(self, z_train, z_test, root_dir, dcfg, seed,
-                 voxels: int = 13447):
+                 voxels: int = 13447, vocab: int = GPT2_VOCAB):
         import jax
         import jax.numpy as jnp
 
         self._jax, self._jnp = jax, jnp
         self._root_dir = root_dir
+        # the CONSUMING GPT-2's vocab, not the table generator's: the
+        # tiny smoke pairs these tables with tiny_gpt2_config (vocab
+        # ~100) — modding by the production 50257 fed out-of-range ids
+        # into the embedding and NaN'd loss_text_gen (r4 latent bug;
+        # full size was unaffected, vocab == GPT2_VOCAB there)
+        self._vocab = vocab
         # generator-stream replay: A, B, C, D in _gen_tables draw order
         # (rng(7)); A (voxel readout) is drawn only to keep the stream
         # aligned — voxels come from the split itself
@@ -211,7 +219,7 @@ class _DeviceStage2Builder:
             "key_obj_text_embed": class_emb[key_cls].astype(np.float32),
             "cls_label": batch["cls_label"].astype(np.float32),
             "clip_tokens": (batch["clip_tokens"][:, :60]
-                            % GPT2_VOCAB).astype(np.int32),
+                            % self._vocab).astype(np.int32),
         }
         out.update(dev)
         return out
@@ -311,7 +319,10 @@ def worker_stage2(args):
                                decoder_block_out_channels=(8, 8, 8))
         gcfg = tiny_gpt2_config()
     else:
-        bcfg = BrainModelConfig(subjects=(1,))
+        # production width: h=4096 (reference train_neurons.py:142-144).
+        # Stage 2 freezes the core (bf16 forward-only, no Adam state on
+        # it), so unlike stage 1 the full reference width fits one chip.
+        bcfg = BrainModelConfig(subjects=(1,), hidden_dim=args.hidden)
         pcfg, dcfg, gcfg = PriorConfig(), DecouplerConfig(), GPT2Config()
     mesh = create_mesh(MeshConfig(data=-1))
     tcfg = TrainConfig(batch_size=_fit_batch(args.batch, mesh),
@@ -325,7 +336,8 @@ def worker_stage2(args):
     if args.input_path == "device":
         builder = device_stage2_batch_builder(args.root_dir, dcfg,
                                               tcfg.seed,
-                                              bcfg.voxel_counts[0])
+                                              bcfg.voxel_counts[0],
+                                              vocab=gcfg.vocab_size)
         ct_test = builder.test_targets
         if args.table_probe and not args.resume:
             _probe_table_path(table_builder, builder, train_split, tcfg,
@@ -554,9 +566,7 @@ def summarize(args, run_info: dict) -> dict:
         "stage": args.stage,
         "recipe": {"epochs": args.epochs, "batch": args.batch,
                    "max_lr": 5e-5, "train_clips": N_TRAIN,
-                   "test_clips": N_TEST,
-                   **({"hidden": args.hidden}
-                      if args.stage == "stage1" else {})},
+                   "test_clips": N_TEST, "hidden": args.hidden},
         "data": ("structured synthetic (learnable linear readouts; real "
                  "tensors egress-blocked), "
                  + ("targets materialized on-device from the shared "
@@ -583,6 +593,14 @@ def summarize(args, run_info: dict) -> dict:
         "wall_s": run_info["wall_s"],
         "checkpoints": sorted(os.listdir(args.ckpt_dir)),
     }
+    # resume-restore evidence from the worker log: the resumed-epoch
+    # line plus any restore-path diagnostics (loop._restore_state logs)
+    try:
+        doc["resume_log_lines"] = [
+            ln.strip() for ln in open(run_info["log"], errors="replace")
+            if "resumed brain_model" in ln or "resume:" in ln] or None
+    except OSError:
+        doc["resume_log_lines"] = None
     probe_path = os.path.join(os.path.dirname(args.ckpt_dir),
                               "table_probe.json")
     if os.path.exists(probe_path):
@@ -633,7 +651,13 @@ def main():
     ap.add_argument("stage", choices=["stage1", "stage2"])
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch", type=int, default=10)
-    ap.add_argument("--hidden", type=int, default=2048)
+    ap.add_argument("--hidden", type=int, default=None,
+                    help="mixer width. Defaults: stage2 4096 (the "
+                         "reference production width — the frozen bf16 "
+                         "core fits one chip), stage1 2048 (h=4096 "
+                         "stage-1 Adam is 22 GB -> needs the TP+ZeRO "
+                         "mesh; 2048 is the largest single-chip fit, "
+                         "tools/train_bench.py)")
     ap.add_argument("--root_dir", default="/root/train_tables")
     ap.add_argument("--ckpt_dir", default=None)
     ap.add_argument("--input_path", choices=["device", "table"],
@@ -668,6 +692,8 @@ def main():
     args = ap.parse_args()
     if args.epochs is None:
         args.epochs = 50 if args.stage == "stage2" else 30
+    if args.hidden is None:
+        args.hidden = 4096 if args.stage == "stage2" else 2048
     if args.ckpt_dir is None:
         args.ckpt_dir = f"/root/train_prod/{args.stage}/checkpoints"
     os.makedirs(args.ckpt_dir, exist_ok=True)
@@ -679,10 +705,13 @@ def main():
     run_info = orchestrate(args)
     doc = summarize(args, run_info)
     if args.consume_check and args.stage == "stage2":
-        doc["cli_consumption"] = consume_check(args)
+        try:
+            doc["cli_consumption"] = consume_check(args)
+        except Exception as e:  # a consume-check crash must not lose
+            doc["cli_consumption"] = {"error": f"{type(e).__name__}: {e}"}
     out = args.out or os.path.join(
-        _REPO, f"TRAIN_r04_{args.stage}.json"
-        if args.stage == "stage1" else "TRAIN_r04.json")
+        _REPO, f"TRAIN_r05_{args.stage}.json"
+        if args.stage == "stage1" else "TRAIN_r05.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=2)
     print(json.dumps({k: v for k, v in doc.items()

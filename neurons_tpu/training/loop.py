@@ -214,8 +214,17 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
                stop_after_epochs: Optional[int] = None,
                warm_start_params=None,
                async_saves: bool = False,
+               best_save_every: int = 1,
                ) -> train_brain.TrainState:
     """Stage-1 training (reference `--no-neurons_decoupler` branch).
+    `best_save_every=k` throttles the best-metric `brain_model` save to
+    at most one per k epochs (same contract and same honesty caveats as
+    run_stage2's: under throttling a deferred save writes the SAVE-epoch
+    params; extras carry best/save-epoch provenance; an unsaved
+    improvement is flushed on the final epoch and on preemption). The
+    production stage-1 recipe needs this on the harness tunnel: each
+    h=2048 save is ~3.5 GB at ~8 MB/s D2H, and the retrieval metric
+    improves most epochs early on.
     clip_targets_*: precomputed CLIP tables [N, n_frames, 256, 1664].
     `warm_start_params`: partial params overlay applied after init — the
     reference's MindEye2 `last.pth` backbone + `coco_tokens_avg_proj.pth`
@@ -257,7 +266,7 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
             bcfg, tcfg, mesh, train_split, test_split, clip_targets_train,
             clip_targets_test, ckpt_dir, log_every, logger,
             stop_after_epochs, saver, _mid_save, state, step_fn, eval_fn,
-            key, start_epoch, best_metric)
+            key, start_epoch, best_metric, best_save_every)
     except BaseException:
         if saver is not None:
             saver.abort()  # drop queued snapshots; don't leak the thread
@@ -270,8 +279,11 @@ def run_stage1(bcfg: BrainModelConfig, tcfg: TrainConfig, mesh,
 def _stage1_epochs(bcfg, tcfg, mesh, train_split, test_split,
                    clip_targets_train, clip_targets_test, ckpt_dir,
                    log_every, logger, stop_after_epochs, saver, _mid_save,
-                   state, step_fn, eval_fn, key, start_epoch, best_metric):
+                   state, step_fn, eval_fn, key, start_epoch, best_metric,
+                   best_save_every=1):
     best_epoch = -1
+    pending_best = False
+    last_best_saved = -(1 << 30)
     for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
         ep_losses = []
@@ -330,18 +342,41 @@ def _stage1_epochs(bcfg, tcfg, mesh, train_split, test_split,
                             "test/text_pct": txt,
                             "epoch_seconds": time.time() - t0},
                            step=int(state.step))
-        if ckpt_dir and metric > best_metric:
+        if metric > best_metric:
             best_metric, best_epoch = metric, epoch
+            pending_best = True
+        if ckpt_dir and pending_best and (
+                epoch - last_best_saved >= best_save_every
+                or epoch == tcfg.num_epochs - 1):
+            if epoch == best_epoch:
+                _log(f"  new best metric {best_metric:.3f} -> "
+                     f"saved brain_model")
+            else:
+                _log(f"  best metric {best_metric:.3f} seen at epoch "
+                     f"{best_epoch}; saving epoch {epoch} params "
+                     f"(metric {metric:.3f}; best_save_every="
+                     f"{best_save_every} throttle — tag approximate)")
             _mid_save(ckpt_dir, "brain_model", params=state.params,
-                      opt_state=None, step=int(state.step),
-                      epoch=epoch)
-            _log(f"  new best metric {metric:.3f} -> saved brain_model")
+                      opt_state=None, step=int(state.step), epoch=epoch,
+                      extra={**_best_extra(best_metric, best_epoch),
+                             "save_epoch_metric": np.asarray(
+                                 float(metric), np.float64)})
+            last_best_saved = epoch
+            pending_best = False
         if (stop_after_epochs is not None
                 and epoch + 1 - start_epoch >= stop_after_epochs
                 and epoch + 1 < tcfg.num_epochs):
             if ckpt_dir:
                 if saver is not None:
                     saver.drain()
+                if pending_best:
+                    _log(f"  flushing pending best "
+                         f"(metric {best_metric:.3f}, epoch {best_epoch}) "
+                         f"before preemption")
+                    ckpt_lib.save_ckpt(
+                        ckpt_dir, "brain_model", params=state.params,
+                        opt_state=None, step=int(state.step), epoch=epoch,
+                        extra=_best_extra(best_metric, best_epoch))
                 ckpt_lib.save_ckpt(ckpt_dir, "brain_model_last",
                                    params=state.params,
                                    opt_state=state.opt_state,

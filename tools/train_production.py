@@ -406,7 +406,11 @@ def worker_stage1(args):
             args.root_dir, "clip_targets_test.npy"), mmap_mode="r")
     loop.run_stage1(bcfg, tcfg, mesh, train_split, test_split,
                     ct_train, ct_test, ckpt_dir=args.ckpt_dir,
-                    log_every=10, resume=args.resume)
+                    log_every=10, resume=args.resume,
+                    # each h=2048 brain_model save is ~3.5 GB at the
+                    # tunnel's ~8 MB/s D2H; unthrottled every-improving-
+                    # epoch saves would dominate the 30-epoch wall
+                    best_save_every=args.best_save_every)
     print("=== stage-1 production run complete ===", flush=True)
 
 

@@ -566,9 +566,14 @@ def summarize(args, run_info: dict) -> dict:
                    + r.get("test/text_pct", 0)) or None) for r in epochs]
     comp_keys = sorted(k for k in epochs[-1] if k.startswith("train/mean_")
                        and k != "train/mean_loss")
+    # stage-1 ignores --batch: worker_stage1 pins the reference recipe's
+    # batch 120 (train_neurons.sh:41-49); report what actually ran
+    true_batch = (120 if args.stage == "stage1"
+                  and not os.environ.get("NEURONS_TPU_PROD_TINY")
+                  else args.batch)
     doc = {
         "stage": args.stage,
-        "recipe": {"epochs": args.epochs, "batch": args.batch,
+        "recipe": {"epochs": args.epochs, "batch": true_batch,
                    "max_lr": 5e-5, "train_clips": N_TRAIN,
                    "test_clips": N_TEST, "hidden": args.hidden},
         "data": ("structured synthetic (learnable linear readouts; real "

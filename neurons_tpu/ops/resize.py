@@ -95,7 +95,14 @@ def resize_np(x: np.ndarray, out_hw: Tuple[int, int],
         return x
     fn = _weights_aa if antialias else _weights_noaa
     wh, ww = fn(in_h, out_h), fn(in_w, out_w)
-    y = np.einsum("oh,...hw,pw->...op", wh, x.astype(np.float32), ww)
+    # two BLAS GEMMs, NOT one 3-operand einsum: np.einsum without
+    # `optimize` evaluates "oh,...hw,pw->...op" as an O(o*h*w*p) nested
+    # loop — measured 94 s for one [6,3,224,224]->256 clip on the
+    # 1-core host, which silently turned the stage-5 compose phase into
+    # 95 s/clip the first time a drive fed 224-px GTs through it (the
+    # r4 full split had 256-px GTs, so the no-op early-return hid it).
+    # Pairwise it is two ~0.5 GFLOP matmuls (~0.1 s).
+    y = (wh @ x.astype(np.float32)) @ ww.T
     return y.astype(x.dtype)
 
 

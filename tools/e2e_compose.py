@@ -108,6 +108,12 @@ def main():
     s56_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         _REPO, "E2E_FULL_r04_s56.json")
     s56_log = sys.argv[3] if len(sys.argv) > 3 else "/tmp/e2e_s56.log"
+    out = sys.argv[4] if len(sys.argv) > 4 else os.path.join(
+        _REPO, "E2E_FULL_r04.json")
+    leg_note = (sys.argv[5] if len(sys.argv) > 5 else
+                "stages 56 (leg 2, relaunched after the whole-split "
+                "host-residency fix faa8366; stage-5 graph unchanged "
+                "-> warm cache)")
     s56 = json.load(open(s56_path))
 
     m3, n3 = marks_from_log(log_path, 3)
@@ -148,10 +154,7 @@ def main():
     doc = {
         "n_clips": n3 or s56["n_clips"],
         "stages": "3456",
-        "legs": ["stages 34 (leg 1, pre-fix log-reconstructed rows)",
-                 "stages 56 (leg 2, relaunched after the whole-split "
-                 "host-residency fix faa8366; stage-5 graph unchanged "
-                 "-> warm cache)"],
+        "legs": ["stages 34 (leg 1, log-reconstructed rows)", leg_note],
         "per_stage": rows,
         "sec_per_clip_gen_steady": round(steady, 3),
         "sec_per_clip_gen_steady_incl_stalls": round(
@@ -163,7 +166,6 @@ def main():
         "weights": s56.get("weights"),
         "platform": s56.get("platform"),
     }
-    out = os.path.join(_REPO, "E2E_FULL_r04.json")
     json.dump(doc, open(out, "w"), indent=1)
     print(json.dumps(doc, indent=1))
     print(f"-> {out}")
